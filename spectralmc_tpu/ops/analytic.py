@@ -1,0 +1,61 @@
+"""Closed-form Black–Scholes oracle.
+
+Capability parity with the reference's QuantLib shim
+(``/root/reference/src/spectralmc/quantlib.py:19-39``, ``bs_price_quantlib``)
+without the QuantLib dependency: the Black formula is four lines of math.
+Used as ground truth in the statistical MC tests and for put-call parity in
+inference. Works on numpy or jnp arrays (pure, broadcastable, jit-safe).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax.numpy as jnp
+from jax.scipy.special import erf
+
+
+@dataclass(frozen=True, slots=True)
+class AnalyticPrices:
+    """Discounted put/call prices with intrinsics and convexities (time value)."""
+
+    put: Any
+    call: Any
+    put_intrinsic: Any
+    call_intrinsic: Any
+    put_convexity: Any
+    call_convexity: Any
+
+
+def _norm_cdf(x: Any) -> Any:
+    return 0.5 * (1.0 + erf(x / jnp.sqrt(2.0).astype(getattr(x, "dtype", jnp.float64))))
+
+
+def black_scholes_price(
+    spot: Any, strike: Any, maturity: Any, rate: Any, div_yield: Any, vol: Any
+) -> AnalyticPrices:
+    """European put/call under GBM: Black formula on the forward.
+
+    F = S·e^{(r−q)T}, df = e^{−rT};
+    call = df·(F·N(d1) − K·N(d2)), put via parity.
+    Intrinsic here means the discounted forward-intrinsic df·max(±(F−K), 0);
+    convexity = price − intrinsic ≥ 0 (the optionality/time value).
+    """
+    forward = spot * jnp.exp((rate - div_yield) * maturity)
+    df = jnp.exp(-rate * maturity)
+    total_vol = vol * jnp.sqrt(maturity)
+    d1 = (jnp.log(forward / strike) + 0.5 * total_vol**2) / total_vol
+    d2 = d1 - total_vol
+    call = df * (forward * _norm_cdf(d1) - strike * _norm_cdf(d2))
+    put = call - df * (forward - strike)  # put-call parity
+    call_intr = df * jnp.maximum(forward - strike, 0.0)
+    put_intr = df * jnp.maximum(strike - forward, 0.0)
+    return AnalyticPrices(
+        put=put,
+        call=call,
+        put_intrinsic=put_intr,
+        call_intrinsic=call_intr,
+        put_convexity=put - put_intr,
+        call_convexity=call - call_intr,
+    )

@@ -1,0 +1,387 @@
+"""GBM Monte-Carlo engine — the compute core, TPU-native.
+
+Capability parity with the reference's Numba-CUDA engine
+(``/root/reference/src/spectralmc/gbm.py:77-530``): ``SimulationParams`` with
+the same workload shape (timesteps × network_size × batches_per_mc_run), the
+log-Euler / Euler-with-reflection schemes, optional forward normalization,
+discounted put/call payoff vectors + host prices, and a deterministic
+``snapshot()`` capturing the RNG skip for bit-exact resume.
+
+TPU-first redesign (vs the reference's 1-CUDA-thread-per-path kernel that
+materializes the full ``[timesteps, paths]`` normals matrix in HBM):
+
+* **No normals matrix.** ``lax.scan`` walks timesteps carrying only the
+  ``[paths]`` state vector; each step's normals come from a counter-derived
+  threefry key. HBM traffic drops from O(timesteps·paths) to O(paths).
+* **Stateless resume.** The cuRAND skip bookkeeping
+  (reference async_normals.py:319-321, gbm.py:332-339) becomes a single
+  integer draw counter folded into the key.
+* **Terminal-only normalization.** The reference rescales every time-row so
+  its mean matches the analytic forward (gbm.py:433-440) *after* simulation —
+  rows don't feed back, and pricing consumes only the terminal row, so
+  normalizing the terminal row alone is price-equivalent. ``simulate_paths``
+  (test/parity path) still materializes and normalizes all rows.
+* A fused Pallas kernel with in-kernel RNG lives in ``gbm_pallas.py`` behind
+  the same function signature.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from pydantic import BaseModel, ConfigDict
+
+from spectralmc_tpu.core.errors.gbm import (
+    GBMError,
+    InvalidContract,
+    InvalidSimulationParams,
+    MemoryLimitExceeded,
+)
+from spectralmc_tpu.core.precision import Precision
+from spectralmc_tpu.core.result import Failure, Result, Success
+
+# Same config-time guardrails as the reference (gbm.py:106-137).
+MAX_TOTAL_PATHS_F32 = 1_000_000_000
+MAX_TOTAL_PATHS_F64 = 500_000_000
+
+
+class PathScheme(enum.Enum):
+    LOG_EULER = "log_euler"
+    EULER = "euler"  # simple Euler with reflection |X| (reference gbm.py:251-257)
+
+
+class ForwardNormalization(enum.Enum):
+    NONE = "none"
+    MEAN = "mean"  # rescale so the path mean matches the analytic forward
+
+
+class SimImplementation(enum.Enum):
+    XLA = "xla"  # lax.scan reference implementation
+    PALLAS = "pallas"  # fused RNG+step kernel (gbm_pallas.py)
+
+
+class BlackScholesContract(BaseModel):
+    """One European-option market scenario (parity: reference ``BlackScholes.Inputs``)."""
+
+    model_config = ConfigDict(frozen=True)
+
+    spot: float
+    strike: float
+    maturity: float
+    rate: float
+    div_yield: float
+    vol: float
+
+    def as_array(self, dtype: jnp.dtype = jnp.float32) -> jax.Array:
+        return jnp.array(
+            [self.spot, self.strike, self.maturity, self.rate, self.div_yield, self.vol],
+            dtype=dtype,
+        )
+
+
+CONTRACT_FIELDS: tuple[str, ...] = tuple(BlackScholesContract.model_fields.keys())
+CONTRACT_DIM = len(CONTRACT_FIELDS)
+
+
+def validate_contract(c: BlackScholesContract) -> Result[BlackScholesContract, GBMError]:
+    for field in ("spot", "strike", "maturity", "vol"):
+        value = getattr(c, field)
+        if value <= 0.0:
+            return Failure(InvalidContract(field=field, value=value, reason="must be positive"))
+    return Success(c)
+
+
+class SimulationParams(BaseModel):
+    """Workload shape + determinism state (parity: reference gbm.py:77-103).
+
+    ``total_paths = network_size * batches_per_mc_run``; the FFT length is
+    ``network_size``. ``skip`` is the number of contract-simulations already
+    drawn from the key stream (the checkpointed resume offset).
+    ``threads_per_block`` has no TPU counterpart — tiling is the compiler's
+    job (Pallas block shapes are chosen in gbm_pallas.py).
+    """
+
+    model_config = ConfigDict(frozen=True)
+
+    timesteps: int
+    network_size: int
+    batches_per_mc_run: int
+    mc_seed: int
+    skip: int = 0
+    precision: Precision = Precision.float32
+    scheme: PathScheme = PathScheme.LOG_EULER
+    normalization: ForwardNormalization = ForwardNormalization.MEAN
+    implementation: SimImplementation = SimImplementation.XLA
+
+    @property
+    def total_paths(self) -> int:
+        return self.network_size * self.batches_per_mc_run
+
+
+def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]:
+    """Validated constructor (parity: reference ``build_simulation_params``)."""
+    try:
+        params = SimulationParams(**kwargs)
+    except Exception as exc:  # pydantic ValidationError
+        return Failure(InvalidSimulationParams(field="<model>", value=kwargs, reason=str(exc)))
+    for field in ("timesteps", "network_size", "batches_per_mc_run"):
+        if getattr(params, field) <= 0:
+            return Failure(
+                InvalidSimulationParams(
+                    field=field, value=getattr(params, field), reason="must be positive"
+                )
+            )
+    if params.mc_seed < 0:
+        return Failure(
+            InvalidSimulationParams(field="mc_seed", value=params.mc_seed, reason="must be >= 0")
+        )
+    if params.skip < 0:
+        return Failure(
+            InvalidSimulationParams(field="skip", value=params.skip, reason="must be >= 0")
+        )
+    if params.precision.is_complex():
+        return Failure(
+            InvalidSimulationParams(
+                field="precision", value=params.precision.value, reason="MC dtype must be real"
+            )
+        )
+    limit = MAX_TOTAL_PATHS_F64 if params.precision == Precision.float64 else MAX_TOTAL_PATHS_F32
+    if params.total_paths > limit:
+        return Failure(
+            MemoryLimitExceeded(
+                total_paths=params.total_paths,
+                limit=limit,
+                dtype=params.precision.value,
+                reason="config-time path guardrail",
+            )
+        )
+    checked = params.precision.validate_available()
+    if isinstance(checked, Failure):
+        return Failure(
+            InvalidSimulationParams(
+                field="precision", value=params.precision.value, reason=checked.error.reason
+            )
+        )
+    return Success(params)
+
+
+# --------------------------------------------------------------------------
+# Pure simulation functions (jit-safe; static shape args, traced contract/key)
+# --------------------------------------------------------------------------
+
+
+def _step_keys(contract_key: jax.Array) -> jax.Array:
+    return contract_key
+
+
+@partial(jax.jit, static_argnames=("timesteps", "paths", "dtype", "scheme"))
+def simulate_terminal(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    paths: int,
+    dtype: jnp.dtype,
+    scheme: PathScheme,
+) -> jax.Array:
+    """Terminal GBM values ``[paths]`` for one contract.
+
+    ``contract`` is the 6-vector [spot, strike, maturity, rate, div_yield, vol]
+    (may be traced). The per-step normals are drawn from
+    ``fold_in(contract_key, t)``, so resume is a pure function of
+    (seed, draw counter) — no normals matrix exists anywhere.
+    """
+    spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
+    dt = maturity / jnp.asarray(timesteps, dtype)
+    drift = (rate - div_yield - 0.5 * vol * vol) * dt
+    sqrt_dt = jnp.sqrt(dt)
+
+    if scheme == PathScheme.LOG_EULER:
+
+        def body(logx: jax.Array, t: jax.Array) -> tuple[jax.Array, None]:
+            z = jax.random.normal(jax.random.fold_in(contract_key, t), (paths,), dtype)
+            return logx + drift + vol * sqrt_dt * z, None
+
+        log0 = jnp.full((paths,), 0.0, dtype) + jnp.log(spot)
+        log_t, _ = jax.lax.scan(body, log0, jnp.arange(timesteps))
+        return jnp.exp(log_t)
+
+    def body_euler(x: jax.Array, t: jax.Array) -> tuple[jax.Array, None]:
+        z = jax.random.normal(jax.random.fold_in(contract_key, t), (paths,), dtype)
+        x_next = x * (1.0 + (rate - div_yield) * dt + vol * sqrt_dt * z)
+        return jnp.abs(x_next), None  # reflection, as the reference kernel
+
+    x0 = jnp.full((paths,), 1.0, dtype) * spot
+    x_t, _ = jax.lax.scan(body_euler, x0, jnp.arange(timesteps))
+    return x_t
+
+
+@partial(jax.jit, static_argnames=("timesteps", "paths", "dtype", "scheme", "normalize"))
+def simulate_paths(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    paths: int,
+    dtype: jnp.dtype,
+    scheme: PathScheme,
+    normalize: bool,
+) -> jax.Array:
+    """Full ``[timesteps, paths]`` path matrix (parity/test path).
+
+    Row ``t`` is the state after step ``t+1``, matching the reference kernel's
+    in-place layout (gbm.py:241-257). With ``normalize`` each row is rescaled
+    so its mean equals the analytic forward at that time (gbm.py:433-440).
+    """
+    spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
+    dt = maturity / jnp.asarray(timesteps, dtype)
+    drift = (rate - div_yield - 0.5 * vol * vol) * dt
+    sqrt_dt = jnp.sqrt(dt)
+
+    def body(x: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array]:
+        z = jax.random.normal(jax.random.fold_in(contract_key, t), (paths,), dtype)
+        if scheme == PathScheme.LOG_EULER:
+            x_next = x * jnp.exp(drift + vol * sqrt_dt * z)
+        else:
+            x_next = jnp.abs(x * (1.0 + (rate - div_yield) * dt + vol * sqrt_dt * z))
+        return x_next, x_next
+
+    x0 = jnp.full((paths,), 1.0, dtype) * spot
+    _, rows = jax.lax.scan(body, x0, jnp.arange(timesteps))
+    if normalize:
+        times = (jnp.arange(1, timesteps + 1, dtype=dtype)) * dt
+        forwards = spot * jnp.exp((rate - div_yield) * times)
+        rows = rows * (forwards / jnp.mean(rows, axis=1))[:, None]
+    return rows
+
+
+@dataclass(frozen=True)
+class SimPrices:
+    """Discounted payoff vectors + scalars (parity: reference gbm.py:450-521)."""
+
+    put_payoffs: jax.Array  # [total_paths] discounted
+    call_payoffs: jax.Array  # [total_paths] discounted
+    forward: jax.Array
+    discount_factor: jax.Array
+
+
+def terminal_to_prices(
+    terminal: jax.Array, contract: jax.Array, *, normalize: bool, dtype: jnp.dtype
+) -> SimPrices:
+    """Payoff vectors from terminal values, with optional forward normalization."""
+    spot, strike, maturity, rate, div_yield, _ = (contract[i].astype(dtype) for i in range(6))
+    forward = spot * jnp.exp((rate - div_yield) * maturity)
+    df = jnp.exp(-rate * maturity)
+    if normalize:
+        terminal = terminal * (forward / jnp.mean(terminal))
+    put = df * jnp.maximum(strike - terminal, 0.0)
+    call = df * jnp.maximum(terminal - strike, 0.0)
+    return SimPrices(put_payoffs=put, call_payoffs=call, forward=forward, discount_factor=df)
+
+
+@dataclass(frozen=True)
+class HostPrices:
+    """Host scalars incl. intrinsics/convexities (parity: gbm.py:491-521)."""
+
+    put: float
+    call: float
+    put_intrinsic: float
+    call_intrinsic: float
+    put_convexity: float
+    call_convexity: float
+    forward: float
+    discount_factor: float
+
+
+# --------------------------------------------------------------------------
+# Engine facade
+# --------------------------------------------------------------------------
+
+
+class BlackScholes:
+    """Stateless pricing engine over ``SimulationParams``.
+
+    Unlike the reference engine (which owns CUDA streams and a generator
+    pool, gbm.py:308-329) this object holds only the frozen params; all
+    compute is pure jitted functions. ``price`` consumes one draw counter per
+    call and returns the advanced engine alongside the prices, keeping resume
+    state explicit.
+    """
+
+    def __init__(self, params: SimulationParams) -> None:
+        self._params = params
+        self._key = jax.random.PRNGKey(params.mc_seed)
+
+    @property
+    def params(self) -> SimulationParams:
+        return self._params
+
+    def snapshot(self) -> SimulationParams:
+        """Checkpointable state — params already carry the skip (gbm.py:332-339)."""
+        return self._params
+
+    def contract_key(self, draw_index: int | jax.Array) -> jax.Array:
+        return jax.random.fold_in(self._key, draw_index)
+
+    def simulate_terminal(self, contract: jax.Array, draw_index: int | jax.Array) -> jax.Array:
+        p = self._params
+        if p.implementation == SimImplementation.PALLAS:
+            from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_pallas
+
+            return simulate_terminal_pallas(
+                self.contract_key(draw_index),
+                contract,
+                timesteps=p.timesteps,
+                paths=p.total_paths,
+                dtype=p.precision.to_jnp(),
+                scheme=p.scheme,
+            )
+        return simulate_terminal(
+            self.contract_key(draw_index),
+            contract,
+            timesteps=p.timesteps,
+            paths=p.total_paths,
+            dtype=p.precision.to_jnp(),
+            scheme=p.scheme,
+        )
+
+    def price(self, contract: BlackScholesContract) -> tuple[SimPrices, "BlackScholes"]:
+        p = self._params
+        dtype = p.precision.to_jnp()
+        arr = contract.as_array(dtype)
+        terminal = self.simulate_terminal(arr, p.skip)
+        prices = terminal_to_prices(
+            terminal,
+            arr,
+            normalize=p.normalization == ForwardNormalization.MEAN,
+            dtype=dtype,
+        )
+        advanced = BlackScholes(p.model_copy(update={"skip": p.skip + 1}))
+        return prices, advanced
+
+    def price_to_host(self, contract: BlackScholesContract) -> tuple[HostPrices, "BlackScholes"]:
+        prices, advanced = self.price(contract)
+        put = float(jnp.mean(prices.put_payoffs))
+        call = float(jnp.mean(prices.call_payoffs))
+        fwd = float(prices.forward)
+        df = float(prices.discount_factor)
+        put_intr = df * max(contract.strike - fwd, 0.0)
+        call_intr = df * max(fwd - contract.strike, 0.0)
+        return (
+            HostPrices(
+                put=put,
+                call=call,
+                put_intrinsic=put_intr,
+                call_intrinsic=call_intr,
+                put_convexity=put - put_intr,
+                call_convexity=call - call_intr,
+                forward=fwd,
+                discount_factor=df,
+            ),
+            advanced,
+        )

@@ -1,0 +1,325 @@
+"""Pure-JAX scrambled Sobol quasi-random sampler.
+
+Capability parity with the reference's SciPy-backed ``SobolSampler``
+(``/root/reference/src/spectralmc/sobol_sampler.py:64-255``): scrambled Sobol
+points with deterministic seeding, ``fast_forward``-style resume via a skip
+counter, bound scaling over the fields of a pydantic model, and exact
+field-set validation of the domain bounds.
+
+TPU-first redesign: instead of calling a host CPU library per batch, direction
+numbers are precomputed once (host, numpy, from the public Joe-Kuo
+"new-joe-kuo-6" seed data embedded in ``_sobol_directions.py``) and points are
+generated **on device** with pure ``uint32`` bit arithmetic — XOR-folding
+Gray-code-indexed direction numbers — so contract sampling lives *inside* the
+jitted train step with a traced start index. Scrambling is Owen-style linear
+matrix scramble (LMS) + digital shift, applied to the direction numbers at
+init so the per-point cost is unchanged.
+
+The generated sequence (unscrambled) is bit-identical to SciPy's
+``Sobol(d, scramble=False)`` at 30-bit resolution, which the tests assert.
+"""
+
+from __future__ import annotations
+
+from typing import Generic, Mapping, Type, TypeVar
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel, ConfigDict
+
+from spectralmc_tpu.core.errors.sobol import (
+    BoundsFieldMismatch,
+    DimensionTooLarge,
+    InvalidBounds,
+    InvalidSkip,
+    SobolError,
+)
+from spectralmc_tpu.core.result import Failure, Result, Success
+from spectralmc_tpu.ops._sobol_directions import MAX_DIMENSION, M_INIT, POLY
+
+BITS = 32
+
+TModel = TypeVar("TModel", bound=BaseModel)
+
+
+# --------------------------------------------------------------------------
+# Direction numbers (host-side, once per sampler)
+# --------------------------------------------------------------------------
+
+
+def direction_numbers(dimension: int) -> np.ndarray:
+    """``[dimension, BITS]`` uint32 direction numbers V_k = m_k << (BITS - k).
+
+    Standard Joe-Kuo recurrence; dimension 0 is the van der Corput sequence
+    (all m_k = 1).
+    """
+    if dimension > MAX_DIMENSION:
+        raise ValueError(f"dimension {dimension} > MAX_DIMENSION {MAX_DIMENSION}")
+    v = np.zeros((dimension, BITS), dtype=np.uint64)
+    for j in range(dimension):
+        poly = POLY[j]
+        s = max(poly.bit_length() - 1, 0)
+        if s == 0:  # first dimension: van der Corput
+            m = [1] * BITS
+        else:
+            m = list(M_INIT[j][:s])
+            # interior coefficients a_1..a_{s-1} of the primitive polynomial
+            a = (poly - (1 << s) - 1) >> 1
+            for k in range(s, BITS):
+                new = m[k - s] ^ (m[k - s] << s)
+                for i in range(1, s):
+                    if (a >> (s - 1 - i)) & 1:
+                        new ^= m[k - i] << i
+                m.append(new)
+        for k in range(BITS):
+            v[j, k] = np.uint64(m[k]) << np.uint64(BITS - 1 - k)
+    return v.astype(np.uint32)
+
+
+def _lms_scramble(
+    v: np.ndarray, rng: np.random.Generator
+) -> tuple[np.ndarray, np.ndarray]:
+    """Owen linear-matrix-scramble of direction numbers + digital shift.
+
+    For each dimension draw a random lower-triangular (MSB-first) bit matrix L
+    with unit diagonal and set V'_k = L·V_k over GF(2); since Sobol points are
+    XORs of direction numbers, scrambling the table once scrambles every
+    point. Returns (scrambled ``[d, BITS]`` uint32, shift ``[d]`` uint32).
+    """
+    d = v.shape[0]
+    # bits[j, i, k] = bit i (MSB-first) of V_k for dimension j
+    shifts = np.arange(BITS - 1, -1, -1, dtype=np.uint32)  # bit 0 of axis = MSB
+    vbits = ((v[:, None, :] >> shifts[None, :, None]) & 1).astype(np.uint8)
+    # Lower-triangular L in MSB-first indexing, unit diagonal.
+    lmat = np.tril(rng.integers(0, 2, size=(d, BITS, BITS), dtype=np.uint8), k=-1)
+    lmat |= np.eye(BITS, dtype=np.uint8)[None, :, :]
+    ybits = (lmat @ vbits) & 1  # [d, BITS, BITS] GF(2) matvec per direction number
+    weights = (np.uint32(1) << shifts).astype(np.uint32)
+    scrambled = np.einsum("dik,i->dk", ybits.astype(np.uint64), weights.astype(np.uint64))
+    shift = rng.integers(0, 1 << 32, size=(d,), dtype=np.uint32)
+    return scrambled.astype(np.uint32), shift
+
+
+# --------------------------------------------------------------------------
+# Device-side point generation (jit-safe, traced start index)
+# --------------------------------------------------------------------------
+
+
+def sobol_uint32(
+    directions: jax.Array, shift: jax.Array, start: jax.Array | int, count: int
+) -> jax.Array:
+    """Raw scrambled Sobol points as ``[count, d]`` uint32 fractions.
+
+    ``directions`` is ``[d, BITS]`` uint32, ``shift`` ``[d]`` uint32, ``start``
+    may be traced. Point ``n`` = XOR of direction numbers selected by the bits
+    of gray(n), XOR the digital shift — pure VPU integer work on TPU.
+    """
+    idx = jnp.asarray(start, dtype=jnp.uint32) + jnp.arange(count, dtype=jnp.uint32)
+    gray = idx ^ (idx >> 1)
+    acc = jnp.zeros((count, directions.shape[0]), dtype=jnp.uint32)
+    for k in range(BITS):  # static unroll; XLA fuses into one elementwise loop
+        bit = (gray >> k) & jnp.uint32(1)
+        acc = acc ^ bit[:, None] * directions[None, :, k]
+    return acc ^ shift[None, :]
+
+
+def sobol_unit(
+    directions: jax.Array,
+    shift: jax.Array,
+    start: jax.Array | int,
+    count: int,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Scrambled Sobol points in [0, 1) as ``[count, d]`` floats."""
+    bits = sobol_uint32(directions, shift, start, count)
+    if jnp.dtype(dtype) == jnp.dtype(jnp.float64):
+        return bits.astype(jnp.float64) * jnp.float64(2.0**-32)
+    # float32: keep the top 24 bits so the mantissa is exact and u < 1.
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0**-24)
+
+
+def scale_to_bounds(unit: jax.Array, lower: jax.Array, upper: jax.Array) -> jax.Array:
+    """Affine map of unit-cube points into per-column [lower, upper) bounds."""
+    return lower[None, :] + unit * (upper - lower)[None, :]
+
+
+# --------------------------------------------------------------------------
+# Typed sampler over a pydantic model (host API, parity with the reference)
+# --------------------------------------------------------------------------
+
+
+class BoundSpec(BaseModel):
+    model_config = ConfigDict(frozen=True)
+    lower: float
+    upper: float
+
+
+def build_bound_spec(lower: float, upper: float) -> Result[BoundSpec, SobolError]:
+    if not (np.isfinite(lower) and np.isfinite(upper)):
+        return Failure(InvalidBounds(field="", lower=lower, upper=upper, reason="non-finite bound"))
+    if lower >= upper:
+        return Failure(
+            InvalidBounds(field="", lower=lower, upper=upper, reason="lower must be < upper")
+        )
+    return Success(BoundSpec(lower=lower, upper=upper))
+
+
+class DomainBounds(BaseModel):
+    """Field-name → BoundSpec map; must exactly cover the target model's fields."""
+
+    model_config = ConfigDict(frozen=True)
+    bounds: Mapping[str, BoundSpec]
+
+
+def build_domain_bounds(
+    model_cls: Type[BaseModel], bounds: Mapping[str, BoundSpec]
+) -> Result[DomainBounds, SobolError]:
+    expected = tuple(model_cls.model_fields.keys())
+    provided = tuple(bounds.keys())
+    if set(expected) != set(provided):
+        return Failure(
+            BoundsFieldMismatch(
+                expected=expected,
+                provided=provided,
+                reason="bounds must cover exactly the model's fields",
+            )
+        )
+    for name, spec in bounds.items():
+        checked = build_bound_spec(spec.lower, spec.upper)
+        if isinstance(checked, Failure):
+            return Failure(
+                InvalidBounds(
+                    field=name, lower=spec.lower, upper=spec.upper, reason=checked.error.reason
+                )
+            )
+    return Success(DomainBounds(bounds=dict(bounds)))
+
+
+class SobolConfig(BaseModel):
+    """Parity: reference ``SobolConfig`` (sobol_sampler.py:64-93) — seed + resume skip."""
+
+    model_config = ConfigDict(frozen=True)
+    seed: int
+    skip: int = 0
+    scramble: bool = True
+
+
+class SobolSampler(Generic[TModel]):
+    """Quasi-random sampler producing validated model instances or device arrays.
+
+    Functional discipline: ``sample`` returns ``(points, advanced_sampler)``
+    instead of mutating (the reference mutates its skip; here resume state is
+    explicit so checkpoints are plain data).
+    """
+
+    def __init__(
+        self,
+        model_cls: Type[TModel],
+        domain: DomainBounds,
+        config: SobolConfig,
+        directions_u32: np.ndarray,
+        shift_u32: np.ndarray,
+    ) -> None:
+        self._model_cls = model_cls
+        self._domain = domain
+        self._config = config
+        self._directions = directions_u32
+        self._shift = shift_u32
+        order = tuple(model_cls.model_fields.keys())
+        self._field_order = order
+        self._lower = np.array([domain.bounds[f].lower for f in order], dtype=np.float64)
+        self._upper = np.array([domain.bounds[f].upper for f in order], dtype=np.float64)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        model_cls: Type[TModel],
+        domain: Mapping[str, BoundSpec] | DomainBounds,
+        config: SobolConfig,
+    ) -> Result["SobolSampler[TModel]", SobolError]:
+        if not isinstance(domain, DomainBounds):
+            built = build_domain_bounds(model_cls, domain)
+            if isinstance(built, Failure):
+                return Failure(built.error)
+            domain = built.value
+        else:
+            checked = build_domain_bounds(model_cls, domain.bounds)
+            if isinstance(checked, Failure):
+                return Failure(checked.error)
+        dim = len(model_cls.model_fields)
+        if dim > MAX_DIMENSION:
+            return Failure(
+                DimensionTooLarge(
+                    dimension=dim, max_dimension=MAX_DIMENSION, reason="embed more Joe-Kuo data"
+                )
+            )
+        if config.skip < 0:
+            return Failure(InvalidSkip(skip=config.skip, reason="skip must be non-negative"))
+        v = direction_numbers(dim)
+        if config.scramble:
+            rng = np.random.default_rng(config.seed)
+            v, shift = _lms_scramble(v, rng)
+        else:
+            shift = np.zeros((dim,), dtype=np.uint32)
+        return Success(cls(model_cls, domain, config, v, shift))
+
+    # -- state --------------------------------------------------------------
+
+    @property
+    def skip(self) -> int:
+        return self._config.skip
+
+    @property
+    def config(self) -> SobolConfig:
+        return self._config
+
+    @property
+    def field_order(self) -> tuple[str, ...]:
+        return self._field_order
+
+    def with_skip(self, skip: int) -> "SobolSampler[TModel]":
+        return SobolSampler(
+            self._model_cls,
+            self._domain,
+            self._config.model_copy(update={"skip": skip}),
+            self._directions,
+            self._shift,
+        )
+
+    # -- device path (used inside jitted train steps) ------------------------
+
+    def device_table(self) -> dict[str, jax.Array]:
+        """Constants for in-jit sampling: directions, shift, bounds columns."""
+        return {
+            "directions": jnp.asarray(self._directions),
+            "shift": jnp.asarray(self._shift),
+            "lower": jnp.asarray(self._lower, dtype=jnp.float32),
+            "upper": jnp.asarray(self._upper, dtype=jnp.float32),
+        }
+
+    def sample_array(
+        self, count: int, dtype: jnp.dtype = jnp.float32, start: int | jax.Array | None = None
+    ) -> jax.Array:
+        """``[count, d]`` scaled points; pure in (table, start), jit-safe."""
+        begin = self._config.skip if start is None else start
+        unit = sobol_unit(
+            jnp.asarray(self._directions), jnp.asarray(self._shift), begin, count, dtype
+        )
+        lower = jnp.asarray(self._lower, dtype=dtype)
+        upper = jnp.asarray(self._upper, dtype=dtype)
+        return scale_to_bounds(unit, lower, upper)
+
+    # -- host path (validated model instances, float64 like the reference) ---
+
+    def sample(self, count: int) -> tuple[tuple[TModel, ...], "SobolSampler[TModel]"]:
+        pts = np.asarray(self.sample_array(count, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32))
+        rows = tuple(
+            self._model_cls.model_validate(
+                {f: float(pts[i, j]) for j, f in enumerate(self._field_order)}
+            )
+            for i in range(count)
+        )
+        return rows, self.with_skip(self._config.skip + count)

@@ -1,0 +1,110 @@
+"""Sobol sampler tests (parity: reference tests/test_sobol_sampler.py).
+
+Correctness anchor: the unscrambled sequence must match SciPy's Joe-Kuo
+Sobol bit-for-bit at 30-bit resolution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel, ConfigDict
+from scipy.stats import qmc
+
+from spectralmc_tpu.core.errors.sobol import BoundsFieldMismatch, InvalidBounds
+from spectralmc_tpu.ops.sobol import (
+    BoundSpec,
+    SobolConfig,
+    SobolSampler,
+    build_bound_spec,
+    build_domain_bounds,
+    direction_numbers,
+    sobol_unit,
+)
+from tests.helpers.result_utils import expect_failure, expect_success
+
+
+class Point(BaseModel):
+    model_config = ConfigDict(frozen=True)
+    a: float
+    b: float
+    c: float
+
+
+BOUNDS = {
+    "a": BoundSpec(lower=0.0, upper=1.0),
+    "b": BoundSpec(lower=-5.0, upper=5.0),
+    "c": BoundSpec(lower=100.0, upper=200.0),
+}
+
+
+def test_matches_scipy_unscrambled() -> None:
+    d, n = 16, 256
+    v = jnp.asarray(direction_numbers(d))
+    mine = np.asarray(sobol_unit(v, jnp.zeros(d, jnp.uint32), 0, n, jnp.float64))
+    ref = qmc.Sobol(d, scramble=False).random(n)
+    assert np.abs(mine - ref).max() < 2.0**-30
+
+
+def test_fast_forward_equals_slicing() -> None:
+    sampler = expect_success(SobolSampler.create(Point, BOUNDS, SobolConfig(seed=9)))
+    full = np.asarray(sampler.sample_array(32))
+    tail = np.asarray(sampler.with_skip(20).sample_array(12))
+    np.testing.assert_array_equal(tail, full[20:])
+
+
+def test_seed_determinism_and_divergence() -> None:
+    s1 = expect_success(SobolSampler.create(Point, BOUNDS, SobolConfig(seed=1)))
+    s1b = expect_success(SobolSampler.create(Point, BOUNDS, SobolConfig(seed=1)))
+    s2 = expect_success(SobolSampler.create(Point, BOUNDS, SobolConfig(seed=2)))
+    a, b, c = (np.asarray(s.sample_array(16)) for s in (s1, s1b, s2))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_scaling_respects_bounds() -> None:
+    sampler = expect_success(SobolSampler.create(Point, BOUNDS, SobolConfig(seed=5)))
+    pts = np.asarray(sampler.sample_array(512))
+    for j, name in enumerate(("a", "b", "c")):
+        assert pts[:, j].min() >= BOUNDS[name].lower
+        assert pts[:, j].max() < BOUNDS[name].upper
+        mid = (BOUNDS[name].lower + BOUNDS[name].upper) / 2
+        assert abs(pts[:, j].mean() - mid) < 0.05 * (BOUNDS[name].upper - BOUNDS[name].lower)
+
+
+def test_typed_sample_returns_models_and_advances() -> None:
+    sampler = expect_success(SobolSampler.create(Point, BOUNDS, SobolConfig(seed=5)))
+    rows, advanced = sampler.sample(8)
+    assert len(rows) == 8 and all(isinstance(r, Point) for r in rows)
+    assert advanced.skip == 8
+    rows2, _ = advanced.sample(4)
+    full = np.asarray(sampler.sample_array(12, dtype=jnp.float64))
+    np.testing.assert_allclose([r.a for r in rows2], full[8:, 0], rtol=1e-12)
+
+
+def test_bounds_validation() -> None:
+    assert isinstance(expect_failure(build_bound_spec(2.0, 1.0)), InvalidBounds)
+    err = expect_failure(build_domain_bounds(Point, {"a": BoundSpec(lower=0, upper=1)}))
+    assert isinstance(err, BoundsFieldMismatch)
+    bad = dict(BOUNDS)
+    bad["b"] = BoundSpec.model_construct(lower=5.0, upper=-5.0)
+    assert isinstance(expect_failure(build_domain_bounds(Point, bad)), InvalidBounds)
+
+
+def test_sampling_inside_jit_with_traced_start() -> None:
+    sampler = expect_success(SobolSampler.create(Point, BOUNDS, SobolConfig(seed=3)))
+    table = sampler.device_table()
+
+    @jax.jit
+    def sample_at(start):
+        from spectralmc_tpu.ops.sobol import scale_to_bounds, sobol_unit as su
+
+        unit = su(table["directions"], table["shift"], start, 8, jnp.float32)
+        return scale_to_bounds(unit, table["lower"], table["upper"])
+
+    np.testing.assert_allclose(
+        np.asarray(sample_at(jnp.uint32(40))),
+        np.asarray(sampler.sample_array(8, start=40)),
+        rtol=1e-6,
+    )

@@ -175,50 +175,82 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
 # --------------------------------------------------------------------------
 
 
-def _step_keys(contract_key: jax.Array) -> jax.Array:
-    return contract_key
-
-
-@partial(jax.jit, static_argnames=("timesteps", "paths", "dtype", "scheme"))
-def simulate_terminal(
+@partial(jax.jit, static_argnames=("timesteps", "rows", "cols", "dtype", "scheme"))
+def simulate_terminal_rows(
     contract_key: jax.Array,
     contract: jax.Array,
     *,
     timesteps: int,
-    paths: int,
+    rows: int,
+    cols: int,
     dtype: jnp.dtype,
     scheme: PathScheme,
+    row_offset: jax.Array | int = 0,
 ) -> jax.Array:
-    """Terminal GBM values ``[paths]`` for one contract.
+    """Terminal GBM values ``[rows, cols]`` for one contract.
 
     ``contract`` is the 6-vector [spot, strike, maturity, rate, div_yield, vol]
-    (may be traced). The per-step normals are drawn from
-    ``fold_in(contract_key, t)``, so resume is a pure function of
-    (seed, draw counter) — no normals matrix exists anywhere.
+    (may be traced). The canonical RNG scheme addresses normals by
+    ``(contract_key, global_row, timestep)``: row ``r``'s normals at step ``t``
+    are ``normal(fold_in(fold_in(contract_key, row_offset + r), t), (cols,))``.
+    Because rows are independently keyed, a mesh shard owning rows
+    ``[k, k + rows)`` passes ``row_offset=k`` and reproduces *exactly* the bits
+    a single-device run produces for those rows — the sharded spectrum matches
+    the unsharded one to reduction-order tolerance (SURVEY §2.9 DP design).
+    Resume is a pure function of (seed, draw counter) — no normals matrix
+    exists anywhere (vs reference async_normals.py:105-466).
     """
     spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
     dt = maturity / jnp.asarray(timesteps, dtype)
     drift = (rate - div_yield - 0.5 * vol * vol) * dt
     sqrt_dt = jnp.sqrt(dt)
 
+    row_idx = jnp.asarray(row_offset, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
+    row_keys = jax.vmap(lambda r: jax.random.fold_in(contract_key, r))(row_idx)
+
+    def normals(t: jax.Array) -> jax.Array:
+        return jax.vmap(
+            lambda k: jax.random.normal(jax.random.fold_in(k, t), (cols,), dtype)
+        )(row_keys)
+
     if scheme == PathScheme.LOG_EULER:
 
         def body(logx: jax.Array, t: jax.Array) -> tuple[jax.Array, None]:
-            z = jax.random.normal(jax.random.fold_in(contract_key, t), (paths,), dtype)
-            return logx + drift + vol * sqrt_dt * z, None
+            return logx + drift + vol * sqrt_dt * normals(t), None
 
-        log0 = jnp.full((paths,), 0.0, dtype) + jnp.log(spot)
+        log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
         log_t, _ = jax.lax.scan(body, log0, jnp.arange(timesteps))
         return jnp.exp(log_t)
 
     def body_euler(x: jax.Array, t: jax.Array) -> tuple[jax.Array, None]:
-        z = jax.random.normal(jax.random.fold_in(contract_key, t), (paths,), dtype)
-        x_next = x * (1.0 + (rate - div_yield) * dt + vol * sqrt_dt * z)
+        x_next = x * (1.0 + (rate - div_yield) * dt + vol * sqrt_dt * normals(t))
         return jnp.abs(x_next), None  # reflection, as the reference kernel
 
-    x0 = jnp.full((paths,), 1.0, dtype) * spot
+    x0 = jnp.full((rows, cols), 1.0, dtype) * spot
     x_t, _ = jax.lax.scan(body_euler, x0, jnp.arange(timesteps))
     return x_t
+
+
+def simulate_terminal(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    batches: int,
+    network_size: int,
+    dtype: jnp.dtype,
+    scheme: PathScheme,
+) -> jax.Array:
+    """Flat terminal values ``[batches * network_size]`` (single-device view)."""
+    return simulate_terminal_rows(
+        contract_key,
+        contract,
+        timesteps=timesteps,
+        rows=batches,
+        cols=network_size,
+        dtype=dtype,
+        scheme=scheme,
+    ).reshape(batches * network_size)
 
 
 @partial(jax.jit, static_argnames=("timesteps", "paths", "dtype", "scheme", "normalize"))
@@ -337,7 +369,8 @@ class BlackScholes:
                 self.contract_key(draw_index),
                 contract,
                 timesteps=p.timesteps,
-                paths=p.total_paths,
+                batches=p.batches_per_mc_run,
+                network_size=p.network_size,
                 dtype=p.precision.to_jnp(),
                 scheme=p.scheme,
             )
@@ -345,7 +378,8 @@ class BlackScholes:
             self.contract_key(draw_index),
             contract,
             timesteps=p.timesteps,
-            paths=p.total_paths,
+            batches=p.batches_per_mc_run,
+            network_size=p.network_size,
             dtype=p.precision.to_jnp(),
             scheme=p.scheme,
         )

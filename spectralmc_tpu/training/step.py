@@ -1,0 +1,147 @@
+"""The fused train step as a pure, reusable function factory.
+
+This is the heart of the framework (SURVEY §7 stage 6): ONE traced program
+per batch doing Sobol sampling → vmapped GBM Monte-Carlo → FFT spectrum →
+CVNN forward/backward → Adam update, with zero host transfers. The reference
+spreads this across a host loop with per-contract CUDA kernel launches, cuFFT
+calls and a DLPack hop (``/root/reference/src/spectralmc/gbm_trainer.py:1532-1597``).
+
+Exposed as a factory so the single-chip trainer (``trainer.py``), the sharded
+trainer (``parallel/trainer.py``), the graft entry point and the benchmark
+all build from the same numerics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from spectralmc_tpu.models.factory import CVNN
+from spectralmc_tpu.ops.gbm import (
+    ForwardNormalization,
+    SimulationParams,
+    simulate_terminal_rows,
+    terminal_to_prices,
+)
+from spectralmc_tpu.ops.sobol import scale_to_bounds, sobol_unit
+from spectralmc_tpu.ops.spectrum import payoff_spectrum
+
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+
+Carry = dict[str, Any]
+BatchFn = Callable[[Carry, None], tuple[Carry, tuple[jax.Array, jax.Array]]]
+
+
+def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+    """The reference's Adam settings (gbm_trainer.py:1513-1528)."""
+    return optax.adam(learning_rate, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS)
+
+
+@dataclass(frozen=True)
+class SobolTable:
+    """Device-resident Sobol constants (directions/shift/bounds columns)."""
+
+    directions: jax.Array
+    shift: jax.Array
+    lower: jax.Array
+    upper: jax.Array
+
+
+def make_mc_spectrum(
+    sim: SimulationParams,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """One contract's characteristic-function target: MC → FFT → batch mean."""
+    dtype = sim.precision.to_jnp()
+    base_key = jax.random.PRNGKey(sim.mc_seed)
+    normalize = sim.normalization == ForwardNormalization.MEAN
+
+    def mc_spectrum(draw_index: jax.Array, contract: jax.Array) -> jax.Array:
+        key = jax.random.fold_in(base_key, draw_index)
+        rows = simulate_terminal_rows(
+            key,
+            contract,
+            timesteps=sim.timesteps,
+            rows=sim.batches_per_mc_run,
+            cols=sim.network_size,
+            dtype=dtype,
+            scheme=sim.scheme,
+        )
+        prices = terminal_to_prices(
+            rows.reshape(-1), contract, normalize=normalize, dtype=dtype
+        )
+        return payoff_spectrum(
+            prices.put_payoffs,
+            batches=sim.batches_per_mc_run,
+            network_size=sim.network_size,
+        )
+
+    return mc_spectrum
+
+
+def grad_inf_norm(grads: Any) -> jax.Array:
+    """Max-abs over all leaves — the reference's ``clip_grad_norm_(inf)`` metric."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    return jax.tree_util.tree_reduce(
+        jnp.maximum, [jnp.max(jnp.abs(g)) for g in leaves], jnp.asarray(0.0)
+    )
+
+
+def make_fused_batch(
+    model: CVNN,
+    sim: SimulationParams,
+    table: SobolTable,
+    *,
+    batch_size: int,
+    learning_rate: float,
+) -> BatchFn:
+    """Build the single-device fused batch function.
+
+    Carry: ``{params, bn_state, opt_state, sobol_skip: u32, mc_skip: u32}``.
+    Returns ``(new_carry, (loss, grad_inf_norm))`` — jit/scan-composable.
+    """
+    dtype = sim.precision.to_jnp()
+    mc_spectrum = make_mc_spectrum(sim)
+    optimizer = make_optimizer(learning_rate)
+    lower = table.lower.astype(dtype)
+    upper = table.upper.astype(dtype)
+
+    def one_batch(carry: Carry, _: None) -> tuple[Carry, tuple[jax.Array, jax.Array]]:
+        params, bn_state = carry["params"], carry["bn_state"]
+        opt_state = carry["opt_state"]
+        sobol_skip, mc_skip = carry["sobol_skip"], carry["mc_skip"]
+
+        unit = sobol_unit(table.directions, table.shift, sobol_skip, batch_size, dtype)
+        contracts = scale_to_bounds(unit, lower, upper)  # [B, 6]
+        draws = mc_skip + jnp.arange(batch_size, dtype=jnp.uint32)
+        specs = jax.vmap(mc_spectrum)(draws, contracts)  # [B, network] complex
+
+        def loss_fn(p: Any, s: Any) -> tuple[jax.Array, Any]:
+            out_re, out_im, new_s = model.apply(
+                p, s, contracts, jnp.zeros_like(contracts), train=True
+            )
+            # MSE(re) + MSE(im) vs FFT targets (reference gbm_trainer.py:827-835)
+            loss = jnp.mean(jnp.square(out_re - specs.real.astype(dtype))) + jnp.mean(
+                jnp.square(out_im - specs.imag.astype(dtype))
+            )
+            return loss, new_s
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, bn_state)
+        grad_norm = grad_inf_norm(grads)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_carry = {
+            "params": new_params,
+            "bn_state": new_bn,
+            "opt_state": new_opt,
+            "sobol_skip": sobol_skip + jnp.uint32(batch_size),
+            "mc_skip": mc_skip + jnp.uint32(batch_size),
+        }
+        return new_carry, (loss.astype(jnp.float32), grad_norm.astype(jnp.float32))
+
+    return one_batch

@@ -1,0 +1,199 @@
+"""Trainer tests (parity: reference tests/test_gbm_trainer.py docstring items).
+
+Gates: deterministic construction, lock-step training determinism between
+cloned pricers, snapshot/restore == continuous training (bit-exact), restart
+without optimizer state, commit-plan semantics, predict_price smoke.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spectralmc_tpu.core.errors.trainer import CommitPlanMismatch, InvalidTrainingConfig
+from spectralmc_tpu.core.precision import Precision
+from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+from spectralmc_tpu.training.trainer import (
+    FinalAndIntervalCommit,
+    FinalCommit,
+    GbmCVNNPricer,
+    GbmCVNNPricerConfig,
+    IntervalCommit,
+    NoCommit,
+    build_training_config,
+)
+from tests.helpers import expect_failure, expect_success
+from tests.helpers.factories import CONTRACT_BOUNDS, make_contract, make_simulation_params
+
+
+def make_pricer_config(
+    *, precision: Precision = Precision.float32, seed: int = 3, **sim_kwargs: object
+) -> GbmCVNNPricerConfig:
+    sim = make_simulation_params(
+        timesteps=2, network_size=16, batches_per_mc_run=4, precision=precision, **sim_kwargs
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)],
+            seed=seed,
+            precision=precision,
+        )
+    )
+    return GbmCVNNPricerConfig(sim=sim, bounds=CONTRACT_BOUNDS, cvnn=cvnn)
+
+
+def make_training(num_batches: int = 4, batch_size: int = 4, lr: float = 1e-3):
+    return expect_success(
+        build_training_config(num_batches=num_batches, batch_size=batch_size, learning_rate=lr)
+    )
+
+
+def test_training_config_validation() -> None:
+    assert isinstance(
+        expect_failure(build_training_config(num_batches=0, batch_size=1, learning_rate=0.1)),
+        InvalidTrainingConfig,
+    )
+    assert isinstance(
+        expect_failure(build_training_config(num_batches=1, batch_size=1, learning_rate=1.5)),
+        InvalidTrainingConfig,
+    )
+
+
+def test_loss_decreases() -> None:
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    result = expect_success(pricer.train(make_training(num_batches=40, batch_size=8, lr=3e-3)))
+    head = float(np.mean(result.losses[:5]))
+    tail = float(np.mean(result.losses[-5:]))
+    assert tail < head, f"loss did not decrease: head={head} tail={tail}"
+    assert np.isfinite(result.final_grad_norm)
+
+
+def test_lockstep_determinism() -> None:
+    """Two pricers from the same config train identically (bit-exact)."""
+    a = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    b = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    ra = expect_success(a.train(make_training(num_batches=6)))
+    rb = expect_success(b.train(make_training(num_batches=6)))
+    np.testing.assert_array_equal(ra.losses, rb.losses)
+    sa, sb = a.snapshot(), b.snapshot()
+    assert set(sa.model_state) == set(sb.model_state)
+    for key in sa.model_state:
+        np.testing.assert_array_equal(sa.model_state[key], sb.model_state[key])
+
+
+def test_snapshot_restore_equals_continuous() -> None:
+    """Resume == continuous training, bit-exact (the flagship contract)."""
+    continuous = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    r_full = expect_success(continuous.train(make_training(num_batches=8)))
+
+    first = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    expect_success(first.train(make_training(num_batches=4)))
+    snap = first.snapshot()
+    assert snap.global_step == 4
+    assert snap.sobol_skip == 16  # 4 batches x 4 contracts
+    restored = expect_success(GbmCVNNPricer.create(snap))
+    r_resumed = expect_success(restored.train(make_training(num_batches=4)))
+
+    np.testing.assert_array_equal(r_full.losses[4:], r_resumed.losses)
+    s_cont, s_res = continuous.snapshot(), restored.snapshot()
+    for key in s_cont.model_state:
+        np.testing.assert_array_equal(s_cont.model_state[key], s_res.model_state[key])
+    for key in s_cont.optimizer_state:
+        np.testing.assert_array_equal(s_cont.optimizer_state[key], s_res.optimizer_state[key])
+
+
+def test_restart_without_optimizer_state() -> None:
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    expect_success(pricer.train(make_training(num_batches=2)))
+    snap = pricer.snapshot()
+    stripped = GbmCVNNPricerConfig(
+        sim=snap.sim,
+        bounds=snap.bounds,
+        cvnn=snap.cvnn,
+        global_step=snap.global_step,
+        sobol_skip=snap.sobol_skip,
+        model_state=snap.model_state,
+        optimizer_state=None,
+    )
+    restarted = expect_success(GbmCVNNPricer.create(stripped))
+    result = expect_success(restarted.train(make_training(num_batches=2)))
+    assert np.isfinite(result.final_loss)
+
+
+def test_commit_plan_validation_and_execution() -> None:
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    err = expect_failure(
+        pricer.train(make_training(num_batches=2), commit_plan=FinalCommit())
+    )
+    assert isinstance(err, CommitPlanMismatch)
+    err2 = expect_failure(
+        pricer.train(make_training(num_batches=2), commit_fn=lambda s, m: None)
+    )
+    assert isinstance(err2, CommitPlanMismatch)
+
+    commits: list[tuple[int, str]] = []
+
+    def record(snapshot: GbmCVNNPricerConfig, message: str) -> None:
+        commits.append((snapshot.global_step, message))
+
+    expect_success(
+        pricer.train(
+            make_training(num_batches=5),
+            commit_plan=FinalAndIntervalCommit(interval=2),
+            commit_fn=record,
+        )
+    )
+    # interval commits at batches 2, 4; final commit at 5
+    assert [step for step, _ in commits] == [2, 4, 5]
+    assert "loss=" in commits[0][1]
+
+    commits.clear()
+    pricer2 = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    expect_success(
+        pricer2.train(
+            make_training(num_batches=4),
+            commit_plan=IntervalCommit(interval=2),
+            commit_fn=record,
+        )
+    )
+    assert [step for step, _ in commits] == [2, 4]
+
+
+def test_global_step_and_skip_accumulate_across_calls() -> None:
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    expect_success(pricer.train(make_training(num_batches=3, batch_size=2)))
+    expect_success(pricer.train(make_training(num_batches=2, batch_size=2)))
+    snap = pricer.snapshot()
+    assert snap.global_step == 5
+    assert snap.sobol_skip == 10
+    assert snap.sim.skip == 10
+
+
+def test_predict_price_smoke() -> None:
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    expect_success(pricer.train(make_training(num_batches=4)))
+    contracts = [make_contract(), make_contract(strike=120.0), make_contract(vol=0.4)]
+    pred = pricer.predict_price(contracts)
+    assert pred.put.shape == (3,)
+    assert np.all(np.isfinite(pred.put))
+    assert np.all(np.isfinite(pred.call))
+    # put-call parity is enforced by construction
+    c = contracts[1]
+    fwd = c.spot * np.exp((c.rate - c.div_yield) * c.maturity)
+    df = np.exp(-c.rate * c.maturity)
+    np.testing.assert_allclose(pred.call[1] - pred.put[1], df * (fwd - c.strike), rtol=1e-5)
+
+
+@pytest.mark.parametrize("precision", [Precision.float32, Precision.float64])
+def test_both_precisions_train(precision: Precision) -> None:
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config(precision=precision)))
+    result = expect_success(pricer.train(make_training(num_batches=2)))
+    assert np.isfinite(result.final_loss)
+
+
+def test_step_callback_receives_metrics() -> None:
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    seen: list[int] = []
+    pricer.set_step_callback(lambda m: seen.append(m.step))
+    expect_success(pricer.train(make_training(num_batches=3)))
+    assert seen == [1, 2, 3]

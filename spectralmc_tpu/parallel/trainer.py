@@ -1,0 +1,177 @@
+"""The sharded fused train step: shard_map over (batch, paths) mesh axes.
+
+Numerics contract vs the single-device step (``training/step.py``):
+
+* **Contracts** are identical — Sobol points are a pure function of the global
+  skip index, and shard ``i`` of the ``batch`` axis samples indices
+  ``[skip + i*local_B, skip + (i+1)*local_B)``.
+* **MC normals** are identical bit-for-bit — ``simulate_terminal_rows`` keys
+  normals by global row index, and a ``paths``-shard owning rows
+  ``[j*local_rows, (j+1)*local_rows)`` passes ``row_offset`` accordingly.
+* **Spectra** equal the single-device values up to summation order: local
+  FFT row-sums are ``psum``-reduced over the ``paths`` axis.
+* **Gradients** equal the global batch mean up to reduction order: per-shard
+  means are ``pmean``-reduced over the ``batch`` axis.
+* **Batch-norm** batch statistics are computed per ``batch``-shard (standard
+  DP BatchNorm semantics, documented deviation — the reference is
+  single-device and silent on this, SURVEY §7 "hard parts"). Running stats
+  are pmean-merged across shards so the carried state stays replicated.
+
+The NN forward/backward is intentionally replicated along the ``paths`` axis
+(the CVNN is tiny next to the MC), which makes the only per-step collectives
+one ``psum`` (spectra) and one ``pmean`` (grads/loss) — both riding ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from spectralmc_tpu.models.factory import CVNN
+from spectralmc_tpu.ops.gbm import (
+    ForwardNormalization,
+    SimulationParams,
+    simulate_terminal_rows,
+)
+from spectralmc_tpu.ops.sobol import scale_to_bounds, sobol_unit
+from spectralmc_tpu.parallel.mesh import MeshSpec
+from spectralmc_tpu.training.step import Carry, SobolTable, grad_inf_norm, make_optimizer
+
+
+def make_sharded_batch(
+    model: CVNN,
+    sim: SimulationParams,
+    table: SobolTable,
+    *,
+    batch_size: int,
+    learning_rate: float,
+    spec: MeshSpec,
+) -> Callable[[Carry, None], tuple[Carry, tuple[jax.Array, jax.Array]]]:
+    """Per-device body of one fused batch; call under ``shard_map``."""
+    dp = spec.batch_size_divisor
+    mc = spec.paths_divisor
+    if batch_size % dp != 0:
+        raise ValueError(f"batch_size {batch_size} not divisible by batch axis {dp}")
+    if sim.batches_per_mc_run % mc != 0:
+        raise ValueError(
+            f"batches_per_mc_run {sim.batches_per_mc_run} not divisible by paths axis {mc}"
+        )
+    local_b = batch_size // dp
+    local_rows = sim.batches_per_mc_run // mc
+    dtype = sim.precision.to_jnp()
+    normalize = sim.normalization == ForwardNormalization.MEAN
+    base_key = jax.random.PRNGKey(sim.mc_seed)
+    optimizer = make_optimizer(learning_rate)
+    lower = table.lower.astype(dtype)
+    upper = table.upper.astype(dtype)
+    dp_axis, mc_axis = spec.batch_axis, spec.paths_axis
+
+    def mc_spectrum_local(draw: jax.Array, contract: jax.Array, mc_idx: jax.Array) -> jax.Array:
+        key = jax.random.fold_in(base_key, draw)
+        rows = simulate_terminal_rows(
+            key,
+            contract,
+            timesteps=sim.timesteps,
+            rows=local_rows,
+            cols=sim.network_size,
+            dtype=dtype,
+            scheme=sim.scheme,
+            row_offset=mc_idx * jnp.uint32(local_rows),
+        )
+        flat = rows.reshape(-1)
+        spot, strike, maturity, rate, div_yield, _ = (
+            contract[i].astype(dtype) for i in range(6)
+        )
+        forward = spot * jnp.exp((rate - div_yield) * maturity)
+        df = jnp.exp(-rate * maturity)
+        if normalize:
+            global_mean = jax.lax.pmean(jnp.mean(flat), mc_axis)
+            flat = flat * (forward / global_mean)
+        put = df * jnp.maximum(strike - flat, 0.0)
+        local_sum = jnp.sum(
+            jnp.fft.fft(put.reshape(local_rows, sim.network_size), axis=1), axis=0
+        )
+        return jax.lax.psum(local_sum, mc_axis) / sim.batches_per_mc_run
+
+    def one_batch(carry: Carry, _: None) -> tuple[Carry, tuple[jax.Array, jax.Array]]:
+        params, bn_state = carry["params"], carry["bn_state"]
+        opt_state = carry["opt_state"]
+        sobol_skip, mc_skip = carry["sobol_skip"], carry["mc_skip"]
+        dp_idx = jax.lax.axis_index(dp_axis).astype(jnp.uint32)
+        mc_idx = jax.lax.axis_index(mc_axis).astype(jnp.uint32)
+
+        start = sobol_skip + dp_idx * jnp.uint32(local_b)
+        unit = sobol_unit(table.directions, table.shift, start, local_b, dtype)
+        contracts = scale_to_bounds(unit, lower, upper)  # [local_b, 6]
+        draws = mc_skip + dp_idx * jnp.uint32(local_b) + jnp.arange(local_b, dtype=jnp.uint32)
+        specs = jax.vmap(lambda d, c: mc_spectrum_local(d, c, mc_idx))(draws, contracts)
+
+        def loss_fn(p: Any, s: Any) -> tuple[jax.Array, Any]:
+            out_re, out_im, new_s = model.apply(
+                p, s, contracts, jnp.zeros_like(contracts), train=True
+            )
+            loss = jnp.mean(jnp.square(out_re - specs.real.astype(dtype))) + jnp.mean(
+                jnp.square(out_im - specs.imag.astype(dtype))
+            )
+            return loss, new_s
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, bn_state)
+        loss = jax.lax.pmean(loss, dp_axis)
+        grads = jax.lax.pmean(grads, dp_axis)
+        # keep BN running stats replicated across contract shards
+        new_bn = jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, dp_axis), new_bn)
+        grad_norm = grad_inf_norm(grads)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_carry = {
+            "params": new_params,
+            "bn_state": new_bn,
+            "opt_state": new_opt,
+            "sobol_skip": sobol_skip + jnp.uint32(batch_size),
+            "mc_skip": mc_skip + jnp.uint32(batch_size),
+        }
+        return new_carry, (loss.astype(jnp.float32), grad_norm.astype(jnp.float32))
+
+    return one_batch
+
+
+def make_sharded_segment(
+    model: CVNN,
+    sim: SimulationParams,
+    table: SobolTable,
+    *,
+    batch_size: int,
+    learning_rate: float,
+    spec: MeshSpec,
+    length: int,
+) -> Callable[[Carry], tuple[Carry, tuple[jax.Array, jax.Array]]]:
+    """Jitted ``shard_map``-wrapped scan over ``length`` sharded batches.
+
+    The whole segment lives inside one ``shard_map`` so per-batch collectives
+    stay inside the compiled loop — the host sees one dispatch per segment.
+    Carry leaves are replicated (``P()``); metrics come back replicated too.
+    """
+    one_batch = make_sharded_batch(
+        model,
+        sim,
+        table,
+        batch_size=batch_size,
+        learning_rate=learning_rate,
+        spec=spec,
+    )
+
+    def scanned(carry: Carry) -> tuple[Carry, tuple[jax.Array, jax.Array]]:
+        return jax.lax.scan(one_batch, carry, None, length=length)
+
+    sharded = jax.shard_map(
+        scanned,
+        mesh=spec.mesh,
+        in_specs=(P(),),
+        out_specs=(P(), (P(), P())),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -255,6 +255,7 @@ class GbmCVNNPricer:
         bn_state: Any,
         opt_flat: Mapping[str, np.ndarray] | None,
         sampler: SobolSampler[BlackScholesContract],
+        mesh_spec: Any | None = None,
     ) -> None:
         self._sim = config.sim
         self._bounds = dict(config.bounds)
@@ -266,13 +267,16 @@ class GbmCVNNPricer:
         self._sampler = sampler
         self._global_step = config.global_step
         self._sobol_skip = config.sobol_skip
+        self._mesh_spec = mesh_spec
         self._segment_cache: dict[tuple[float, int, int], Callable[..., Any]] = {}
         self._step_callback: Callable[[StepMetrics], None] | None = None
 
     # -- construction --------------------------------------------------------
 
     @classmethod
-    def create(cls, config: GbmCVNNPricerConfig) -> Result["GbmCVNNPricer", TrainerError]:
+    def create(
+        cls, config: GbmCVNNPricerConfig, *, mesh_spec: Any | None = None
+    ) -> Result["GbmCVNNPricer", TrainerError]:
         bounds_res = build_domain_bounds(BlackScholesContract, config.bounds)
         if isinstance(bounds_res, Failure):
             return Failure(CheckpointMismatch(field="bounds", reason=repr(bounds_res.error)))
@@ -303,7 +307,15 @@ class GbmCVNNPricer:
         if isinstance(sampler_res, Failure):
             return Failure(CheckpointMismatch(field="sobol", reason=repr(sampler_res.error)))
         return Success(
-            cls(config, model, params, bn_state, config.optimizer_state, sampler_res.value)
+            cls(
+                config,
+                model,
+                params,
+                bn_state,
+                config.optimizer_state,
+                sampler_res.value,
+                mesh_spec=mesh_spec,
+            )
         )
 
     # -- accessors -----------------------------------------------------------
@@ -355,17 +367,30 @@ class GbmCVNNPricer:
         if cached is not None:
             return cached
 
-        one_batch = make_fused_batch(
-            self._model,
-            self._sim,
-            self._sobol_table(),
-            batch_size=batch_size,
-            learning_rate=lr,
-        )
+        if self._mesh_spec is not None:
+            from spectralmc_tpu.parallel.trainer import make_sharded_segment
 
-        @jax.jit
-        def run_segment(carry: dict[str, Any]) -> tuple[dict[str, Any], Any]:
-            return jax.lax.scan(one_batch, carry, None, length=length)
+            run_segment = make_sharded_segment(
+                self._model,
+                self._sim,
+                self._sobol_table(),
+                batch_size=batch_size,
+                learning_rate=lr,
+                spec=self._mesh_spec,
+                length=length,
+            )
+        else:
+            one_batch = make_fused_batch(
+                self._model,
+                self._sim,
+                self._sobol_table(),
+                batch_size=batch_size,
+                learning_rate=lr,
+            )
+
+            @jax.jit
+            def run_segment(carry: dict[str, Any]) -> tuple[dict[str, Any], Any]:
+                return jax.lax.scan(one_batch, carry, None, length=length)
 
         self._segment_cache[cache_key] = run_segment
         return run_segment

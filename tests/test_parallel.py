@@ -1,0 +1,129 @@
+"""Sharded-training tests on the 8-virtual-device CPU mesh.
+
+The contract under test (parallel/trainer.py docstring): sharded training over
+a (batch, paths) mesh reproduces single-device training to float tolerance —
+same contracts, bit-identical normals per row, psum'd spectra, pmean'd grads.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectralmc_tpu.core.precision import Precision
+from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+from spectralmc_tpu.parallel.mesh import build_mesh_spec
+from spectralmc_tpu.training.trainer import (
+    GbmCVNNPricer,
+    GbmCVNNPricerConfig,
+    build_training_config,
+)
+from tests.helpers import expect_failure, expect_success
+from tests.helpers.factories import CONTRACT_BOUNDS, make_contract, make_simulation_params
+
+
+def make_config(precision: Precision = Precision.float32) -> GbmCVNNPricerConfig:
+    sim = make_simulation_params(
+        timesteps=2, network_size=16, batches_per_mc_run=8, precision=precision
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)],
+            seed=5,
+            precision=precision,
+        )
+    )
+    return GbmCVNNPricerConfig(sim=sim, bounds=CONTRACT_BOUNDS, cvnn=cvnn)
+
+
+def train_losses(pricer: GbmCVNNPricer, num_batches: int = 6, batch_size: int = 8):
+    cfg = expect_success(
+        build_training_config(
+            num_batches=num_batches, batch_size=batch_size, learning_rate=2e-3
+        )
+    )
+    return expect_success(pricer.train(cfg))
+
+
+def test_mesh_spec_validation() -> None:
+    err = expect_failure(build_mesh_spec(batch_shards=16, paths_shards=16))
+    assert "devices" in err.reason
+    err2 = expect_failure(build_mesh_spec(batch_shards=0, paths_shards=1))
+    assert "must be > 0" in err2.reason
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_sharded_matches_single_device(shape: tuple[int, int]) -> None:
+    """Sharded training over every 8-device mesh factorization matches
+    single-device training to float tolerance."""
+    spec = expect_success(build_mesh_spec(batch_shards=shape[0], paths_shards=shape[1]))
+    single = expect_success(GbmCVNNPricer.create(make_config()))
+    sharded = expect_success(GbmCVNNPricer.create(make_config(), mesh_spec=spec))
+    r_single = train_losses(single)
+    r_sharded = train_losses(sharded)
+    np.testing.assert_allclose(r_sharded.losses, r_single.losses, rtol=2e-4)
+    s1, s2 = single.snapshot(), sharded.snapshot()
+    for key in s1.model_state:
+        np.testing.assert_allclose(
+            s2.model_state[key], s1.model_state[key], rtol=2e-3, atol=1e-5
+        )
+    assert s2.sobol_skip == s1.sobol_skip
+    assert s2.sim.skip == s1.sim.skip
+
+
+def test_sharded_float64_tight_tolerance() -> None:
+    """At float64 the reduction-order difference is ~1e-12 relative."""
+    spec = expect_success(build_mesh_spec(batch_shards=2, paths_shards=4))
+    single = expect_success(GbmCVNNPricer.create(make_config(Precision.float64)))
+    sharded = expect_success(
+        GbmCVNNPricer.create(make_config(Precision.float64), mesh_spec=spec)
+    )
+    r1 = train_losses(single, num_batches=4)
+    r2 = train_losses(sharded, num_batches=4)
+    np.testing.assert_allclose(r2.losses, r1.losses, rtol=1e-9)
+
+
+def test_sharded_snapshot_resume() -> None:
+    """Snapshot taken under one topology resumes under another."""
+    spec = expect_success(build_mesh_spec(batch_shards=2, paths_shards=2))
+    sharded = expect_success(GbmCVNNPricer.create(make_config(), mesh_spec=spec))
+    train_losses(sharded, num_batches=4)
+    snap = sharded.snapshot()
+    # resume single-device from a sharded snapshot
+    resumed = expect_success(GbmCVNNPricer.create(snap))
+    r = train_losses(resumed, num_batches=2)
+    assert np.all(np.isfinite(r.losses))
+    assert resumed.global_step == 6
+
+
+def test_sharded_batchnorm_trains() -> None:
+    """BN models train under sharding (per-shard stats, pmean-merged)."""
+    from spectralmc_tpu.models.factory import CovBNCfg
+
+    sim = make_simulation_params(timesteps=2, network_size=16, batches_per_mc_run=8)
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=16, activation=Activation.MODRELU), CovBNCfg()], seed=5
+        )
+    )
+    cfg = GbmCVNNPricerConfig(sim=sim, bounds=CONTRACT_BOUNDS, cvnn=cvnn)
+    # per-shard batch must stay large enough for stable covariance whitening
+    spec = expect_success(build_mesh_spec(batch_shards=2, paths_shards=4))
+    pricer = expect_success(GbmCVNNPricer.create(cfg, mesh_spec=spec))
+    r = train_losses(pricer, num_batches=4, batch_size=16)
+    assert np.all(np.isfinite(r.losses))
+    # BN running stats must be identical across shards (replicated carry)
+    snap = pricer.snapshot()
+    assert any("c_rr" in k for k in snap.model_state)
+
+
+def test_indivisible_batch_rejected() -> None:
+    spec = expect_success(build_mesh_spec(batch_shards=4, paths_shards=2))
+    pricer = expect_success(GbmCVNNPricer.create(make_config(), mesh_spec=spec))
+    cfg = expect_success(
+        build_training_config(num_batches=1, batch_size=6, learning_rate=1e-3)
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pricer.train(cfg)

@@ -1,0 +1,229 @@
+"""Fused GBM Monte-Carlo Pallas kernel: in-kernel RNG + path stepping.
+
+This is the TPU-native replacement for the reference's hot kernel
+(``/root/reference/src/spectralmc/gbm.py:224-257`` ``SimulateBlackScholes``,
+1 CUDA thread per path over a precomputed cuRAND normals matrix) and its
+normals pipeline (``async_normals.py``) — the N1+N2 fusion of SURVEY §2.9:
+
+* The ``[rows, cols]`` path state lives in **VMEM** for the whole timestep
+  loop; nothing but the terminal values ever touches HBM. The reference
+  streams a ``[timesteps, paths]`` normals matrix through HBM.
+* Normals come from the **hardware PRNG** (``pltpu.prng_random_bits``) +
+  Box–Muller, generated in-register each step — no normals matrix exists.
+* Each grid block seeds the PRNG from (threefry key words, block ids), so
+  draws are independent across blocks and deterministic per
+  (seed, draw counter, topology).
+
+Determinism contract: the XLA path (``gbm.simulate_terminal_rows``) defines
+the *canonical* bit stream; this kernel has its own (hardware PRNG ≠
+threefry). ``SimulationParams.implementation`` records which engine produced
+a checkpoint, so resume stays bit-exact per engine. Cross-engine agreement is
+statistical (same distribution), enforced by tests and the analytic-oracle
+gate.
+
+float32 only (TPU VPU); float64 requests fall back to the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spectralmc_tpu.ops.gbm import PathScheme
+
+# Block shape: (8, 128) is the fp32 min tile; (256, 256) keeps a 256 KiB state
+# block resident in VMEM with room for the two random-bit buffers.
+BLOCK_ROWS = 256
+BLOCK_COLS = 256
+
+_TWO_PI = 2.0 * math.pi
+# Box-Muller: u1 in (0, 1] built from the top 24 bits; 2^-24 keeps the
+# mantissa exact and 1/2^25 offsets zero so log(u1) is finite.
+_INV_2_24 = float(2.0**-24)
+_HALF_ULP = float(2.0**-25)
+
+
+def _gbm_block_kernel(
+    params_ref,  # SMEM (1, 6): spot, strike, maturity, rate, div, vol
+    seeds_ref,  # SMEM (1, 2) int32: the threefry key words
+    out_ref,  # VMEM (BLOCK_ROWS, BLOCK_COLS)
+    *,
+    timesteps: int,
+    scheme: PathScheme,
+    rows_per_block: int,
+    cols_per_block: int,
+) -> None:
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    spot = params_ref[0, 0]
+    rate = params_ref[0, 3]
+    div_yield = params_ref[0, 4]
+    vol = params_ref[0, 5]
+    # Mix the threefry key words with the block coordinates (Mosaic caps
+    # prng_seed at 2 values); large odd constants decorrelate neighbours.
+    seed_a = seeds_ref[0, 0] ^ (
+        (i + 1) * jnp.int32(0x9E3779B1 & 0x7FFFFFFF) + j * jnp.int32(0x85EBCA6B & 0x7FFFFFFF)
+    )
+    seed_b = seeds_ref[0, 1] ^ (
+        (j + 1) * jnp.int32(0xC2B2AE35 & 0x7FFFFFFF) + i * jnp.int32(0x27D4EB2F)
+    )
+    pltpu.prng_seed(seed_a, seed_b)
+
+    maturity = params_ref[0, 2]
+    dt = maturity / jnp.float32(timesteps)
+    sqrt_dt = jnp.sqrt(dt)
+    vol_sdt = vol * sqrt_dt
+    shape = (rows_per_block, cols_per_block)
+
+    def normals() -> jax.Array:
+        bits1 = pltpu.prng_random_bits(shape)
+        bits2 = pltpu.prng_random_bits(shape)
+        u1 = (bits1 >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(_INV_2_24) + jnp.float32(
+            _HALF_ULP
+        )
+        u2 = (bits2 >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(_INV_2_24)
+        radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+        return radius * jnp.cos(jnp.float32(_TWO_PI) * u2)
+
+    if scheme == PathScheme.LOG_EULER:
+        drift = (rate - div_yield - jnp.float32(0.5) * vol * vol) * dt
+
+        def step(t: jax.Array, logx: jax.Array) -> jax.Array:
+            return logx + drift + vol_sdt * normals()
+
+        log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
+        out_ref[:, :] = jnp.exp(jax.lax.fori_loop(0, timesteps, step, log0))
+    else:
+        growth = jnp.float32(1.0) + (rate - div_yield) * dt
+
+        def step_euler(t: jax.Array, x: jax.Array) -> jax.Array:
+            return jnp.abs(x * (growth + vol_sdt * normals()))
+
+        x0 = jnp.full(shape, 1.0, jnp.float32) * spot
+        out_ref[:, :] = jax.lax.fori_loop(0, timesteps, step_euler, x0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("timesteps", "rows", "cols", "scheme", "interpret")
+)
+def _simulate_rows_pallas_f32(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    scheme: PathScheme,
+    interpret: bool = False,
+) -> jax.Array:
+    block_rows = min(BLOCK_ROWS, rows)
+    block_cols = min(BLOCK_COLS, cols)
+    if rows % block_rows or cols % block_cols:
+        raise ValueError(
+            f"pallas path needs rows/cols divisible by block ({block_rows},{block_cols})"
+        )
+    key_data = jax.random.key_data(contract_key)
+    seeds = key_data.astype(jnp.int32).reshape(1, 2)
+    params = contract.astype(jnp.float32).reshape(1, 6)
+
+    kernel = functools.partial(
+        _gbm_block_kernel,
+        timesteps=timesteps,
+        scheme=scheme,
+        rows_per_block=block_rows,
+        cols_per_block=block_cols,
+    )
+    grid = (rows // block_rows, cols // block_cols)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 6), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rows, block_cols),
+                lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rows * cols * timesteps,
+            bytes_accessed=rows * cols * 4,
+            transcendentals=3 * rows * cols * timesteps,
+        ),
+        interpret=interpret,
+    )(params, seeds)
+
+
+def simulate_terminal_rows_pallas(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    scheme: PathScheme,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas-accelerated terminal rows; falls back to XLA when unsupported."""
+    supported = (
+        jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        and rows % min(BLOCK_ROWS, rows) == 0
+        and cols % min(BLOCK_COLS, cols) == 0
+        # the interpreter handles any shape; hardware wants lane alignment
+        and (interpret or (cols % 128 == 0 and rows % 8 == 0))
+    )
+    if not supported:
+        from spectralmc_tpu.ops.gbm import simulate_terminal_rows
+
+        return simulate_terminal_rows(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            scheme=scheme,
+        )
+    return _simulate_rows_pallas_f32(
+        contract_key,
+        contract,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        scheme=scheme,
+        interpret=interpret,
+    )
+
+
+def simulate_terminal_pallas(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    batches: int,
+    network_size: int,
+    dtype: jnp.dtype,
+    scheme: PathScheme,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flat ``[batches * network_size]`` terminal values (engine-facing API)."""
+    return simulate_terminal_rows_pallas(
+        contract_key,
+        contract,
+        timesteps=timesteps,
+        rows=batches,
+        cols=network_size,
+        dtype=dtype,
+        scheme=scheme,
+        interpret=interpret,
+    ).reshape(batches * network_size)

@@ -5,12 +5,17 @@ printed to stdout. The reference publishes no throughput numbers
 (BASELINE.md: its own methodology review calls the benchmark nonexistent), so
 ``vs_baseline`` is measured against the BASELINE.json aspiration of 5x an
 A100-class chip running the reference's Numba-CUDA kernel. Absent a measured
-A100 number we use a documented engineering estimate for the reference
-kernel's throughput ceiling: the kernel is RNG-bound; cuRAND philox + EM
-stepping on A100 sustains ~2e10 path-steps/s in fp32 (80 SMs * ~2.5e8
-path-steps/s/SM). vs_baseline = (our path-steps/s) / (5 * 2e10).
+A100 number we use a documented engineering estimate of the reference
+kernel's ceiling: it is RNG/memory-bound (it streams a [timesteps, paths]
+cuRAND normals matrix through HBM); philox generation + EM stepping on A100
+sustains ~2e10 path-steps/s fp32. vs_baseline = path_steps_per_sec / (5 * 2e10).
 
-Secondary metrics (fused train steps/sec, char-fn MAE) print to stderr.
+Measured engine: the fused Pallas kernel (in-VMEM state, hardware PRNG,
+Box-Muller pair-stepping) — ops/gbm_pallas.py. Reps are looped inside one
+jitted scan so the axon tunnel's ~25 ms dispatch latency is amortized.
+
+Secondary metrics (XLA-path throughput, fused train steps/sec) print to
+stderr.
 
 Usage: python bench.py [--tiny]   (--tiny: CPU-sized sanity run)
 """
@@ -25,80 +30,101 @@ import jax
 import jax.numpy as jnp
 
 A100_REFERENCE_PATH_STEPS_PER_SEC = 2.0e10  # documented estimate, see module docstring
-BASELINE_MULTIPLier = 5.0
+BASELINE_MULTIPLIER = 5.0
+
+CONTRACT = (100.0, 100.0, 1.0, 0.03, 0.01, 0.25)
 
 
-def bench_mc_throughput(*, timesteps: int, batches: int, network: int, reps: int) -> float:
-    """Path-steps/sec of the GBM simulator (one chip)."""
-    from spectralmc_tpu.ops.gbm import PathScheme, simulate_terminal_rows
+def _mc_runner(simulate_fn, *, timesteps: int, rows: int, cols: int, reps: int):
+    """jit(scan) over reps of one simulation — one dispatch per measurement."""
+    contract = jnp.array(CONTRACT, dtype=jnp.float32)
 
+    @jax.jit
+    def run(key: jax.Array) -> jax.Array:
+        def body(acc, i):
+            out = simulate_fn(jax.random.fold_in(key, i), contract)
+            return acc + jnp.sum(out), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return acc
+
+    return run
+
+
+def bench_mc(simulate_fn, *, timesteps: int, rows: int, cols: int, reps: int) -> float:
+    run = _mc_runner(simulate_fn, timesteps=timesteps, rows=rows, cols=cols, reps=reps)
     key = jax.random.PRNGKey(0)
-    contract = jnp.array([100.0, 100.0, 1.0, 0.03, 0.01, 0.25], dtype=jnp.float32)
-
-    def run(k: jax.Array) -> jax.Array:
-        rows = simulate_terminal_rows(
-            k,
-            contract,
-            timesteps=timesteps,
-            rows=batches,
-            cols=network,
-            dtype=jnp.float32,
-            scheme=PathScheme.LOG_EULER,
-        )
-        return jnp.sum(rows)
-
-    run_jit = jax.jit(run)
-    run_jit(key).block_until_ready()  # compile
+    run(key).block_until_ready()  # compile + warmup
     start = time.perf_counter()
-    acc = 0.0
-    for i in range(reps):
-        acc += float(run_jit(jax.random.fold_in(key, i)))
+    run(jax.random.fold_in(key, 1)).block_until_ready()
     elapsed = time.perf_counter() - start
-    paths = batches * network
-    return paths * timesteps * reps / elapsed
+    return rows * cols * timesteps * reps / elapsed
 
 
 def bench_train_step(*, timesteps: int, batches: int, network: int, batch_size: int,
                      reps: int) -> float:
-    """Fused train steps/sec (one chip)."""
+    """Fused train steps/sec, reps scanned inside one jit."""
     import __graft_entry__ as ge
+    from spectralmc_tpu.training.step import make_fused_batch
 
     model, sim, table, carry = ge._build(
         dict(timesteps=timesteps, network_size=network, batches_per_mc_run=batches)
     )
-    from spectralmc_tpu.training.step import make_fused_batch
-
     one = make_fused_batch(model, sim, table, batch_size=batch_size, learning_rate=1e-3)
-    step = jax.jit(lambda c: one(c, None))
-    carry, _ = step(carry)
+
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(one, c, None, length=reps)
+
+    carry, _ = run(carry)
     jax.block_until_ready(carry["params"])  # compile + warmup
     start = time.perf_counter()
-    for _ in range(reps):
-        carry, metrics = step(carry)
+    carry, _ = run(carry)
     jax.block_until_ready(carry["params"])
     return reps / (time.perf_counter() - start)
 
 
 def main() -> None:
+    from spectralmc_tpu.ops.gbm import PathScheme, simulate_terminal_rows
+    from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_rows_pallas
+
     tiny = "--tiny" in sys.argv
+    on_tpu = jax.devices()[0].platform == "tpu"
     if tiny:
-        mc = dict(timesteps=16, batches=64, network=256, reps=3)
+        mc = dict(timesteps=16, rows=256, cols=256, reps=2)
         tr = dict(timesteps=4, batches=8, network=32, batch_size=8, reps=3)
     else:
-        # production-scale single-chip workload (BASELINE.json config 3 class)
-        mc = dict(timesteps=64, batches=8192, network=256, reps=10)  # 2M paths
-        tr = dict(timesteps=16, batches=512, network=128, batch_size=64, reps=5)
+        mc = dict(timesteps=64, rows=8192, cols=256, reps=20)  # 2M paths/rep
+        tr = dict(timesteps=16, batches=512, network=128, batch_size=64, reps=10)
 
-    path_steps_per_sec = bench_mc_throughput(**mc)
+    def pallas_fn(key, contract):
+        return simulate_terminal_rows_pallas(
+            key, contract, timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"],
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+        )
+
+    def xla_fn(key, contract):
+        return simulate_terminal_rows(
+            key, contract, timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"],
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+        )
+
+    kw = dict(timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"], reps=mc["reps"])
+    headline_fn = pallas_fn if on_tpu else xla_fn  # pallas needs real TPU hardware
+    path_steps_per_sec = bench_mc(headline_fn, **kw)
+    xla_ps = bench_mc(xla_fn, **kw)
     steps_per_sec = bench_train_step(**tr)
+
     print(
-        f"[bench] device={jax.devices()[0].platform} "
+        f"[bench] device={jax.devices()[0].device_kind} engine="
+        f"{'pallas' if on_tpu else 'xla'} "
+        f"xla_path_steps_per_sec={xla_ps:.3e} "
         f"train_steps_per_sec={steps_per_sec:.3f} "
         f"(B={tr['batch_size']} contracts x {tr['batches'] * tr['network']} paths x "
         f"{tr['timesteps']} steps each)",
         file=sys.stderr,
     )
-    vs = path_steps_per_sec / (BASELINE_MULTIPLier * A100_REFERENCE_PATH_STEPS_PER_SEC)
+    vs = path_steps_per_sec / (BASELINE_MULTIPLIER * A100_REFERENCE_PATH_STEPS_PER_SEC)
     print(
         json.dumps(
             {

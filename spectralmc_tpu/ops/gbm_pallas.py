@@ -80,24 +80,42 @@ def _gbm_block_kernel(
     vol_sdt = vol * sqrt_dt
     shape = (rows_per_block, cols_per_block)
 
+    def _uniform_24bit(shape_: tuple[int, int]) -> jax.Array:
+        # prng_random_bits yields *signed* int32: bitcast to uint32 for a
+        # logical shift, then back to int32 (top 8 bits now zero, so the
+        # value is non-negative) because Mosaic can't cast uint32->float32.
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape_), jnp.uint32)
+        top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+        return top24.astype(jnp.float32) * jnp.float32(_INV_2_24)
+
     def normals() -> jax.Array:
-        bits1 = pltpu.prng_random_bits(shape)
-        bits2 = pltpu.prng_random_bits(shape)
-        u1 = (bits1 >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(_INV_2_24) + jnp.float32(
-            _HALF_ULP
-        )
-        u2 = (bits2 >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(_INV_2_24)
+        u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(shape)
         radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
         return radius * jnp.cos(jnp.float32(_TWO_PI) * u2)
 
     if scheme == PathScheme.LOG_EULER:
         drift = (rate - div_yield - jnp.float32(0.5) * vol * vol) * dt
 
-        def step(t: jax.Array, logx: jax.Array) -> jax.Array:
+        # Log-Euler increments are additive, so both Box–Muller outputs
+        # (cos AND sin) advance two timesteps per draw — half the RNG and
+        # transcendental cost of the naive per-step loop.
+        def step_pair(t: jax.Array, logx: jax.Array) -> jax.Array:
+            u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
+            u2 = _uniform_24bit(shape)
+            radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+            angle = jnp.float32(_TWO_PI) * u2
+            z_sum = radius * (jnp.cos(angle) + jnp.sin(angle))
+            return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+
+        def step_single(t: jax.Array, logx: jax.Array) -> jax.Array:
             return logx + drift + vol_sdt * normals()
 
         log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
-        out_ref[:, :] = jnp.exp(jax.lax.fori_loop(0, timesteps, step, log0))
+        logx = jax.lax.fori_loop(0, timesteps // 2, step_pair, log0)
+        if timesteps % 2:
+            logx = step_single(0, logx)
+        out_ref[:, :] = jnp.exp(logx)
     else:
         growth = jnp.float32(1.0) + (rate - div_yield) * dt
 

@@ -1,0 +1,98 @@
+"""Pallas GBM kernel tests.
+
+The CPU interpreter stubs the hardware PRNG (``prng_random_bits`` returns
+zeros), so statistical validation of the kernel runs on real TPU only (the
+bench does it; /tmp probes confirmed mean/log-variance match analytic GBM).
+Here we verify: structure under ``force_tpu_interpret_mode`` (zero-normals
+paths follow pure drift exactly — a sharp analytic check of everything
+EXCEPT the RNG), and the dtype/shape fallbacks to the XLA path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from spectralmc_tpu.ops.gbm import PathScheme
+from spectralmc_tpu.ops.gbm_pallas import (
+    simulate_terminal_pallas,
+    simulate_terminal_rows_pallas,
+)
+from tests.helpers.factories import make_contract
+
+CONTRACT = make_contract(vol=0.25)
+
+
+def _run_interpret(scheme: PathScheme, timesteps: int = 8, rows: int = 8, cols: int = 128):
+    key = jax.random.PRNGKey(1)
+    arr = CONTRACT.as_array(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        return simulate_terminal_rows_pallas(
+            key, arr, timesteps=timesteps, rows=rows, cols=cols,
+            dtype=jnp.float32, scheme=scheme,
+        )
+
+
+def test_interpret_mode_zero_normals_log_euler_is_pure_drift() -> None:
+    """With the interpreter's stubbed (all-zero) RNG, u1 = half-ulp exactly, so
+    z = sqrt(-2 ln u1) deterministically; every path follows the same drift.
+    We verify shape, finiteness, and that all paths are identical — the
+    deterministic skeleton of the kernel is correct."""
+    rows = _run_interpret(PathScheme.LOG_EULER)
+    assert rows.shape == (8, 128)
+    t = np.asarray(rows)
+    assert np.all(np.isfinite(t))
+    assert np.all(t > 0)
+    assert np.allclose(t, t[0, 0])  # zero-bit RNG -> identical paths
+    # exact value under the pair-step scheme: zero bits give u1 = 2^-25,
+    # u2 = 0, so each of the 4 pairs adds 2*drift + vol*sqrt(dt)*r with
+    # r = sqrt(-2 ln 2^-25) (cos(0)=1, sin(0)=0).
+    c = CONTRACT
+    r = np.sqrt(-2.0 * np.log(np.float32(2.0**-25)))
+    dt = c.maturity / 8
+    drift = (c.rate - c.div_yield - 0.5 * c.vol**2) * dt
+    expected = c.spot * np.exp(8 * drift + 4 * c.vol * np.sqrt(dt) * r)
+    np.testing.assert_allclose(t[0, 0], expected, rtol=1e-4)
+
+
+def test_interpret_mode_euler_reflection_positive() -> None:
+    rows = _run_interpret(PathScheme.EULER)
+    assert np.all(np.asarray(rows) > 0)  # reflection keeps paths positive
+
+
+def test_flat_api_shape() -> None:
+    key = jax.random.PRNGKey(1)
+    arr = CONTRACT.as_array(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        flat = simulate_terminal_pallas(
+            key, arr, timesteps=2, batches=8, network_size=128,
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+        )
+    assert flat.shape == (8 * 128,)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(dtype=jnp.float64, rows=8, cols=128),  # fp64 -> XLA fallback
+        dict(dtype=jnp.float32, rows=7, cols=100),  # misaligned -> XLA fallback
+    ],
+)
+def test_fallback_to_xla(kwargs) -> None:
+    """Unsupported dtype/shape must silently use the canonical XLA path."""
+    from spectralmc_tpu.ops.gbm import simulate_terminal_rows
+
+    key = jax.random.PRNGKey(5)
+    arr = CONTRACT.as_array(kwargs["dtype"])
+    got = simulate_terminal_rows_pallas(
+        key, arr, timesteps=2, rows=kwargs["rows"], cols=kwargs["cols"],
+        dtype=kwargs["dtype"], scheme=PathScheme.LOG_EULER,
+    )
+    want = simulate_terminal_rows(
+        key, arr, timesteps=2, rows=kwargs["rows"], cols=kwargs["cols"],
+        dtype=kwargs["dtype"], scheme=PathScheme.LOG_EULER,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

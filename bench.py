@@ -51,13 +51,21 @@ def _mc_runner(simulate_fn, *, timesteps: int, rows: int, cols: int, reps: int):
     return run
 
 
-def bench_mc(simulate_fn, *, timesteps: int, rows: int, cols: int, reps: int) -> float:
+def bench_mc(simulate_fn, *, timesteps: int, rows: int, cols: int, reps: int,
+             calls: int = 3) -> float:
     run = _mc_runner(simulate_fn, timesteps=timesteps, rows=rows, cols=cols, reps=reps)
     key = jax.random.PRNGKey(0)
-    run(key).block_until_ready()  # compile + warmup
+    # Pre-derive all keys outside the timed region (fold_in itself compiles a
+    # tiny program on first use) and warm up twice: once for `run`, once for
+    # the host-transfer path. float() forces real completion — through the
+    # axon tunnel, block_until_ready alone under-reports.
+    keys = [jax.random.fold_in(key, i) for i in range(calls + 1)]
+    float(run(keys[0]))
+    float(run(keys[0]))
     start = time.perf_counter()
-    run(jax.random.fold_in(key, 1)).block_until_ready()
-    elapsed = time.perf_counter() - start
+    for k in keys[1:]:
+        float(run(k))
+    elapsed = (time.perf_counter() - start) / calls
     return rows * cols * timesteps * reps / elapsed
 
 
@@ -78,10 +86,14 @@ def bench_train_step(*, timesteps: int, batches: int, network: int, batch_size: 
 
     carry, _ = run(carry)
     jax.block_until_ready(carry["params"])  # compile + warmup
+    carry, (loss, _) = run(carry)
+    float(loss[-1])  # warm the host-transfer path
+    calls = 3
     start = time.perf_counter()
-    carry, _ = run(carry)
-    jax.block_until_ready(carry["params"])
-    return reps / (time.perf_counter() - start)
+    for _ in range(calls):
+        carry, (loss, _) = run(carry)
+        float(loss[-1])  # force completion through the tunnel
+    return reps * calls / (time.perf_counter() - start)
 
 
 def main() -> None:
@@ -94,7 +106,7 @@ def main() -> None:
         mc = dict(timesteps=16, rows=256, cols=256, reps=2)
         tr = dict(timesteps=4, batches=8, network=32, batch_size=8, reps=3)
     else:
-        mc = dict(timesteps=64, rows=8192, cols=256, reps=20)  # 2M paths/rep
+        mc = dict(timesteps=64, rows=8192, cols=256, reps=100)  # 2M paths/rep
         tr = dict(timesteps=16, batches=512, network=128, batch_size=64, reps=10)
 
     def pallas_fn(key, contract):

@@ -1,0 +1,194 @@
+"""Kernel-variant lab: isolate what's slow in the fused GBM Pallas kernel.
+
+Dev tool (not part of the library). Each variant swaps one piece of the
+Box-Muller + log-Euler pipeline so per-op costs on the VPU can be measured on
+real hardware. Run: python benchmarks/pallas_lab.py
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 2.0 * math.pi
+_INV_2_24 = float(2.0**-24)
+_HALF_ULP = float(2.0**-25)
+
+
+def _uniform(shape):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return top24.astype(jnp.float32) * jnp.float32(_INV_2_24)
+
+
+def make_kernel(variant: str, timesteps: int, shape):
+    def kernel(params_ref, seeds_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        spot = params_ref[0, 0]
+        rate = params_ref[0, 3]
+        div_yield = params_ref[0, 4]
+        vol = params_ref[0, 5]
+        seed_a = seeds_ref[0, 0] ^ ((i + 1) * jnp.int32(0x1E3779B1) + j * jnp.int32(0x05EBCA6B))
+        seed_b = seeds_ref[0, 1] ^ ((j + 1) * jnp.int32(0x42B2AE35) + i * jnp.int32(0x27D4EB2F))
+        pltpu.prng_seed(seed_a, seed_b)
+        maturity = params_ref[0, 2]
+        dt = maturity / jnp.float32(timesteps)
+        sqrt_dt = jnp.sqrt(dt)
+        vol_sdt = vol * sqrt_dt
+        drift = (rate - div_yield - jnp.float32(0.5) * vol * vol) * dt
+
+        if variant == "baseline":  # current production kernel body
+            def step(t, logx):
+                u1 = _uniform(shape) + jnp.float32(_HALF_ULP)
+                u2 = _uniform(shape)
+                radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+                angle = jnp.float32(_TWO_PI) * u2
+                z_sum = radius * (jnp.cos(angle) + jnp.sin(angle))
+                return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+            n_iters = timesteps // 2
+        elif variant == "rng_only":  # just RNG + fma, no transcendentals
+            def step(t, logx):
+                u1 = _uniform(shape)
+                u2 = _uniform(shape)
+                z_sum = (u1 + u2 - jnp.float32(1.0)) * jnp.float32(3.464)
+                return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+            n_iters = timesteps // 2
+        elif variant == "log_only":
+            def step(t, logx):
+                u1 = _uniform(shape) + jnp.float32(_HALF_ULP)
+                u2 = _uniform(shape)
+                z_sum = jnp.log(u1) * (u2 - jnp.float32(0.5))
+                return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+            n_iters = timesteps // 2
+        elif variant == "sincos_only":
+            def step(t, logx):
+                u1 = _uniform(shape)
+                u2 = _uniform(shape)
+                angle = jnp.float32(_TWO_PI) * u2
+                z_sum = (u1 - jnp.float32(0.5)) * (jnp.cos(angle) + jnp.sin(angle))
+                return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+            n_iters = timesteps // 2
+        elif variant == "sqrtlog":
+            def step(t, logx):
+                u1 = _uniform(shape) + jnp.float32(_HALF_ULP)
+                u2 = _uniform(shape)
+                radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+                z_sum = radius * (u2 - jnp.float32(0.5)) * jnp.float32(2.0)
+                return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+            n_iters = timesteps // 2
+        elif variant == "erfinv":  # one normal per step via inverse CDF
+            def step(t, logx):
+                u = _uniform(shape)
+                z = jax.lax.erf_inv(jnp.float32(2.0) * u - jnp.float32(1.0) + jnp.float32(2.0**-24))
+                z = z * jnp.float32(math.sqrt(2.0))
+                return logx + drift + vol_sdt * z
+            n_iters = timesteps
+        elif variant == "clt8":  # sum of 8 uniforms (no transcendentals at all)
+            def step(t, logx):
+                acc = _uniform(shape)
+                for _ in range(7):
+                    acc = acc + _uniform(shape)
+                z = (acc - jnp.float32(4.0)) * jnp.float32(math.sqrt(12.0 / 8.0))
+                return logx + drift + vol_sdt * z
+            n_iters = timesteps
+        elif variant == "polybm":
+            # Pair-step Box-Muller with ONE polynomial sine:
+            # z1+z2 = r*(cos+sin)(theta) = r*sqrt(2)*sin(theta + pi/4).
+            # theta+pi/4 = 2*pi*(u2 + 1/8); fold to x in [-pi/2, pi/2] with
+            # half-turn index q, sin = (-1)^q * P9(x), P9 = Taylor deg 9.
+            def sin_folded(t):
+                qf = jnp.round(jnp.float32(2.0) * t)
+                x = jnp.float32(_TWO_PI) * (t - jnp.float32(0.5) * qf)
+                q = qf.astype(jnp.int32)
+                sign = jnp.where(q & 1, jnp.float32(-1.0), jnp.float32(1.0))
+                y = x * x
+                p = jnp.float32(2.7557319e-6)
+                p = p * y + jnp.float32(-1.9841270e-4)
+                p = p * y + jnp.float32(8.3333333e-3)
+                p = p * y + jnp.float32(-1.6666667e-1)
+                p = p * y + jnp.float32(1.0)
+                return sign * x * p
+
+            def step(t, logx):
+                u1 = _uniform(shape) + jnp.float32(_HALF_ULP)
+                u2 = _uniform(shape)
+                radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+                z_sum = radius * jnp.float32(math.sqrt(2.0)) * sin_folded(
+                    u2 + jnp.float32(0.125)
+                )
+                return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+            n_iters = timesteps // 2
+        else:
+            raise ValueError(variant)
+
+        log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
+        logx = jax.lax.fori_loop(0, n_iters, step, log0)
+        out_ref[:, :] = jnp.exp(logx)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "timesteps", "rows", "cols", "br", "bc", "reps"))
+def run_variant(key, contract, *, variant, timesteps, rows, cols, br, bc, reps):
+    kd = jax.random.key_data(key).astype(jnp.int32).reshape(1, 2)
+    params = contract.astype(jnp.float32).reshape(1, 6)
+    kernel = make_kernel(variant, timesteps, (br, bc))
+    grid = (rows // br, cols // bc)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 6), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((br, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rows * cols * timesteps,
+            bytes_accessed=rows * cols * 4,
+            transcendentals=3 * rows * cols * timesteps,
+        ),
+    )
+
+    def body(acc, i):
+        out = call(params, kd + i)
+        return acc + jnp.sum(out), None
+
+    acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+    return acc
+
+
+def main():
+    timesteps, rows, cols, reps = 64, 8192, 256, 20
+    key = jax.random.PRNGKey(0)
+    contract = jnp.array([100.0, 100.0, 1.0, 0.03, 0.01, 0.25], jnp.float32)
+    variants = ["baseline", "rng_only", "log_only", "sincos_only", "sqrtlog", "erfinv", "clt8"]
+    blocks = [(256, 256), (512, 256), (1024, 256), (2048, 256), (512, 128), (8192, 256)]
+    print(f"shape: {rows}x{cols}, t={timesteps}, reps={reps}; device={jax.devices()[0].device_kind}")
+    for v in variants:
+        for (br, bc) in blocks if v == "baseline" else [(256, 256)]:
+            try:
+                f = lambda k: run_variant(k, contract, variant=v, timesteps=timesteps,
+                                          rows=rows, cols=cols, br=br, bc=bc, reps=reps)
+                f(key).block_until_ready()
+                t0 = time.perf_counter()
+                f(jax.random.fold_in(key, 1)).block_until_ready()
+                el = time.perf_counter() - t0
+                ps = rows * cols * timesteps * reps / el
+                print(f"{v:12s} block=({br:5d},{bc:4d})  {el*1000:8.1f} ms  {ps:.3e} path-steps/s")
+            except Exception as e:  # noqa: BLE001
+                print(f"{v:12s} block=({br:5d},{bc:4d})  FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,8 @@ if TYPE_CHECKING:  # pragma: no cover
 
 def _make_writer(logdir: str) -> Any:
     try:
-        from torch.utils.tensorboard import SummaryWriter
+        # host-side logging adapter only — never touches the compute path
+        from torch.utils.tensorboard import SummaryWriter  # check: ignore[L002]
     except ImportError as exc:  # pragma: no cover — dependency gate
         raise ImportError("tensorboard logging requires torch/tensorboard") from exc
     return SummaryWriter(log_dir=logdir)

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Fail-fast static-verification pipeline (reference tools/check_code.py).
+
+Runs every checker family in order and stops at the first failure, then
+(optionally) external linters if they are installed. The reference chains
+its custom checkers with ruff/black/mypy the same way (SURVEY §2.10).
+
+    python tools/check_code.py [--no-external]
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.static_checks.cli import main as family_main
+
+FAMILIES = ("layering", "purity", "immutability", "construction", "type-safety")
+EXTERNAL = (
+    ("ruff", ["ruff", "check", "spectralmc_tpu", "tools", "tests"]),
+    ("mypy", ["mypy", "--ignore-missing-imports", "spectralmc_tpu"]),
+)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="fail-fast check pipeline")
+    parser.add_argument("--no-external", action="store_true", help="skip ruff/mypy")
+    args = parser.parse_args(argv)
+
+    for family in FAMILIES:
+        print(f"==> {family}")
+        rc = family_main(family, [])
+        if rc != 0:
+            print(f"FAILED at {family}", file=sys.stderr)
+            return rc
+
+    if not args.no_external:
+        for name, cmd in EXTERNAL:
+            if shutil.which(cmd[0]) is None:
+                print(f"==> {name}: not installed, skipped")
+                continue
+            print(f"==> {name}")
+            proc = subprocess.run(cmd)
+            if proc.returncode != 0:
+                print(f"FAILED at {name}", file=sys.stderr)
+                return proc.returncode
+
+    print("check-code: all clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,14 @@
+#!/usr/bin/env python
+"""Immutability checker (reference tools/check_immutability.py counterpart, SURVEY §2.10).
+
+Thin wrapper over tools.static_checks; see `--list-rules` / `--explain RULE`.
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.static_checks.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main("immutability"))

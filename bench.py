@@ -70,13 +70,14 @@ def bench_mc(simulate_fn, *, timesteps: int, rows: int, cols: int, reps: int,
 
 
 def bench_train_step(*, timesteps: int, batches: int, network: int, batch_size: int,
-                     reps: int) -> float:
+                     reps: int, implementation: str = "xla") -> float:
     """Fused train steps/sec, reps scanned inside one jit."""
     import __graft_entry__ as ge
     from spectralmc_tpu.training.step import make_fused_batch
 
     model, sim, table, carry = ge._build(
-        dict(timesteps=timesteps, network_size=network, batches_per_mc_run=batches)
+        dict(timesteps=timesteps, network_size=network, batches_per_mc_run=batches,
+             implementation=implementation)
     )
     one = make_fused_batch(model, sim, table, batch_size=batch_size, learning_rate=1e-3)
 
@@ -125,7 +126,7 @@ def main() -> None:
     headline_fn = pallas_fn if on_tpu else xla_fn  # pallas needs real TPU hardware
     path_steps_per_sec = bench_mc(headline_fn, **kw)
     xla_ps = bench_mc(xla_fn, **kw)
-    steps_per_sec = bench_train_step(**tr)
+    steps_per_sec = bench_train_step(**tr, implementation="pallas" if on_tpu else "xla")
 
     print(
         f"[bench] device={jax.devices()[0].device_kind} engine="

@@ -99,6 +99,39 @@ def make_kernel(variant: str, timesteps: int, shape):
                 z = (acc - jnp.float32(4.0)) * jnp.float32(math.sqrt(12.0 / 8.0))
                 return logx + drift + vol_sdt * z
             n_iters = timesteps
+        elif variant == "polybm_bits":
+            # Like polybm, but uniforms via exponent-splice bitcast:
+            # 0x3F800000 | (bits >> 9) is a float in [1, 2) with a 23-bit
+            # uniform mantissa; subtracting 1 gives [0, 1) with no int->float
+            # cast on the hot path.
+            def u01(shape_):
+                bits = pltpu.bitcast(pltpu.prng_random_bits(shape_), jnp.uint32)
+                f = pltpu.bitcast(
+                    jnp.uint32(0x3F800000) | (bits >> jnp.uint32(9)), jnp.float32
+                )
+                return f - jnp.float32(1.0)
+
+            def sin_folded2(t):
+                qf = jnp.round(jnp.float32(2.0) * t)
+                x = jnp.float32(_TWO_PI) * (t - jnp.float32(0.5) * qf)
+                sign = jnp.where(qf.astype(jnp.int32) & 1, jnp.float32(-1.0), jnp.float32(1.0))
+                y = x * x
+                p = jnp.float32(2.7557319e-6)
+                p = p * y + jnp.float32(-1.9841270e-4)
+                p = p * y + jnp.float32(8.3333333e-3)
+                p = p * y + jnp.float32(-1.6666667e-1)
+                p = p * y + jnp.float32(1.0)
+                return sign * x * p
+
+            def step(t, logx):
+                u1 = u01(shape) + jnp.float32(2.0**-24)
+                u2 = u01(shape)
+                radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+                z_sum = radius * jnp.float32(math.sqrt(2.0)) * sin_folded2(
+                    u2 + jnp.float32(0.125)
+                )
+                return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+            n_iters = timesteps // 2
         elif variant == "polybm":
             # Pair-step Box-Muller with ONE polynomial sine:
             # z1+z2 = r*(cos+sin)(theta) = r*sqrt(2)*sin(theta + pi/4).

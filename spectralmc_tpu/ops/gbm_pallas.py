@@ -216,8 +216,9 @@ def simulate_terminal_rows_pallas(
         jnp.dtype(dtype) == jnp.dtype(jnp.float32)
         and rows % min(BLOCK_ROWS, rows) == 0
         and cols % min(BLOCK_COLS, cols) == 0
-        # the interpreter handles any shape; hardware wants lane alignment
-        and (interpret or (cols % 128 == 0 and rows % 8 == 0))
+        # the interpreter handles any backend/shape; hardware wants a real
+        # TPU and lane alignment
+        and (interpret or (jax.default_backend() == "tpu" and cols % 128 == 0 and rows % 8 == 0))
     )
     if not supported:
         from spectralmc_tpu.ops.gbm import simulate_terminal_rows

@@ -23,6 +23,7 @@ import optax
 from spectralmc_tpu.models.factory import CVNN
 from spectralmc_tpu.ops.gbm import (
     ForwardNormalization,
+    SimImplementation,
     SimulationParams,
     simulate_terminal_rows,
     terminal_to_prices,
@@ -61,9 +62,16 @@ def make_mc_spectrum(
     base_key = jax.random.PRNGKey(sim.mc_seed)
     normalize = sim.normalization == ForwardNormalization.MEAN
 
+    if sim.implementation == SimImplementation.PALLAS:
+        from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_rows_pallas
+
+        simulate = simulate_terminal_rows_pallas
+    else:
+        simulate = simulate_terminal_rows
+
     def mc_spectrum(draw_index: jax.Array, contract: jax.Array) -> jax.Array:
         key = jax.random.fold_in(base_key, draw_index)
-        rows = simulate_terminal_rows(
+        rows = simulate(
             key,
             contract,
             timesteps=sim.timesteps,

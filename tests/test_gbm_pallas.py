@@ -29,10 +29,13 @@ CONTRACT = make_contract(vol=0.25)
 def _run_interpret(scheme: PathScheme, timesteps: int = 8, rows: int = 8, cols: int = 128):
     key = jax.random.PRNGKey(1)
     arr = CONTRACT.as_array(jnp.float32)
+    # interpret=True (not just force_tpu_interpret_mode) so the engine's
+    # supported-gate picks the pallas path off-TPU instead of falling back
+    # to XLA.
     with pltpu.force_tpu_interpret_mode():
         return simulate_terminal_rows_pallas(
             key, arr, timesteps=timesteps, rows=rows, cols=cols,
-            dtype=jnp.float32, scheme=scheme,
+            dtype=jnp.float32, scheme=scheme, interpret=True,
         )
 
 

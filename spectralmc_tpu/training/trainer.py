@@ -493,6 +493,134 @@ class GbmCVNNPricer:
             )
         )
 
+    def train_via_effects(
+        self,
+        config: TrainingConfig,
+        *,
+        commit_plan: CommitPlan | None = None,
+        commit_fn: CommitFn | None = None,
+    ) -> Result[TrainingResult, TrainerError]:
+        """Effect-interpreted training: description → interpreter → result.
+
+        The reference's ``train_via_effects`` is a placeholder that delegates
+        to the imperative ``train()`` ("the effect-path refactor is
+        incomplete", gbm_trainer.py:1686-1703). Here the effect path is real:
+        the run is pure data from ``build_training_run_effects`` and an
+        interpreter executes it — ``TrainSegment`` resolves to the pricer's
+        jitted fused scan, ``CommitVersion`` to the commit hook. Semantics
+        (losses, counters, commit boundaries) are bit-identical to
+        ``train()``; tests assert so.
+        """
+        import asyncio
+
+        from spectralmc_tpu.effects.interpreter import SpectralMCInterpreter
+        from spectralmc_tpu.effects.types import CommitVersion, TrainSegment
+        from spectralmc_tpu.training.effects_builders import build_training_run_effects
+
+        plan = commit_plan if commit_plan is not None else NoCommit()
+        if not isinstance(plan, NoCommit) and commit_fn is None:
+            return Failure(
+                CommitPlanMismatch(reason="commit plan requires a commit_fn/store")
+            )
+        if isinstance(plan, NoCommit) and commit_fn is not None:
+            return Failure(
+                CommitPlanMismatch(reason="commit_fn provided but plan is NoCommit")
+            )
+        interval = _commit_interval(plan)
+        if interval is not None and interval <= 0:
+            return Failure(CommitPlanMismatch(reason="commit interval must be > 0"))
+
+        sequence = build_training_run_effects(
+            num_batches=config.num_batches,
+            batch_size=config.batch_size,
+            learning_rate=config.learning_rate,
+            commit_interval=interval,
+            final_commit=_commits_final(plan),
+        )
+
+        start_step = self._global_step
+        carry = {
+            "params": self._params,
+            "bn_state": self._bn_state,
+            "opt_state": self._init_opt_state(config.learning_rate),
+            "sobol_skip": jnp.uint32(self._sobol_skip),
+            "mc_skip": jnp.uint32(self._sim.skip),
+        }
+        progress: dict[str, Any] = {
+            "carry": carry,
+            "losses": [],
+            "gnorms": [],
+            "batches_done": 0,
+            "failure": None,
+        }
+
+        def run_train_segment(effect: TrainSegment) -> int:
+            run = self._make_segment(effect.learning_rate, effect.batch_size, effect.length)
+            new_carry, (seg_losses, seg_gnorms) = run(progress["carry"])
+            seg_losses = np.asarray(seg_losses)
+            seg_gnorms = np.asarray(seg_gnorms)
+            progress["carry"] = new_carry
+            progress["losses"].append(seg_losses)
+            progress["gnorms"].append(seg_gnorms)
+            progress["batches_done"] += effect.length
+            if not np.isfinite(seg_losses[-1]):
+                progress["failure"] = NonFiniteLoss(
+                    step=start_step + progress["batches_done"],
+                    loss=float(seg_losses[-1]),
+                    reason="training diverged",
+                )
+                raise FloatingPointError("non-finite loss")  # surfaces as TrainingError
+            if self._step_callback is not None:
+                base = start_step + progress["batches_done"] - effect.length
+                for i in range(effect.length):
+                    self._step_callback(
+                        StepMetrics(
+                            step=base + i + 1,
+                            loss=float(seg_losses[i]),
+                            grad_norm=float(seg_gnorms[i]),
+                            learning_rate=effect.learning_rate,
+                        )
+                    )
+            self._absorb(progress["carry"], start_step + progress["batches_done"])
+            return progress["batches_done"]
+
+        pricer = self
+
+        class _CommitFnInterpreter(SpectralMCInterpreter):
+            """CommitVersion → the commit hook; everything else → stock routing."""
+
+            async def interpret(self, effect: Any) -> Result[Any, Any]:
+                if isinstance(effect, CommitVersion):
+                    last = progress["losses"][-1][-1] if progress["losses"] else float("nan")
+                    pricer._commit(plan, commit_fn, float(last), progress["batches_done"])
+                    return Success(effect.message)
+                return await super().interpret(effect)
+
+        interpreter = _CommitFnInterpreter()
+        interpreter.registry.put_function("train_segment", run_train_segment)
+        interpreter.registry.update_metadata("sobol_skip", "set", self._sobol_skip)
+        interpreter.registry.update_metadata("mc_skip", "set", self._sim.skip)
+        outcome = asyncio.run(interpreter.interpret_sequence(sequence))
+        if isinstance(outcome, Failure):
+            if progress["failure"] is not None:
+                return Failure(progress["failure"])
+            return Failure(
+                CheckpointMismatch(field="effects", reason=repr(outcome.error))
+            )
+
+        all_losses = np.concatenate(progress["losses"])
+        all_gnorms = np.concatenate(progress["gnorms"])
+        return Success(
+            TrainingResult(
+                updated_config=self.snapshot(),
+                final_loss=float(all_losses[-1]),
+                total_batches=int(config.num_batches),
+                final_grad_norm=float(all_gnorms[-1]),
+                losses=all_losses,
+                grad_norms=all_gnorms,
+            )
+        )
+
     def _absorb(self, carry: Mapping[str, Any], global_step: int) -> None:
         """Pull the scan carry back into pricer state (device arrays stay on device)."""
         self._params = carry["params"]

@@ -197,3 +197,54 @@ def test_step_callback_receives_metrics() -> None:
     pricer.set_step_callback(lambda m: seen.append(m.step))
     expect_success(pricer.train(make_training(num_batches=3)))
     assert seen == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# effect-interpreted training (the path the reference left as a placeholder,
+# gbm_trainer.py:1686-1703 — here it is the real driver)
+# ---------------------------------------------------------------------------
+
+
+def test_train_via_effects_equals_train_bit_exact() -> None:
+    cfg = make_pricer_config()
+    a = expect_success(GbmCVNNPricer.create(cfg))
+    b = expect_success(GbmCVNNPricer.create(cfg))
+    tc = make_training(num_batches=6)
+    ra = expect_success(a.train(tc))
+    rb = expect_success(b.train_via_effects(tc))
+    assert np.array_equal(ra.losses, rb.losses)
+    assert np.array_equal(ra.grad_norms, rb.grad_norms)
+    sa, sb = ra.updated_config, rb.updated_config
+    assert sa.global_step == sb.global_step
+    assert sa.sobol_skip == sb.sobol_skip
+    assert sa.sim.skip == sb.sim.skip
+    for k in sa.model_state:
+        assert np.array_equal(sa.model_state[k], sb.model_state[k]), k
+    for k in sa.optimizer_state:
+        assert np.array_equal(sa.optimizer_state[k], sb.optimizer_state[k]), k
+
+
+def test_train_via_effects_commit_boundaries_match_train() -> None:
+    cfg = make_pricer_config()
+    tc = make_training(num_batches=5)
+
+    def run(method_name: str) -> list[tuple[int, str]]:
+        pricer = expect_success(GbmCVNNPricer.create(cfg))
+        commits: list[tuple[int, str]] = []
+        method = getattr(pricer, method_name)
+        expect_success(
+            method(
+                tc,
+                commit_plan=FinalAndIntervalCommit(interval=2),
+                commit_fn=lambda snap, msg: commits.append((snap.global_step, msg)),
+            )
+        )
+        return commits
+
+    assert run("train") == run("train_via_effects")
+
+
+def test_train_via_effects_plan_validation() -> None:
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    failure = pricer.train_via_effects(make_training(), commit_plan=FinalCommit())
+    assert isinstance(expect_failure(failure), CommitPlanMismatch)

@@ -4,6 +4,17 @@ Parity: the reference's basic engine usage (README.md quick start).
 Run: JAX_PLATFORMS=cpu python examples/01_price_option.py
 """
 
+# Make the repo importable when run straight from a checkout
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Honor JAX_PLATFORMS even where a TPU plugin overrides the env var
+import os
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from spectralmc_tpu.ops.analytic import black_scholes_price
 from spectralmc_tpu.ops.gbm import BlackScholes, BlackScholesContract, build_simulation_params
 

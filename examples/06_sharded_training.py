@@ -6,6 +6,17 @@ Run on 8 virtual devices:
       python examples/06_sharded_training.py
 """
 
+# Make the repo importable when run straight from a checkout
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Honor JAX_PLATFORMS even where a TPU plugin overrides the env var
+import os
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 import jax

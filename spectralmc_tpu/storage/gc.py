@@ -8,13 +8,18 @@ delete, and a ``GCReport``.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 from typing import Union
 
 from spectralmc_tpu.core.errors.storage import StorageError
 from spectralmc_tpu.core.result import Failure, Result, Success
 from spectralmc_tpu.storage.chain import ModelVersion
-from spectralmc_tpu.storage.store import VERSIONS_PREFIX, AsyncBlockchainModelStore
+from spectralmc_tpu.storage.store import (
+    GC_LOG_PREFIX,
+    VERSIONS_PREFIX,
+    AsyncBlockchainModelStore,
+)
 
 
 @dataclass(frozen=True, slots=True)
@@ -80,6 +85,16 @@ class GarbageCollector:
             keys = await object_store.list(prefix)
             if isinstance(keys, Failure):
                 return Failure(keys.error)
+            if isinstance(mode, ExecuteGC):
+                # Tombstone FIRST (crash-safe ordering): the chain skeleton —
+                # counter/semver/hash links — survives the payload deletion,
+                # so verification can prove the gap is GC, not tampering.
+                tombstone = json.dumps(version.model_dump(), sort_keys=True).encode()
+                written = await object_store.put(
+                    f"{GC_LOG_PREFIX}{version.directory_name}.json", tombstone
+                )
+                if isinstance(written, Failure):
+                    return Failure(written.error)
             for key in keys.value:
                 head = await object_store.head(key)
                 if isinstance(head, Success):

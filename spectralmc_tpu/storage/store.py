@@ -37,6 +37,7 @@ from spectralmc_tpu.storage.retry import retry_on_throttle
 CHAIN_KEY = "chain.json"
 VERSIONS_PREFIX = "versions/"
 AUDIT_PREFIX = "audit_log/"
+GC_LOG_PREFIX = "gc_log/"
 CHECKPOINT_NAME = "checkpoint.pb"
 METADATA_NAME = "metadata.json"
 CONTENT_HASH_NAME = "content_hash.txt"
@@ -235,6 +236,30 @@ class AsyncBlockchainModelStore:
         for key in listing.value:
             if not key.endswith("/" + METADATA_NAME):
                 continue
+            got = await self._store.get(key)
+            if isinstance(got, Failure):
+                return Failure(got.error)
+            try:
+                record = json.loads(got.value[0])
+                version = ModelVersion(**{f: record[f] for f in _VERSION_FIELDS})
+            except Exception as exc:
+                return Failure(ChainParseError(key=key, reason=str(exc)))
+            versions[version.counter] = version
+        return Success(tuple(versions[c] for c in sorted(versions)))
+
+    async def list_tombstones(self) -> Result[tuple[ModelVersion, ...], StorageError]:
+        """Versions the garbage collector freed, preserved as chain skeleton.
+
+        GC writes each collected version's metadata record under ``gc_log/``
+        before deleting its artifacts, so chain verification can still check
+        counters and the Merkle property across the gap (no reference
+        counterpart — its verify cannot distinguish GC from tampering).
+        """
+        listing = await retry_on_throttle(lambda: self._store.list(GC_LOG_PREFIX))
+        if isinstance(listing, Failure):
+            return Failure(listing.error)
+        versions: dict[int, ModelVersion] = {}
+        for key in listing.value:
             got = await self._store.get(key)
             if isinstance(got, Failure):
                 return Failure(got.error)

@@ -90,10 +90,23 @@ def verify_chain_links(versions: tuple[ModelVersion, ...]) -> ChainVerdict:
 async def verify_chain_detailed(
     store: AsyncBlockchainModelStore,
 ) -> Result[ChainVerdict, StorageError]:
+    """Full-chain verification, GC-aware.
+
+    Garbage-collected versions are merged back in from their ``gc_log/``
+    tombstones (counter + hash links only), so every invariant — sequential
+    counters, the Merkle property, semver progression — is checked across
+    the whole history. A gap with no tombstone is real corruption.
+    """
     versions = await store.list_versions()
     if isinstance(versions, Failure):
         return Failure(versions.error)
-    verdict = verify_chain_links(versions.value)
+    tombstones = await store.list_tombstones()
+    if isinstance(tombstones, Failure):
+        return Failure(tombstones.error)
+    merged = {v.counter: v for v in tombstones.value}
+    merged.update({v.counter: v for v in versions.value})
+    chain = tuple(merged[c] for c in sorted(merged))
+    verdict = verify_chain_links(chain)
     if isinstance(verdict, ChainCorrupted):
         return Success(verdict)
     # HEAD must point at the last version

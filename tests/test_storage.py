@@ -296,6 +296,33 @@ def test_gc_preview_and_run(store: AsyncBlockchainModelStore) -> None:
     assert [v.counter for v in remaining] == [0, 4, 5]
 
 
+def test_gc_tombstones_keep_chain_verifiable(store: AsyncBlockchainModelStore) -> None:
+    """GC-aware verification: tombstones bridge the gap; a gap without a
+    tombstone is corruption (no reference counterpart — its verify breaks
+    after any GC)."""
+    from spectralmc_tpu.storage.verification import ChainValid, verify_chain_detailed
+
+    for i in range(6):
+        expect_success(commit(store, f"cp-{i}".encode()))
+    policy = RetentionPolicy(keep_versions=2, keep_min_versions=2)
+    expect_success(asyncio.run(run_gc(store, policy, ExecuteGC())))
+
+    tombs = expect_success(asyncio.run(store.list_tombstones()))
+    assert [t.counter for t in tombs] == [1, 2, 3]
+    verdict = expect_success(asyncio.run(verify_chain_detailed(store)))
+    assert isinstance(verdict, ChainValid)
+    assert verdict.versions == 6  # full history verified, payloads or not
+
+    # erase a tombstone -> the gap is no longer explained
+    erased = asyncio.run(store.object_store.delete(
+        f"gc_log/{tombs[1].directory_name}.json"
+    ))
+    expect_success(erased)
+    verdict = expect_success(asyncio.run(verify_chain_detailed(store)))
+    assert not isinstance(verdict, ChainValid)
+    assert verdict.corruption_type in ("counter_gap", "merkle_break")
+
+
 def test_gc_protects_tagged_counters(store: AsyncBlockchainModelStore) -> None:
     for i in range(5):
         expect_success(commit(store, f"c{i}".encode()))

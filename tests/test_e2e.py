@@ -1,0 +1,132 @@
+"""End-to-end tours (parity: reference tests/test_e2e/ —
+test_full_stack_cvnn_pricer.py:65-126 and test_training_checkpoint.py:47-120).
+
+The documented single path: config → training → blockchain commit → reload
+(into a *differently-seeded* world) → deterministic inference; plus the
+checkpoint round-trip with optimizer-state equality.
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+import numpy as np
+
+from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+from spectralmc_tpu.ops.gbm import build_simulation_params
+from spectralmc_tpu.ops.sobol import BoundSpec
+from spectralmc_tpu.storage.checkpoint import (
+    commit_snapshot,
+    load_snapshot_from_checkpoint,
+    make_commit_fn,
+)
+from spectralmc_tpu.storage.object_store import FileSystemObjectStore
+from spectralmc_tpu.storage.store import AsyncBlockchainModelStore
+from spectralmc_tpu.storage.verification import ChainValid, verify_chain_detailed
+from spectralmc_tpu.training.trainer import (
+    FinalAndIntervalCommit,
+    GbmCVNNPricer,
+    GbmCVNNPricerConfig,
+    build_training_config,
+)
+from tests.helpers import expect_success
+from tests.helpers.factories import make_contract
+
+BOUNDS = {
+    "spot": BoundSpec(lower=90.0, upper=110.0),
+    "strike": BoundSpec(lower=90.0, upper=110.0),
+    "maturity": BoundSpec(lower=0.5, upper=1.5),
+    "rate": BoundSpec(lower=0.0, upper=0.05),
+    "div_yield": BoundSpec(lower=0.0, upper=0.02),
+    "vol": BoundSpec(lower=0.1, upper=0.4),
+}
+
+
+def _fresh_config(seed: int) -> GbmCVNNPricerConfig:
+    # reference e2e scale: 16 timesteps x 128 network x 4 batches
+    sim = expect_success(
+        build_simulation_params(
+            mc_seed=11, timesteps=16, network_size=128, batches_per_mc_run=4
+        )
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=32, activation=Activation.MODRELU)], seed=seed
+        )
+    )
+    return GbmCVNNPricerConfig(sim=sim, bounds=BOUNDS, cvnn=cvnn)
+
+
+def test_full_stack_train_commit_reload_predict(tmp_path) -> None:
+    store = AsyncBlockchainModelStore(FileSystemObjectStore(str(tmp_path), "e2e"))
+
+    # 1. train with interval+final commits straight into the chain
+    pricer = expect_success(GbmCVNNPricer.create(_fresh_config(seed=5)))
+    tc = expect_success(
+        build_training_config(num_batches=4, batch_size=8, learning_rate=1e-3)
+    )
+    result = expect_success(
+        pricer.train(
+            tc,
+            commit_plan=FinalAndIntervalCommit(interval=2),
+            commit_fn=make_commit_fn(store),
+        )
+    )
+    assert np.all(np.isfinite(result.losses))
+
+    # 2. the chain holds the commits and verifies
+    versions = expect_success(asyncio.run(store.list_versions()))
+    # step 2 (interval) + step 4 (final; the interval boundary at 4 is not
+    # double-committed)
+    assert len(versions) == 2
+    assert versions[0].message.startswith("step=2 ")
+    assert versions[1].message.startswith("step=4 ")
+    assert isinstance(expect_success(asyncio.run(verify_chain_detailed(store))), ChainValid)
+
+    # 3. reload HEAD into a world seeded differently — the checkpoint is
+    # self-describing, so the restored pricer must not depend on local seeds
+    head = expect_success(asyncio.run(store.get_head()))
+    restored_cfg = expect_success(
+        asyncio.run(load_snapshot_from_checkpoint(store, head))
+    )
+    assert restored_cfg.global_step == 4
+    restored = expect_success(GbmCVNNPricer.create(restored_cfg))
+
+    # 4. deterministic inference: original and reloaded agree bit-for-bit
+    contracts = [make_contract(strike=95.0), make_contract(strike=105.0)]
+    a = pricer.predict_price(contracts)
+    b = restored.predict_price(contracts)
+    assert np.array_equal(a.put, b.put)
+    assert np.array_equal(a.call, b.call)
+    assert np.all(np.isfinite(a.put)) and np.all(np.isfinite(a.call))
+
+
+def test_checkpoint_roundtrip_optimizer_state_equality(tmp_path) -> None:
+    store = AsyncBlockchainModelStore(FileSystemObjectStore(str(tmp_path), "ckpt"))
+    pricer = expect_success(GbmCVNNPricer.create(_fresh_config(seed=9)))
+    tc = expect_success(
+        build_training_config(num_batches=3, batch_size=4, learning_rate=2e-3)
+    )
+    expect_success(pricer.train(tc))
+    snap = pricer.snapshot()
+    version = expect_success(asyncio.run(commit_snapshot(store, snap, "round-trip")))
+    loaded = expect_success(asyncio.run(load_snapshot_from_checkpoint(store, version)))
+
+    assert loaded.global_step == snap.global_step
+    assert loaded.sobol_skip == snap.sobol_skip
+    assert loaded.sim == snap.sim
+    assert set(loaded.optimizer_state) == set(snap.optimizer_state)
+    for k in snap.optimizer_state:
+        assert np.array_equal(loaded.optimizer_state[k], snap.optimizer_state[k]), k
+    for k in snap.model_state:
+        assert np.array_equal(loaded.model_state[k], snap.model_state[k]), k
+
+    # training both 2 more batches stays in lock step (resume == continuous)
+    c1 = expect_success(GbmCVNNPricer.create(snap))
+    c2 = expect_success(GbmCVNNPricer.create(loaded))
+    tc2 = expect_success(
+        build_training_config(num_batches=2, batch_size=4, learning_rate=2e-3)
+    )
+    r1 = expect_success(c1.train(tc2))
+    r2 = expect_success(c2.train(tc2))
+    assert np.array_equal(r1.losses, r2.losses)

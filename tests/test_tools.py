@@ -217,3 +217,24 @@ def test_model_check_small() -> None:
     from tools.model_check import run_model_check
 
     assert run_model_check(3) == 0
+
+
+def test_fix_frozen_dataclass(tmp_path: Path) -> None:
+    src = (
+        "from dataclasses import dataclass\n"
+        "@dataclass\nclass A:\n    x: int\n"
+        "@dataclass(slots=True)\nclass B:\n    x: int\n"
+        "@dataclass(frozen=True)\nclass C:\n    x: int\n"
+    )
+    target = tmp_path / "spectralmc_tpu" / "models" / "x.py"
+    target.parent.mkdir(parents=True)
+    target.write_text(src)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "check_immutability.py"), str(target), "--fix"],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    fixed = target.read_text()
+    assert "@dataclass(frozen=True)\nclass A" in fixed
+    assert "@dataclass(frozen=True, slots=True)\nclass B" in fixed
+    assert fixed.count("frozen=True") == 3

@@ -39,6 +39,17 @@ def main(argv: list[str] | None = None) -> int:
             print(f"FAILED at {family}", file=sys.stderr)
             return rc
 
+    print("==> pyproject")
+    import os
+
+    proc = subprocess.run(
+        [sys.executable, str(Path(__file__).parent / "check_pyproject.py")],
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    if proc.returncode != 0:
+        print("FAILED at pyproject", file=sys.stderr)
+        return proc.returncode
+
     if not args.no_external:
         for name, cmd in EXTERNAL:
             if shutil.which(cmd[0]) is None:

@@ -25,6 +25,11 @@ def main(family: str, argv: Sequence[str] | None = None) -> int:
     parser.add_argument(
         "--list-rules", action="store_true", help="list this family's rules and exit"
     )
+    parser.add_argument(
+        "--fix",
+        action="store_true",
+        help="apply autofixes where a rule has one, then re-check",
+    )
     args = parser.parse_args(argv)
 
     rules = rules_in_family(family)
@@ -42,6 +47,23 @@ def main(family: str, argv: Sequence[str] | None = None) -> int:
 
     paths = args.paths or [str(p) for p in library_files()]
     violations = run_rules(paths, rules)
+
+    if args.fix and violations:
+        from pathlib import Path
+
+        from tools.static_checks.rules import FIXERS
+
+        fixed_files: set[str] = set()
+        for v in violations:
+            fixer = FIXERS.get(v.rule_id)
+            if fixer is None or v.path in fixed_files:
+                continue
+            target = Path(v.path)
+            target.write_text(fixer(target.read_text()))
+            fixed_files.add(v.path)
+        if fixed_files:
+            print(f"fixed {len(fixed_files)} file(s): {', '.join(sorted(fixed_files))}")
+        violations = run_rules(paths, rules)  # re-check after fixes
     for v in violations:
         print(v.render())
     if violations:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import ast
 import re
-from typing import Iterable, Iterator
+from typing import Callable, Iterable, Iterator
 
 from tools.static_checks.classifier import JAX_IN_CORE_ALLOWED, Tier
 from tools.static_checks.engine import Rule, Violation
@@ -591,6 +591,25 @@ RULES: tuple[Rule, ...] = (
 
 def rules_in_family(family: str) -> tuple[Rule, ...]:
     return tuple(r for r in RULES if r.family == family)
+
+
+# ---------------------------------------------------------------------------
+# Autofixers (reference check_purity.py --fix): rule_id -> source transformer.
+# Only mechanically-safe rewrites get a fixer; everything else reports only.
+# ---------------------------------------------------------------------------
+
+_BARE_DATACLASS_RE = re.compile(r"^(\s*)@dataclass(\s*(#.*)?)$", re.MULTILINE)
+_CALL_DATACLASS_RE = re.compile(r"^(\s*)@dataclass\((?![^)]*frozen)", re.MULTILINE)
+
+
+def _fix_frozen_dataclass(source: str) -> str:
+    source = _BARE_DATACLASS_RE.sub(r"\1@dataclass(frozen=True)\2", source)
+    return _CALL_DATACLASS_RE.sub(r"\1@dataclass(frozen=True, ", source)
+
+
+FIXERS: dict[str, Callable[[str], str]] = {
+    "I001": _fix_frozen_dataclass,
+}
 
 
 def get_rule(rule_id: str) -> Rule | None:

@@ -107,8 +107,8 @@ def main() -> None:
         mc = dict(timesteps=16, rows=256, cols=256, reps=2)
         tr = dict(timesteps=4, batches=8, network=32, batch_size=8, reps=3)
     else:
-        mc = dict(timesteps=64, rows=8192, cols=256, reps=100)  # 2M paths/rep
-        tr = dict(timesteps=16, batches=512, network=128, batch_size=64, reps=10)
+        mc = dict(timesteps=64, rows=8192, cols=256, reps=200)  # 2M paths/rep
+        tr = dict(timesteps=16, batches=512, network=128, batch_size=64, reps=300)
 
     def pallas_fn(key, contract):
         return simulate_terminal_rows_pallas(

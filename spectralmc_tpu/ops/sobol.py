@@ -117,10 +117,15 @@ def sobol_uint32(
     """
     idx = jnp.asarray(start, dtype=jnp.uint32) + jnp.arange(count, dtype=jnp.uint32)
     gray = idx ^ (idx >> 1)
-    acc = jnp.zeros((count, directions.shape[0]), dtype=jnp.uint32)
-    for k in range(BITS):  # static unroll; XLA fuses into one elementwise loop
-        bit = (gray >> k) & jnp.uint32(1)
-        acc = acc ^ bit[:, None] * directions[None, :, k]
+    # One [count, d, BITS] masked tensor + a single XOR reduction. The naive
+    # 32-step XOR chain is latency-bound on TPU (tiny arrays, sequential
+    # dependency — measured 0.9 ms/step, 60% of a whole training batch);
+    # XOR is associative, so the reduction is bit-identical.
+    ks = jnp.arange(BITS, dtype=jnp.uint32)
+    bits = (gray[:, None] >> ks[None, :]) & jnp.uint32(1)  # [count, BITS]
+    masks = jnp.uint32(0) - bits  # 0x0 or 0xFFFFFFFF
+    terms = masks[:, None, :] & directions[None, :, :]  # [count, d, BITS]
+    acc = jax.lax.reduce(terms, jnp.uint32(0), jax.lax.bitwise_xor, (2,))
     return acc ^ shift[None, :]
 
 

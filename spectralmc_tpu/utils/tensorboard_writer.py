@@ -95,6 +95,19 @@ async def log_chain_to_tensorboard(
             param_count = sum(int(np.asarray(v).size) for v in cfg.model_state.values())
             writer.add_scalar("chain/param_count", param_count, version.counter)
         count += 1
+    # summary stats (reference tensorboard_writer.py: versions/day)
+    if len(versions.value) >= 2:
+        from datetime import datetime
+
+        try:
+            first = datetime.fromisoformat(versions.value[0].timestamp)
+            last = datetime.fromisoformat(versions.value[-1].timestamp)
+            span_days = max((last - first).total_seconds() / 86400.0, 1e-9)
+            writer.add_scalar(
+                "chain/versions_per_day", len(versions.value) / span_days, 0
+            )
+        except ValueError:
+            pass  # non-ISO timestamps: skip the summary, never the log
     writer.flush()
     writer.close()
     return Success(count)

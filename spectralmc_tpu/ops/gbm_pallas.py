@@ -50,7 +50,7 @@ _HALF_ULP = float(2.0**-25)
 
 def _gbm_block_kernel(
     params_ref,  # SMEM (1, 6): spot, strike, maturity, rate, div, vol
-    seeds_ref,  # SMEM (1, 2) int32: the threefry key words
+    seeds_ref,  # SMEM (1, 3) int32: threefry key words + row-block offset
     out_ref,  # VMEM (BLOCK_ROWS, BLOCK_COLS)
     *,
     timesteps: int,
@@ -58,7 +58,11 @@ def _gbm_block_kernel(
     rows_per_block: int,
     cols_per_block: int,
 ) -> None:
-    i = pl.program_id(0)
+    # Global row-block index: a mesh shard owning rows [k, k+n) passes
+    # row_block_offset = k // block_rows, so its blocks draw the same streams
+    # the unsharded kernel assigns to those rows (shard-stable when k is
+    # block-aligned; independent streams otherwise).
+    i = pl.program_id(0) + seeds_ref[0, 2]
     j = pl.program_id(1)
     spot = params_ref[0, 0]
     rate = params_ref[0, 3]
@@ -156,6 +160,7 @@ def _simulate_rows_pallas_f32(
     rows: int,
     cols: int,
     scheme: PathScheme,
+    row_offset: jax.Array | int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     block_rows = min(BLOCK_ROWS, rows)
@@ -165,7 +170,12 @@ def _simulate_rows_pallas_f32(
             f"pallas path needs rows/cols divisible by block ({block_rows},{block_cols})"
         )
     key_data = jax.random.key_data(contract_key)
-    seeds = key_data.astype(jnp.int32).reshape(1, 2)
+    row_block = (
+        jnp.asarray(row_offset, jnp.uint32) // jnp.uint32(block_rows)
+    ).astype(jnp.int32)
+    seeds = jnp.concatenate(
+        [key_data.astype(jnp.int32).reshape(2), row_block.reshape(1)]
+    ).reshape(1, 3)
     params = contract.astype(jnp.float32).reshape(1, 6)
 
     kernel = functools.partial(
@@ -183,7 +193,7 @@ def _simulate_rows_pallas_f32(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 6), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(
                 (block_rows, block_cols),
@@ -209,6 +219,7 @@ def simulate_terminal_rows_pallas(
     cols: int,
     dtype: jnp.dtype,
     scheme: PathScheme,
+    row_offset: jax.Array | int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas-accelerated terminal rows; falls back to XLA when unsupported."""
@@ -231,6 +242,7 @@ def simulate_terminal_rows_pallas(
             cols=cols,
             dtype=dtype,
             scheme=scheme,
+            row_offset=row_offset,
         )
     return _simulate_rows_pallas_f32(
         contract_key,
@@ -239,6 +251,7 @@ def simulate_terminal_rows_pallas(
         rows=rows,
         cols=cols,
         scheme=scheme,
+        row_offset=row_offset,
         interpret=interpret,
     )
 

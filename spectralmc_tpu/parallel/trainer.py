@@ -34,6 +34,7 @@ from jax.sharding import PartitionSpec as P
 from spectralmc_tpu.models.factory import CVNN
 from spectralmc_tpu.ops.gbm import (
     ForwardNormalization,
+    SimImplementation,
     SimulationParams,
     simulate_terminal_rows,
 )
@@ -70,9 +71,16 @@ def make_sharded_batch(
     upper = table.upper.astype(dtype)
     dp_axis, mc_axis = spec.batch_axis, spec.paths_axis
 
+    if sim.implementation == SimImplementation.PALLAS:
+        from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_rows_pallas
+
+        simulate = simulate_terminal_rows_pallas
+    else:
+        simulate = simulate_terminal_rows
+
     def mc_spectrum_local(draw: jax.Array, contract: jax.Array, mc_idx: jax.Array) -> jax.Array:
         key = jax.random.fold_in(base_key, draw)
-        rows = simulate_terminal_rows(
+        rows = simulate(
             key,
             contract,
             timesteps=sim.timesteps,

@@ -99,3 +99,20 @@ def test_fallback_to_xla(kwargs) -> None:
         dtype=kwargs["dtype"], scheme=PathScheme.LOG_EULER,
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_row_offset_falls_back_and_passes_through() -> None:
+    """Off-TPU, row_offset routes to the XLA path and must reproduce the
+    exact global rows (the sharding contract, SURVEY §2.9 DP design)."""
+    from spectralmc_tpu.ops.gbm import simulate_terminal_rows
+
+    key = jax.random.PRNGKey(3)
+    arr = CONTRACT.as_array(jnp.float32)
+    kw = dict(timesteps=4, cols=128, dtype=jnp.float32, scheme=PathScheme.LOG_EULER)
+    full = np.asarray(
+        simulate_terminal_rows(key, arr, rows=16, **kw)
+    )
+    hi = np.asarray(
+        simulate_terminal_rows_pallas(key, arr, rows=8, row_offset=8, **kw)
+    )
+    assert np.array_equal(hi, full[8:])

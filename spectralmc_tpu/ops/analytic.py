@@ -59,3 +59,50 @@ def black_scholes_price(
         put_convexity=put - put_intr,
         call_convexity=call - call_intr,
     )
+
+
+def geometric_asian_price(
+    spot: Any,
+    strike: Any,
+    maturity: Any,
+    rate: Any,
+    div_yield: Any,
+    vol: Any,
+    *,
+    timesteps: int,
+) -> AnalyticPrices:
+    """Discrete geometric-Asian put/call, closed form (extension oracle).
+
+    The geometric mean over the monitoring grid t_i = i·T/N (i = 1..N) of a
+    GBM is lognormal with
+
+        ln G ~ N(mu, s²),
+        mu = ln S + (r − q − σ²/2)·dt·(N+1)/2,
+        s² = σ²·dt·(N+1)(2N+1)/(6N),
+
+    exact under the log-Euler discretization — so the MC estimator in
+    ``ops/gbm.py::simulate_underlier_rows(ASIAN_GEOMETRIC)`` converges to
+    this price with zero discretization bias, making it as sharp an oracle
+    as the Black formula is for TERMINAL payoffs.
+    """
+    n = jnp.asarray(float(timesteps), getattr(spot, "dtype", jnp.float64))
+    dt = maturity / n
+    df = jnp.exp(-rate * maturity)
+    mu = jnp.log(spot) + (rate - div_yield - 0.5 * vol * vol) * dt * (n + 1.0) / 2.0
+    s2 = vol * vol * dt * (n + 1.0) * (2.0 * n + 1.0) / (6.0 * n)
+    s = jnp.sqrt(s2)
+    mean_g = jnp.exp(mu + 0.5 * s2)  # E[G]
+    d1 = (mu - jnp.log(strike) + s2) / s
+    d2 = d1 - s
+    call = df * (mean_g * _norm_cdf(d1) - strike * _norm_cdf(d2))
+    put = call - df * (mean_g - strike)  # parity on the lognormal mean
+    call_intr = df * jnp.maximum(mean_g - strike, 0.0)
+    put_intr = df * jnp.maximum(strike - mean_g, 0.0)
+    return AnalyticPrices(
+        put=put,
+        call=call,
+        put_intrinsic=put_intr,
+        call_intrinsic=call_intr,
+        put_convexity=put - put_intr,
+        call_convexity=call - call_intr,
+    )

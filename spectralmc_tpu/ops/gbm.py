@@ -60,6 +60,23 @@ class ForwardNormalization(enum.Enum):
     MEAN = "mean"  # rescale so the path mean matches the analytic forward
 
 
+class PayoffKind(enum.Enum):
+    """What the option pays on — the 'underlier' the spectrum is learned over.
+
+    TERMINAL reproduces the reference exactly (European put/call on S_T).
+    The Asian kinds are an extension with no reference counterpart: they pay
+    on the discrete average over the monitoring grid t_1..t_N (the timestep
+    grid), exercising the path-dependent capability the timestep walk exists
+    for. ASIAN_GEOMETRIC has a closed form under the log-Euler scheme
+    (ops/analytic.py::geometric_asian_price) and anchors the statistical
+    gates; ASIAN_ARITHMETIC is the practically-traded variant.
+    """
+
+    TERMINAL = "terminal"
+    ASIAN_ARITHMETIC = "asian_arithmetic"
+    ASIAN_GEOMETRIC = "asian_geometric"
+
+
 class SimImplementation(enum.Enum):
     XLA = "xla"  # lax.scan reference implementation
     PALLAS = "pallas"  # fused RNG+step kernel (gbm_pallas.py)
@@ -117,6 +134,7 @@ class SimulationParams(BaseModel):
     scheme: PathScheme = PathScheme.LOG_EULER
     normalization: ForwardNormalization = ForwardNormalization.MEAN
     implementation: SimImplementation = SimImplementation.XLA
+    payoff: PayoffKind = PayoffKind.TERMINAL
 
     @property
     def total_paths(self) -> int:
@@ -231,6 +249,105 @@ def simulate_terminal_rows(
     return x_t
 
 
+def simulate_underlier_rows(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    scheme: PathScheme,
+    payoff: PayoffKind,
+    row_offset: jax.Array | int = 0,
+) -> jax.Array:
+    """``[rows, cols]`` payoff underliers: terminal value or path average.
+
+    Uses the exact bit stream of ``simulate_terminal_rows`` — normals keyed
+    by (contract_key, global row, timestep) — so TERMINAL is identical to it
+    and the Asian kinds are shard-stable the same way.
+    """
+    if payoff == PayoffKind.TERMINAL:
+        return simulate_terminal_rows(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            scheme=scheme,
+            row_offset=row_offset,
+        )
+
+    spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
+    dt = maturity / jnp.asarray(timesteps, dtype)
+    drift = (rate - div_yield - 0.5 * vol * vol) * dt
+    sqrt_dt = jnp.sqrt(dt)
+    row_idx = jnp.asarray(row_offset, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
+    row_keys = jax.vmap(lambda r: jax.random.fold_in(contract_key, r))(row_idx)
+
+    def normals(t: jax.Array) -> jax.Array:
+        return jax.vmap(
+            lambda k: jax.random.normal(jax.random.fold_in(k, t), (cols,), dtype)
+        )(row_keys)
+
+    geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
+    if scheme == PathScheme.LOG_EULER:
+
+        def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+            logx, acc = carry
+            logx = logx + drift + vol * sqrt_dt * normals(t)
+            acc = acc + (logx if geometric else jnp.exp(logx))
+            return (logx, acc), None
+
+        log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
+        (_, acc), _ = jax.lax.scan(
+            body, (log0, jnp.zeros((rows, cols), dtype)), jnp.arange(timesteps)
+        )
+    else:
+
+        def body_euler(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+            x, acc = carry
+            x = jnp.abs(x * (1.0 + (rate - div_yield) * dt + vol * sqrt_dt * normals(t)))
+            acc = acc + (jnp.log(x) if geometric else x)
+            return (x, acc), None
+
+        x0 = jnp.full((rows, cols), 1.0, dtype) * spot
+        (_, acc), _ = jax.lax.scan(
+            body_euler, (x0, jnp.zeros((rows, cols), dtype)), jnp.arange(timesteps)
+        )
+    mean = acc / jnp.asarray(timesteps, dtype)
+    return jnp.exp(mean) if geometric else mean
+
+
+def expected_underlier_mean(
+    contract: jax.Array, *, timesteps: int, payoff: PayoffKind, dtype: jnp.dtype
+) -> jax.Array:
+    """Analytic E[underlier] under the log-Euler discretization.
+
+    The forward-normalization target (reference gbm.py:433-440 uses the
+    terminal forward; the Asian kinds need the mean of their own average).
+    Exact for LOG_EULER; for EULER it is the continuous-limit approximation.
+    """
+    spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
+    n = jnp.asarray(timesteps, dtype)
+    dt = maturity / n
+    if payoff == PayoffKind.TERMINAL:
+        return spot * jnp.exp((rate - div_yield) * maturity)
+    if payoff == PayoffKind.ASIAN_ARITHMETIC:
+        # (1/N) sum_{i=1..N} S0 e^{(r-q) i dt} — a finite geometric series
+        g = jnp.exp((rate - div_yield) * dt)
+        # guard g == 1 (r == q): the series degenerates to N terms of S0
+        series = jnp.where(
+            jnp.abs(g - 1.0) < 1e-12, n, g * (g**n - 1.0) / (g - 1.0)
+        )
+        return spot * series / n
+    # ASIAN_GEOMETRIC: ln G ~ N(mu, s^2) exactly under log-Euler
+    mu = jnp.log(spot) + (rate - div_yield - 0.5 * vol * vol) * dt * (n + 1.0) / 2.0
+    s2 = vol * vol * dt * (n + 1.0) * (2.0 * n + 1.0) / (6.0 * n)
+    return jnp.exp(mu + 0.5 * s2)
+
+
 def simulate_terminal(
     contract_key: jax.Array,
     contract: jax.Array,
@@ -303,14 +420,25 @@ class SimPrices:
 
 
 def terminal_to_prices(
-    terminal: jax.Array, contract: jax.Array, *, normalize: bool, dtype: jnp.dtype
+    terminal: jax.Array,
+    contract: jax.Array,
+    *,
+    normalize: bool,
+    dtype: jnp.dtype,
+    mean_target: jax.Array | None = None,
 ) -> SimPrices:
-    """Payoff vectors from terminal values, with optional forward normalization."""
+    """Payoff vectors from underlier values, with optional mean normalization.
+
+    ``mean_target`` is the analytic E[underlier] the sample mean is rescaled
+    to; defaults to the terminal forward (the reference's normalization,
+    gbm.py:433-440 — correct for TERMINAL payoffs only).
+    """
     spot, strike, maturity, rate, div_yield, _ = (contract[i].astype(dtype) for i in range(6))
     forward = spot * jnp.exp((rate - div_yield) * maturity)
     df = jnp.exp(-rate * maturity)
     if normalize:
-        terminal = terminal * (forward / jnp.mean(terminal))
+        target = forward if mean_target is None else mean_target
+        terminal = terminal * (target / jnp.mean(terminal))
     put = df * jnp.maximum(strike - terminal, 0.0)
     call = df * jnp.maximum(terminal - strike, 0.0)
     return SimPrices(put_payoffs=put, call_payoffs=call, forward=forward, discount_factor=df)
@@ -362,7 +490,7 @@ class BlackScholes:
 
     def simulate_terminal(self, contract: jax.Array, draw_index: int | jax.Array) -> jax.Array:
         p = self._params
-        if p.implementation == SimImplementation.PALLAS:
+        if p.implementation == SimImplementation.PALLAS and p.payoff == PayoffKind.TERMINAL:
             from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_pallas
 
             return simulate_terminal_pallas(
@@ -374,15 +502,16 @@ class BlackScholes:
                 dtype=p.precision.to_jnp(),
                 scheme=p.scheme,
             )
-        return simulate_terminal(
+        return simulate_underlier_rows(
             self.contract_key(draw_index),
             contract,
             timesteps=p.timesteps,
-            batches=p.batches_per_mc_run,
-            network_size=p.network_size,
+            rows=p.batches_per_mc_run,
+            cols=p.network_size,
             dtype=p.precision.to_jnp(),
             scheme=p.scheme,
-        )
+            payoff=p.payoff,
+        ).reshape(p.batches_per_mc_run * p.network_size)
 
     def price(self, contract: BlackScholesContract) -> tuple[SimPrices, "BlackScholes"]:
         p = self._params
@@ -394,6 +523,9 @@ class BlackScholes:
             arr,
             normalize=p.normalization == ForwardNormalization.MEAN,
             dtype=dtype,
+            mean_target=expected_underlier_mean(
+                arr, timesteps=p.timesteps, payoff=p.payoff, dtype=dtype
+            ),
         )
         advanced = BlackScholes(p.model_copy(update={"skip": p.skip + 1}))
         return prices, advanced

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spectralmc_tpu.ops.gbm import PathScheme
+from spectralmc_tpu.ops.gbm import PathScheme, PayoffKind
 
 # Block shape: (8, 128) is the fp32 min tile; (256, 256) keeps a 256 KiB state
 # block resident in VMEM with room for the two random-bit buffers.
@@ -55,6 +55,7 @@ def _gbm_block_kernel(
     *,
     timesteps: int,
     scheme: PathScheme,
+    payoff: PayoffKind,
     rows_per_block: int,
     cols_per_block: int,
 ) -> None:
@@ -116,29 +117,48 @@ def _gbm_block_kernel(
         radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
         return radius * _sin_turns(u2 + jnp.float32(0.25))
 
+    inv_n = jnp.float32(1.0 / timesteps)
     if scheme == PathScheme.LOG_EULER:
         drift = (rate - div_yield - jnp.float32(0.5) * vol * vol) * dt
-
-        # Log-Euler increments are additive, so both Box–Muller outputs
-        # advance two timesteps per draw; their sum needs only ONE sine:
-        # z1 + z2 = r*(cos+sin)(theta) = r*sqrt(2)*sin(theta + pi/4).
-        def step_pair(t: jax.Array, logx: jax.Array) -> jax.Array:
-            u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
-            u2 = _uniform_24bit(shape)
-            radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
-            z_sum = radius * jnp.float32(math.sqrt(2.0)) * _sin_turns(
-                u2 + jnp.float32(0.125)
-            )
-            return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
 
         def step_single(t: jax.Array, logx: jax.Array) -> jax.Array:
             return logx + drift + vol_sdt * normals()
 
         log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
-        logx = jax.lax.fori_loop(0, timesteps // 2, step_pair, log0)
-        if timesteps % 2:
-            logx = step_single(0, logx)
-        out_ref[:, :] = jnp.exp(logx)
+        if payoff == PayoffKind.TERMINAL:
+            # Log-Euler increments are additive, so both Box–Muller outputs
+            # advance two timesteps per draw; their sum needs only ONE sine:
+            # z1 + z2 = r*(cos+sin)(theta) = r*sqrt(2)*sin(theta + pi/4).
+            def step_pair(t: jax.Array, logx: jax.Array) -> jax.Array:
+                u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
+                u2 = _uniform_24bit(shape)
+                radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+                z_sum = radius * jnp.float32(math.sqrt(2.0)) * _sin_turns(
+                    u2 + jnp.float32(0.125)
+                )
+                return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+
+            logx = jax.lax.fori_loop(0, timesteps // 2, step_pair, log0)
+            if timesteps % 2:
+                logx = step_single(0, logx)
+            out_ref[:, :] = jnp.exp(logx)
+        else:
+            # Path-dependent: every intermediate state feeds the running
+            # average, so the pair-step shortcut does not apply.
+            geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
+
+            def step_acc(
+                t: jax.Array, carry: tuple[jax.Array, jax.Array]
+            ) -> tuple[jax.Array, jax.Array]:
+                logx, acc = carry
+                logx = step_single(t, logx)
+                acc = acc + (logx if geometric else jnp.exp(logx))
+                return (logx, acc)
+
+            _, acc = jax.lax.fori_loop(
+                0, timesteps, step_acc, (log0, jnp.zeros(shape, jnp.float32))
+            )
+            out_ref[:, :] = jnp.exp(acc * inv_n) if geometric else acc * inv_n
     else:
         growth = jnp.float32(1.0) + (rate - div_yield) * dt
 
@@ -146,11 +166,28 @@ def _gbm_block_kernel(
             return jnp.abs(x * (growth + vol_sdt * normals()))
 
         x0 = jnp.full(shape, 1.0, jnp.float32) * spot
-        out_ref[:, :] = jax.lax.fori_loop(0, timesteps, step_euler, x0)
+        if payoff == PayoffKind.TERMINAL:
+            out_ref[:, :] = jax.lax.fori_loop(0, timesteps, step_euler, x0)
+        else:
+            geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
+
+            def step_euler_acc(
+                t: jax.Array, carry: tuple[jax.Array, jax.Array]
+            ) -> tuple[jax.Array, jax.Array]:
+                x, acc = carry
+                x = step_euler(t, x)
+                acc = acc + (jnp.log(x) if geometric else x)
+                return (x, acc)
+
+            _, acc = jax.lax.fori_loop(
+                0, timesteps, step_euler_acc, (x0, jnp.zeros(shape, jnp.float32))
+            )
+            out_ref[:, :] = jnp.exp(acc * inv_n) if geometric else acc * inv_n
 
 
 @functools.partial(
-    jax.jit, static_argnames=("timesteps", "rows", "cols", "scheme", "interpret")
+    jax.jit,
+    static_argnames=("timesteps", "rows", "cols", "scheme", "payoff", "interpret"),
 )
 def _simulate_rows_pallas_f32(
     contract_key: jax.Array,
@@ -160,6 +197,7 @@ def _simulate_rows_pallas_f32(
     rows: int,
     cols: int,
     scheme: PathScheme,
+    payoff: PayoffKind = PayoffKind.TERMINAL,
     row_offset: jax.Array | int = 0,
     interpret: bool = False,
 ) -> jax.Array:
@@ -182,6 +220,7 @@ def _simulate_rows_pallas_f32(
         _gbm_block_kernel,
         timesteps=timesteps,
         scheme=scheme,
+        payoff=payoff,
         rows_per_block=block_rows,
         cols_per_block=block_cols,
     )
@@ -278,3 +317,69 @@ def simulate_terminal_pallas(
         scheme=scheme,
         interpret=interpret,
     ).reshape(batches * network_size)
+
+
+def simulate_underlier_rows_pallas(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    scheme: PathScheme,
+    payoff: PayoffKind,
+    row_offset: jax.Array | int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Payoff underliers (terminal or path average) via the fused kernel.
+
+    Terminal payoffs route through ``simulate_terminal_rows_pallas``; Asian
+    kinds accumulate the running average in VMEM (one extra [rows, cols]
+    accumulator, one normal per timestep — the pair-step shortcut needs
+    increments only and does not apply). Falls back to the XLA
+    ``simulate_underlier_rows`` off-TPU or for unsupported shapes/dtypes.
+    """
+    if payoff == PayoffKind.TERMINAL:
+        return simulate_terminal_rows_pallas(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            scheme=scheme,
+            row_offset=row_offset,
+            interpret=interpret,
+        )
+    supported = (
+        jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        and rows % min(BLOCK_ROWS, rows) == 0
+        and cols % min(BLOCK_COLS, cols) == 0
+        and (interpret or (jax.default_backend() == "tpu" and cols % 128 == 0 and rows % 8 == 0))
+    )
+    if not supported:
+        from spectralmc_tpu.ops.gbm import simulate_underlier_rows
+
+        return simulate_underlier_rows(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            scheme=scheme,
+            payoff=payoff,
+            row_offset=row_offset,
+        )
+    return _simulate_rows_pallas_f32(
+        contract_key,
+        contract,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        scheme=scheme,
+        payoff=payoff,
+        row_offset=row_offset,
+        interpret=interpret,
+    )

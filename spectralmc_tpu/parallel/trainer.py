@@ -36,7 +36,8 @@ from spectralmc_tpu.ops.gbm import (
     ForwardNormalization,
     SimImplementation,
     SimulationParams,
-    simulate_terminal_rows,
+    expected_underlier_mean,
+    simulate_underlier_rows,
 )
 from spectralmc_tpu.ops.sobol import scale_to_bounds, sobol_unit
 from spectralmc_tpu.parallel.mesh import MeshSpec
@@ -72,11 +73,11 @@ def make_sharded_batch(
     dp_axis, mc_axis = spec.batch_axis, spec.paths_axis
 
     if sim.implementation == SimImplementation.PALLAS:
-        from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_rows_pallas
+        from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
 
-        simulate = simulate_terminal_rows_pallas
+        simulate = simulate_underlier_rows_pallas
     else:
-        simulate = simulate_terminal_rows
+        simulate = simulate_underlier_rows
 
     def mc_spectrum_local(draw: jax.Array, contract: jax.Array, mc_idx: jax.Array) -> jax.Array:
         key = jax.random.fold_in(base_key, draw)
@@ -88,17 +89,20 @@ def make_sharded_batch(
             cols=sim.network_size,
             dtype=dtype,
             scheme=sim.scheme,
+            payoff=sim.payoff,
             row_offset=mc_idx * jnp.uint32(local_rows),
         )
         flat = rows.reshape(-1)
-        spot, strike, maturity, rate, div_yield, _ = (
+        _, strike, maturity, rate, _, _ = (
             contract[i].astype(dtype) for i in range(6)
         )
-        forward = spot * jnp.exp((rate - div_yield) * maturity)
         df = jnp.exp(-rate * maturity)
         if normalize:
             global_mean = jax.lax.pmean(jnp.mean(flat), mc_axis)
-            flat = flat * (forward / global_mean)
+            target = expected_underlier_mean(
+                contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
+            )
+            flat = flat * (target / global_mean)
         put = df * jnp.maximum(strike - flat, 0.0)
         local_sum = jnp.sum(
             jnp.fft.fft(put.reshape(local_rows, sim.network_size), axis=1), axis=0

@@ -29,6 +29,7 @@ from spectralmc_tpu.models.factory import (
 from spectralmc_tpu.ops.gbm import (
     ForwardNormalization,
     PathScheme,
+    PayoffKind,
     SimImplementation,
     SimulationParams,
 )
@@ -159,6 +160,7 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         scheme=_SCHEME_TO_PROTO[sim.scheme],
         normalization=_NORM_TO_PROTO[sim.normalization],
         implementation=sim.implementation.value,
+        payoff=sim.payoff.value,
     )
 
 
@@ -177,6 +179,7 @@ def sim_params_from_proto(
                 scheme=_SCHEME_FROM_PROTO[proto.scheme],
                 normalization=_NORM_FROM_PROTO[proto.normalization],
                 implementation=SimImplementation(proto.implementation or "xla"),
+                payoff=PayoffKind(proto.payoff or "terminal"),
             )
         )
     except (KeyError, ValueError) as exc:

@@ -25,7 +25,8 @@ from spectralmc_tpu.ops.gbm import (
     ForwardNormalization,
     SimImplementation,
     SimulationParams,
-    simulate_terminal_rows,
+    expected_underlier_mean,
+    simulate_underlier_rows,
     terminal_to_prices,
 )
 from spectralmc_tpu.ops.sobol import scale_to_bounds, sobol_unit
@@ -63,25 +64,44 @@ def make_mc_spectrum(
     normalize = sim.normalization == ForwardNormalization.MEAN
 
     if sim.implementation == SimImplementation.PALLAS:
-        from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_rows_pallas
+        from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
 
-        simulate = simulate_terminal_rows_pallas
+        def simulate(key: jax.Array, contract: jax.Array) -> jax.Array:
+            return simulate_underlier_rows_pallas(
+                key,
+                contract,
+                timesteps=sim.timesteps,
+                rows=sim.batches_per_mc_run,
+                cols=sim.network_size,
+                dtype=dtype,
+                scheme=sim.scheme,
+                payoff=sim.payoff,
+            )
     else:
-        simulate = simulate_terminal_rows
+
+        def simulate(key: jax.Array, contract: jax.Array) -> jax.Array:
+            return simulate_underlier_rows(
+                key,
+                contract,
+                timesteps=sim.timesteps,
+                rows=sim.batches_per_mc_run,
+                cols=sim.network_size,
+                dtype=dtype,
+                scheme=sim.scheme,
+                payoff=sim.payoff,
+            )
 
     def mc_spectrum(draw_index: jax.Array, contract: jax.Array) -> jax.Array:
         key = jax.random.fold_in(base_key, draw_index)
-        rows = simulate(
-            key,
-            contract,
-            timesteps=sim.timesteps,
-            rows=sim.batches_per_mc_run,
-            cols=sim.network_size,
-            dtype=dtype,
-            scheme=sim.scheme,
-        )
+        rows = simulate(key, contract)
         prices = terminal_to_prices(
-            rows.reshape(-1), contract, normalize=normalize, dtype=dtype
+            rows.reshape(-1),
+            contract,
+            normalize=normalize,
+            dtype=dtype,
+            mean_target=expected_underlier_mean(
+                contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
+            ),
         )
         return payoff_spectrum(
             prices.put_payoffs,

@@ -77,6 +77,16 @@ class PayoffKind(enum.Enum):
     ASIAN_GEOMETRIC = "asian_geometric"
 
 
+class ModelKind(enum.Enum):
+    """Which dynamics the MC engine simulates (the model-family axis).
+
+    GBM reproduces the reference (its only dynamics); HESTON is the
+    stochastic-volatility extension (ops/heston.py)."""
+
+    GBM = "gbm"
+    HESTON = "heston"
+
+
 class SimImplementation(enum.Enum):
     XLA = "xla"  # lax.scan reference implementation
     PALLAS = "pallas"  # fused RNG+step kernel (gbm_pallas.py)
@@ -135,6 +145,7 @@ class SimulationParams(BaseModel):
     normalization: ForwardNormalization = ForwardNormalization.MEAN
     implementation: SimImplementation = SimImplementation.XLA
     payoff: PayoffKind = PayoffKind.TERMINAL
+    model: ModelKind = ModelKind.GBM
 
     @property
     def total_paths(self) -> int:
@@ -183,6 +194,19 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
         return Failure(
             InvalidSimulationParams(
                 field="precision", value=params.precision.value, reason=checked.error.reason
+            )
+        )
+    if (
+        params.model == ModelKind.HESTON
+        and params.payoff == PayoffKind.ASIAN_GEOMETRIC
+        and params.normalization == ForwardNormalization.MEAN
+    ):
+        return Failure(
+            InvalidSimulationParams(
+                field="normalization",
+                value=params.normalization.value,
+                reason="E[geometric average] has no closed form under Heston; "
+                "use normalization='none'",
             )
         )
     return Success(params)

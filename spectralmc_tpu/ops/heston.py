@@ -1,0 +1,253 @@
+"""Heston stochastic-volatility model family — extension beyond the reference.
+
+The reference supports exactly one dynamics (GBM, gbm.py:224-257). This
+module adds the canonical next model: Heston (1993), where variance follows
+a CIR process correlated with the spot,
+
+    dS = (r - q) S dt + sqrt(v) S dW_s
+    dv = kappa (theta - v) dt + xi sqrt(v) dW_v,   d<W_s, W_v> = rho dt.
+
+Thematically this is the framework's home turf: the trainer learns the
+characteristic function of the payoff distribution, and Heston is *defined*
+by a semi-analytic characteristic function (``heston_char_fn``), which also
+yields the European price by Fourier inversion (``heston_call_price``, the
+"little Heston trap" formulation of Albrecher et al. 2007) — a sharp oracle
+for the MC simulator and the learned spectrum alike.
+
+Discretization: full-truncation Euler (Lord et al. 2010) — v is floored at
+zero inside drift and diffusion only, which keeps the scheme unbiased-in-
+the-limit and robust when the Feller condition 2·kappa·theta >= xi² fails.
+
+Determinism: the same key discipline as GBM — normals addressed by
+(contract_key, global row, timestep, component), so resume is a counter and
+a mesh shard reproduces exactly the rows it owns (row_offset).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel, ConfigDict
+
+from spectralmc_tpu.core.errors.gbm import GBMError, InvalidContract
+from spectralmc_tpu.core.result import Failure, Result, Success
+from spectralmc_tpu.ops.gbm import ModelKind, PayoffKind  # noqa: F401 — re-exported
+
+
+class HestonContract(BaseModel):
+    """One Heston market scenario: the 5 shared market fields (same order as
+    ``BlackScholesContract``) + 5 variance-dynamics fields."""
+
+    model_config = ConfigDict(frozen=True)
+
+    spot: float
+    strike: float
+    maturity: float
+    rate: float
+    div_yield: float
+    v0: float  # initial variance
+    kappa: float  # mean-reversion speed
+    theta: float  # long-run variance
+    xi: float  # vol of vol
+    rho: float  # spot-variance correlation
+
+    def as_array(self, dtype: jnp.dtype = jnp.float32) -> jax.Array:
+        return jnp.array(
+            [
+                self.spot,
+                self.strike,
+                self.maturity,
+                self.rate,
+                self.div_yield,
+                self.v0,
+                self.kappa,
+                self.theta,
+                self.xi,
+                self.rho,
+            ],
+            dtype=dtype,
+        )
+
+
+HESTON_CONTRACT_FIELDS: tuple[str, ...] = tuple(HestonContract.model_fields.keys())
+HESTON_CONTRACT_DIM = len(HESTON_CONTRACT_FIELDS)
+
+
+def validate_heston_contract(c: HestonContract) -> Result[HestonContract, GBMError]:
+    for field in ("spot", "strike", "maturity", "v0", "kappa", "theta", "xi"):
+        if getattr(c, field) <= 0:
+            return Failure(
+                InvalidContract(field=field, value=getattr(c, field), reason="must be > 0")
+            )
+    if not -1.0 < c.rho < 1.0:
+        return Failure(InvalidContract(field="rho", value=c.rho, reason="must be in (-1, 1)"))
+    return Success(c)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("timesteps", "rows", "cols", "dtype", "payoff"),
+)
+def simulate_heston_underlier_rows(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    payoff: PayoffKind,
+    row_offset: jax.Array | int = 0,
+) -> jax.Array:
+    """``[rows, cols]`` payoff underliers under full-truncation Euler Heston.
+
+    ``contract`` is the 10-vector of ``HestonContract.as_array``. Normals are
+    keyed by (contract_key, global row, timestep, component) — component 0
+    drives the variance, 1 the orthogonal part of the spot.
+    """
+    (spot, _, maturity, rate, div_yield, v0, kappa, theta, xi, rho) = (
+        contract[i].astype(dtype) for i in range(10)
+    )
+    n = jnp.asarray(timesteps, dtype)
+    dt = maturity / n
+    sqrt_dt = jnp.sqrt(dt)
+    rho_bar = jnp.sqrt(1.0 - rho * rho)
+
+    row_idx = jnp.asarray(row_offset, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
+    row_keys = jax.vmap(lambda r: jax.random.fold_in(contract_key, r))(row_idx)
+
+    def normals(t: jax.Array, comp: int) -> jax.Array:
+        return jax.vmap(
+            lambda k: jax.random.normal(
+                jax.random.fold_in(jax.random.fold_in(k, t), comp), (cols,), dtype
+            )
+        )(row_keys)
+
+    geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
+
+    def body(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
+        logx, v, acc = carry
+        v_plus = jnp.maximum(v, 0.0)
+        sqrt_v = jnp.sqrt(v_plus)
+        z_v = normals(t, 0)
+        z_s = rho * z_v + rho_bar * normals(t, 1)
+        logx = logx + (rate - div_yield - 0.5 * v_plus) * dt + sqrt_v * sqrt_dt * z_s
+        v = v + kappa * (theta - v_plus) * dt + xi * sqrt_v * sqrt_dt * z_v
+        if payoff != PayoffKind.TERMINAL:
+            acc = acc + (logx if geometric else jnp.exp(logx))
+        return (logx, v, acc), None
+
+    shape = (rows, cols)
+    log0 = jnp.full(shape, 0.0, dtype) + jnp.log(spot)
+    vinit = jnp.full(shape, 1.0, dtype) * v0
+    (logx, _, acc), _ = jax.lax.scan(
+        body, (log0, vinit, jnp.zeros(shape, dtype)), jnp.arange(timesteps)
+    )
+    if payoff == PayoffKind.TERMINAL:
+        return jnp.exp(logx)
+    mean = acc / n
+    return jnp.exp(mean) if geometric else mean
+
+
+def heston_expected_underlier_mean(
+    contract: jax.Array, *, timesteps: int, payoff: PayoffKind, dtype: jnp.dtype
+) -> jax.Array | None:
+    """Analytic E[underlier], or None when no closed form exists.
+
+    E[S_t] = S·e^{(r−q)t} holds under Heston (the discounted spot is a
+    martingale), so TERMINAL and ASIAN_ARITHMETIC reuse the GBM formulas;
+    the geometric average's mean has no usable closed form — callers must
+    not request MEAN normalization for it (enforced at config build time).
+    """
+    spot, _, maturity, rate, div_yield = (contract[i].astype(dtype) for i in range(5))
+    n = jnp.asarray(timesteps, dtype)
+    dt = maturity / n
+    if payoff == PayoffKind.TERMINAL:
+        return spot * jnp.exp((rate - div_yield) * maturity)
+    if payoff == PayoffKind.ASIAN_ARITHMETIC:
+        g = jnp.exp((rate - div_yield) * dt)
+        series = jnp.where(jnp.abs(g - 1.0) < 1e-12, n, g * (g**n - 1.0) / (g - 1.0))
+        return spot * series / n
+    return None
+
+
+# --------------------------------------------------------------------------
+# Semi-analytic oracle (host-side, float64 numpy — test/validation path)
+# --------------------------------------------------------------------------
+
+
+def heston_char_fn(
+    u: np.ndarray,
+    *,
+    spot: float,
+    maturity: float,
+    rate: float,
+    div_yield: float,
+    v0: float,
+    kappa: float,
+    theta: float,
+    xi: float,
+    rho: float,
+) -> np.ndarray:
+    """phi(u) = E[exp(i·u·ln S_T)], the 'little Heston trap' branch."""
+    u = np.asarray(u, dtype=np.complex128)
+    iu = 1j * u
+    alpha = kappa - rho * xi * iu
+    d = np.sqrt(alpha * alpha + xi * xi * (iu + u * u))
+    g = (alpha - d) / (alpha + d)
+    exp_dt = np.exp(-d * maturity)
+    log_s_fwd = np.log(spot) + (rate - div_yield) * maturity
+    c_term = (kappa * theta / (xi * xi)) * (
+        (alpha - d) * maturity - 2.0 * np.log((1.0 - g * exp_dt) / (1.0 - g))
+    )
+    d_term = ((alpha - d) / (xi * xi)) * (1.0 - exp_dt) / (1.0 - g * exp_dt)
+    return np.exp(iu * log_s_fwd + c_term + v0 * d_term)
+
+
+def heston_call_price(
+    *,
+    spot: float,
+    strike: float,
+    maturity: float,
+    rate: float,
+    div_yield: float,
+    v0: float,
+    kappa: float,
+    theta: float,
+    xi: float,
+    rho: float,
+    integration_points: int = 2048,
+    u_max: float = 200.0,
+) -> tuple[float, float]:
+    """(call, put) by Fourier inversion of the characteristic function.
+
+    P_j = 1/2 + (1/pi) ∫₀^∞ Re[e^{−iu·lnK} φ_j(u) / (iu)] du with
+    φ₂ = φ and φ₁(u) = φ(u − i)/φ(−i); Gauss-Legendre on (0, u_max].
+    """
+    params = dict(
+        spot=spot, maturity=maturity, rate=rate, div_yield=div_yield,
+        v0=v0, kappa=kappa, theta=theta, xi=xi, rho=rho,
+    )
+    nodes, weights = np.polynomial.legendre.leggauss(integration_points)
+    u = 0.5 * u_max * (nodes + 1.0)
+    w = 0.5 * u_max * weights
+    ln_k = np.log(strike)
+
+    phi = heston_char_fn(u, **params)
+    phi_shift = heston_char_fn(u - 1j, **params)
+    phi_minus_i = heston_char_fn(np.array([-1j]), **params)[0]
+
+    integrand_2 = np.real(np.exp(-1j * u * ln_k) * phi / (1j * u))
+    integrand_1 = np.real(np.exp(-1j * u * ln_k) * phi_shift / (1j * u * phi_minus_i))
+    p1 = 0.5 + (w @ integrand_1) / np.pi
+    p2 = 0.5 + (w @ integrand_2) / np.pi
+
+    df_r = np.exp(-rate * maturity)
+    df_q = np.exp(-div_yield * maturity)
+    call = float(spot * df_q * p1 - strike * df_r * p2)
+    put = float(call - df_q * spot + df_r * strike)  # parity
+    return call, put
+

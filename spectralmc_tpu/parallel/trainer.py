@@ -34,6 +34,7 @@ from jax.sharding import PartitionSpec as P
 from spectralmc_tpu.models.factory import CVNN
 from spectralmc_tpu.ops.gbm import (
     ForwardNormalization,
+    ModelKind,
     SimImplementation,
     SimulationParams,
     expected_underlier_mean,
@@ -72,34 +73,61 @@ def make_sharded_batch(
     upper = table.upper.astype(dtype)
     dp_axis, mc_axis = spec.batch_axis, spec.paths_axis
 
-    if sim.implementation == SimImplementation.PALLAS:
-        from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
+    if sim.model == ModelKind.HESTON:
+        from spectralmc_tpu.ops.heston import (
+            heston_expected_underlier_mean,
+            simulate_heston_underlier_rows,
+        )
 
-        simulate = simulate_underlier_rows_pallas
+        def simulate(key: jax.Array, contract: jax.Array, offset: jax.Array) -> jax.Array:
+            return simulate_heston_underlier_rows(
+                key,
+                contract,
+                timesteps=sim.timesteps,
+                rows=local_rows,
+                cols=sim.network_size,
+                dtype=dtype,
+                payoff=sim.payoff,
+                row_offset=offset,
+            )
+
+        mean_target_fn = heston_expected_underlier_mean
     else:
-        simulate = simulate_underlier_rows
+        if sim.implementation == SimImplementation.PALLAS:
+            from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
+
+            simulate_rows = simulate_underlier_rows_pallas
+        else:
+            simulate_rows = simulate_underlier_rows
+
+        def simulate(key: jax.Array, contract: jax.Array, offset: jax.Array) -> jax.Array:
+            return simulate_rows(
+                key,
+                contract,
+                timesteps=sim.timesteps,
+                rows=local_rows,
+                cols=sim.network_size,
+                dtype=dtype,
+                scheme=sim.scheme,
+                payoff=sim.payoff,
+                row_offset=offset,
+            )
+
+        mean_target_fn = expected_underlier_mean
 
     def mc_spectrum_local(draw: jax.Array, contract: jax.Array, mc_idx: jax.Array) -> jax.Array:
         key = jax.random.fold_in(base_key, draw)
-        rows = simulate(
-            key,
-            contract,
-            timesteps=sim.timesteps,
-            rows=local_rows,
-            cols=sim.network_size,
-            dtype=dtype,
-            scheme=sim.scheme,
-            payoff=sim.payoff,
-            row_offset=mc_idx * jnp.uint32(local_rows),
-        )
+        rows = simulate(key, contract, mc_idx * jnp.uint32(local_rows))
         flat = rows.reshape(-1)
-        _, strike, maturity, rate, _, _ = (
-            contract[i].astype(dtype) for i in range(6)
+        strike, maturity, rate = (
+            contract[1].astype(dtype),
+            contract[2].astype(dtype),
+            contract[3].astype(dtype),
         )
         df = jnp.exp(-rate * maturity)
         if normalize:
             global_mean = jax.lax.pmean(jnp.mean(flat), mc_axis)
-            target = expected_underlier_mean(
+            target = mean_target_fn(
                 contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
             )
             flat = flat * (target / global_mean)

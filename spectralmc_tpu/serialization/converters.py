@@ -28,6 +28,7 @@ from spectralmc_tpu.models.factory import (
 )
 from spectralmc_tpu.ops.gbm import (
     ForwardNormalization,
+    ModelKind,
     PathScheme,
     PayoffKind,
     SimImplementation,
@@ -161,6 +162,7 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         normalization=_NORM_TO_PROTO[sim.normalization],
         implementation=sim.implementation.value,
         payoff=sim.payoff.value,
+        model=sim.model.value,
     )
 
 
@@ -180,6 +182,7 @@ def sim_params_from_proto(
                 normalization=_NORM_FROM_PROTO[proto.normalization],
                 implementation=SimImplementation(proto.implementation or "xla"),
                 payoff=PayoffKind(proto.payoff or "terminal"),
+                model=ModelKind(proto.model or "gbm"),
             )
         )
     except (KeyError, ValueError) as exc:

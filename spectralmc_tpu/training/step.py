@@ -22,7 +22,10 @@ import optax
 
 from spectralmc_tpu.models.factory import CVNN
 from spectralmc_tpu.ops.gbm import (
+    CONTRACT_DIM,
+    BlackScholesContract,
     ForwardNormalization,
+    ModelKind,
     SimImplementation,
     SimulationParams,
     expected_underlier_mean,
@@ -45,6 +48,23 @@ def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
     return optax.adam(learning_rate, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS)
 
 
+def contract_class(sim: SimulationParams) -> type:
+    """The contract model for the sim's dynamics (the model-family seam)."""
+    if sim.model == ModelKind.HESTON:
+        from spectralmc_tpu.ops.heston import HestonContract
+
+        return HestonContract
+    return BlackScholesContract
+
+
+def contract_dim(sim: SimulationParams) -> int:
+    if sim.model == ModelKind.HESTON:
+        from spectralmc_tpu.ops.heston import HESTON_CONTRACT_DIM
+
+        return HESTON_CONTRACT_DIM
+    return CONTRACT_DIM
+
+
 @dataclass(frozen=True)
 class SobolTable:
     """Device-resident Sobol constants (directions/shift/bounds columns)."""
@@ -63,7 +83,30 @@ def make_mc_spectrum(
     base_key = jax.random.PRNGKey(sim.mc_seed)
     normalize = sim.normalization == ForwardNormalization.MEAN
 
-    if sim.implementation == SimImplementation.PALLAS:
+    if sim.model == ModelKind.HESTON:
+        from spectralmc_tpu.ops.heston import (
+            heston_expected_underlier_mean,
+            simulate_heston_underlier_rows,
+        )
+
+        def simulate(key: jax.Array, contract: jax.Array) -> jax.Array:
+            # Heston has no Pallas kernel yet; the XLA scan is the engine.
+            return simulate_heston_underlier_rows(
+                key,
+                contract,
+                timesteps=sim.timesteps,
+                rows=sim.batches_per_mc_run,
+                cols=sim.network_size,
+                dtype=dtype,
+                payoff=sim.payoff,
+            )
+
+        def mean_target(contract: jax.Array) -> jax.Array | None:
+            return heston_expected_underlier_mean(
+                contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
+            )
+
+    elif sim.implementation == SimImplementation.PALLAS:
         from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
 
         def simulate(key: jax.Array, contract: jax.Array) -> jax.Array:
@@ -77,6 +120,12 @@ def make_mc_spectrum(
                 scheme=sim.scheme,
                 payoff=sim.payoff,
             )
+
+        def mean_target(contract: jax.Array) -> jax.Array | None:
+            return expected_underlier_mean(
+                contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
+            )
+
     else:
 
         def simulate(key: jax.Array, contract: jax.Array) -> jax.Array:
@@ -91,6 +140,11 @@ def make_mc_spectrum(
                 payoff=sim.payoff,
             )
 
+        def mean_target(contract: jax.Array) -> jax.Array | None:
+            return expected_underlier_mean(
+                contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
+            )
+
     def mc_spectrum(draw_index: jax.Array, contract: jax.Array) -> jax.Array:
         key = jax.random.fold_in(base_key, draw_index)
         rows = simulate(key, contract)
@@ -99,9 +153,7 @@ def make_mc_spectrum(
             contract,
             normalize=normalize,
             dtype=dtype,
-            mean_target=expected_underlier_mean(
-                contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
-            ),
+            mean_target=mean_target(contract),
         )
         return payoff_spectrum(
             prices.put_payoffs,

@@ -44,7 +44,6 @@ from spectralmc_tpu.core.errors.trainer import (
 from spectralmc_tpu.core.result import Failure, Result, Success
 from spectralmc_tpu.models.factory import CVNN, CVNNConfig, build_model
 from spectralmc_tpu.ops.gbm import (
-    CONTRACT_DIM,
     BlackScholesContract,
     SimulationParams,
 )
@@ -54,7 +53,13 @@ from spectralmc_tpu.ops.sobol import (
     SobolSampler,
     build_domain_bounds,
 )
-from spectralmc_tpu.training.step import SobolTable, make_fused_batch, make_optimizer
+from spectralmc_tpu.training.step import (
+    SobolTable,
+    contract_class,
+    contract_dim,
+    make_fused_batch,
+    make_optimizer,
+)
 
 IFFT_RESIDUE_WARN = 1e-6  # reference gbm_trainer.py:1709-1767
 
@@ -254,7 +259,7 @@ class GbmCVNNPricer:
         params: Any,
         bn_state: Any,
         opt_flat: Mapping[str, np.ndarray] | None,
-        sampler: SobolSampler[BlackScholesContract],
+        sampler: SobolSampler[Any],
         mesh_spec: Any | None = None,
     ) -> None:
         self._sim = config.sim
@@ -277,11 +282,14 @@ class GbmCVNNPricer:
     def create(
         cls, config: GbmCVNNPricerConfig, *, mesh_spec: Any | None = None
     ) -> Result["GbmCVNNPricer", TrainerError]:
-        bounds_res = build_domain_bounds(BlackScholesContract, config.bounds)
+        ccls = contract_class(config.sim)
+        bounds_res = build_domain_bounds(ccls, config.bounds)
         if isinstance(bounds_res, Failure):
             return Failure(CheckpointMismatch(field="bounds", reason=repr(bounds_res.error)))
         model_res = build_model(
-            config.cvnn, input_dim=CONTRACT_DIM, output_dim=config.sim.network_size
+            config.cvnn,
+            input_dim=contract_dim(config.sim),
+            output_dim=config.sim.network_size,
         )
         if isinstance(model_res, Failure):
             return Failure(CheckpointMismatch(field="cvnn", reason=repr(model_res.error)))
@@ -300,7 +308,7 @@ class GbmCVNNPricer:
             params, bn_state = model.init()
 
         sampler_res = SobolSampler.create(
-            BlackScholesContract,
+            ccls,
             bounds_res.value,
             SobolConfig(seed=config.sim.mc_seed, skip=config.sobol_skip),
         )
@@ -649,7 +657,7 @@ class GbmCVNNPricer:
     # -- inference (reference gbm_trainer.py:1709-1767) -------------------------
 
     def predict_price(
-        self, contracts: Sequence[BlackScholesContract]
+        self, contracts: Sequence["BlackScholesContract | Any"]
     ) -> PricePrediction:
         dtype = self._sim.precision.to_jnp()
         arr = jnp.stack([c.as_array(dtype) for c in contracts])  # [N, 6]

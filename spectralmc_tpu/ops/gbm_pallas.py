@@ -383,3 +383,194 @@ def simulate_underlier_rows_pallas(
         row_offset=row_offset,
         interpret=interpret,
     )
+
+
+# --------------------------------------------------------------------------
+# Heston kernel (second model family; ops/heston.py defines the XLA path)
+# --------------------------------------------------------------------------
+
+
+def _heston_block_kernel(
+    params_ref,  # SMEM (1, 10): spot strike T r q v0 kappa theta xi rho
+    seeds_ref,  # SMEM (1, 3) int32: key words + row-block offset
+    out_ref,  # VMEM (rows_per_block, cols_per_block)
+    *,
+    timesteps: int,
+    payoff: PayoffKind,
+    rows_per_block: int,
+    cols_per_block: int,
+) -> None:
+    i = pl.program_id(0) + seeds_ref[0, 2]
+    j = pl.program_id(1)
+    seed_a = seeds_ref[0, 0] ^ (
+        (i + 1) * jnp.int32(0x9E3779B1 & 0x7FFFFFFF) + j * jnp.int32(0x85EBCA6B & 0x7FFFFFFF)
+    )
+    seed_b = seeds_ref[0, 1] ^ (
+        (j + 1) * jnp.int32(0xC2B2AE35 & 0x7FFFFFFF) + i * jnp.int32(0x27D4EB2F)
+    )
+    pltpu.prng_seed(seed_a, seed_b)
+
+    spot = params_ref[0, 0]
+    maturity = params_ref[0, 2]
+    rate = params_ref[0, 3]
+    div_yield = params_ref[0, 4]
+    v0 = params_ref[0, 5]
+    kappa = params_ref[0, 6]
+    theta = params_ref[0, 7]
+    xi = params_ref[0, 8]
+    rho = params_ref[0, 9]
+    dt = maturity / jnp.float32(timesteps)
+    sqrt_dt = jnp.sqrt(dt)
+    rho_bar = jnp.sqrt(jnp.float32(1.0) - rho * rho)
+    rq_dt = (rate - div_yield) * dt
+    shape = (rows_per_block, cols_per_block)
+
+    def _uniform_24bit(shape_: tuple[int, int]) -> jax.Array:
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape_), jnp.uint32)
+        top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+        return top24.astype(jnp.float32) * jnp.float32(_INV_2_24)
+
+    def _sin_turns(t: jax.Array) -> jax.Array:
+        qf = jnp.round(jnp.float32(2.0) * t)
+        x = jnp.float32(_TWO_PI) * (t - jnp.float32(0.5) * qf)
+        sign = jnp.where(qf.astype(jnp.int32) & 1, jnp.float32(-1.0), jnp.float32(1.0))
+        y = x * x
+        p = jnp.float32(2.7557319e-6)
+        p = p * y + jnp.float32(-1.9841270e-4)
+        p = p * y + jnp.float32(8.3333333e-3)
+        p = p * y + jnp.float32(-1.6666667e-1)
+        p = p * y + jnp.float32(1.0)
+        return sign * x * p
+
+    geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
+    inv_n = jnp.float32(1.0 / timesteps)
+
+    def step(
+        t: jax.Array, carry: tuple[jax.Array, jax.Array, jax.Array]
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        logx, v, acc = carry
+        # ONE Box-Muller pair per step: r*cos and r*sin are independent
+        # normals — z_v drives the variance, z_w the orthogonal spot part.
+        u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(shape)
+        radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+        z_v = radius * _sin_turns(u2 + jnp.float32(0.25))
+        z_w = radius * _sin_turns(u2)
+        z_s = rho * z_v + rho_bar * z_w
+        v_plus = jnp.maximum(v, jnp.float32(0.0))
+        sqrt_v = jnp.sqrt(v_plus)
+        logx = logx + rq_dt - jnp.float32(0.5) * v_plus * dt + sqrt_v * sqrt_dt * z_s
+        v = v + kappa * (theta - v_plus) * dt + xi * sqrt_v * sqrt_dt * z_v
+        if payoff != PayoffKind.TERMINAL:
+            acc = acc + (logx if geometric else jnp.exp(logx))
+        return (logx, v, acc)
+
+    log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
+    vinit = jnp.full(shape, 1.0, jnp.float32) * v0
+    logx, _, acc = jax.lax.fori_loop(
+        0, timesteps, step, (log0, vinit, jnp.zeros(shape, jnp.float32))
+    )
+    if payoff == PayoffKind.TERMINAL:
+        out_ref[:, :] = jnp.exp(logx)
+    elif geometric:
+        out_ref[:, :] = jnp.exp(acc * inv_n)
+    else:
+        out_ref[:, :] = acc * inv_n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("timesteps", "rows", "cols", "payoff", "interpret")
+)
+def _simulate_heston_rows_pallas_f32(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    payoff: PayoffKind,
+    row_offset: jax.Array | int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    block_rows = min(BLOCK_ROWS, rows)
+    block_cols = min(BLOCK_COLS, cols)
+    key_data = jax.random.key_data(contract_key)
+    row_block = (
+        jnp.asarray(row_offset, jnp.uint32) // jnp.uint32(block_rows)
+    ).astype(jnp.int32)
+    seeds = jnp.concatenate(
+        [key_data.astype(jnp.int32).reshape(2), row_block.reshape(1)]
+    ).reshape(1, 3)
+    params = contract.astype(jnp.float32).reshape(1, 10)
+    kernel = functools.partial(
+        _heston_block_kernel,
+        timesteps=timesteps,
+        payoff=payoff,
+        rows_per_block=block_rows,
+        cols_per_block=block_cols,
+    )
+    grid = (rows // block_rows, cols // block_cols)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 10), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rows, block_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=24 * rows * cols * timesteps,
+            bytes_accessed=rows * cols * 4,
+            transcendentals=5 * rows * cols * timesteps,
+        ),
+        interpret=interpret,
+    )(params, seeds)
+
+
+def simulate_heston_underlier_rows_pallas(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    payoff: PayoffKind,
+    row_offset: jax.Array | int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused Heston kernel; falls back to the XLA scan when unsupported."""
+    supported = (
+        jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        and rows % min(BLOCK_ROWS, rows) == 0
+        and cols % min(BLOCK_COLS, cols) == 0
+        and (interpret or (jax.default_backend() == "tpu" and cols % 128 == 0 and rows % 8 == 0))
+    )
+    if not supported:
+        from spectralmc_tpu.ops.heston import simulate_heston_underlier_rows
+
+        return simulate_heston_underlier_rows(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            payoff=payoff,
+            row_offset=row_offset,
+        )
+    return _simulate_heston_rows_pallas_f32(
+        contract_key,
+        contract,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        payoff=payoff,
+        row_offset=row_offset,
+        interpret=interpret,
+    )

@@ -74,13 +74,19 @@ def make_sharded_batch(
     dp_axis, mc_axis = spec.batch_axis, spec.paths_axis
 
     if sim.model == ModelKind.HESTON:
-        from spectralmc_tpu.ops.heston import (
-            heston_expected_underlier_mean,
-            simulate_heston_underlier_rows,
-        )
+        from spectralmc_tpu.ops.heston import heston_expected_underlier_mean
+
+        if sim.implementation == SimImplementation.PALLAS:
+            from spectralmc_tpu.ops.gbm_pallas import (
+                simulate_heston_underlier_rows_pallas as _sim_heston,
+            )
+        else:
+            from spectralmc_tpu.ops.heston import (
+                simulate_heston_underlier_rows as _sim_heston,
+            )
 
         def simulate(key: jax.Array, contract: jax.Array, offset: jax.Array) -> jax.Array:
-            return simulate_heston_underlier_rows(
+            return _sim_heston(
                 key,
                 contract,
                 timesteps=sim.timesteps,

@@ -84,14 +84,19 @@ def make_mc_spectrum(
     normalize = sim.normalization == ForwardNormalization.MEAN
 
     if sim.model == ModelKind.HESTON:
-        from spectralmc_tpu.ops.heston import (
-            heston_expected_underlier_mean,
-            simulate_heston_underlier_rows,
-        )
+        from spectralmc_tpu.ops.heston import heston_expected_underlier_mean
+
+        if sim.implementation == SimImplementation.PALLAS:
+            from spectralmc_tpu.ops.gbm_pallas import (
+                simulate_heston_underlier_rows_pallas as _sim_heston,
+            )
+        else:
+            from spectralmc_tpu.ops.heston import (
+                simulate_heston_underlier_rows as _sim_heston,
+            )
 
         def simulate(key: jax.Array, contract: jax.Array) -> jax.Array:
-            # Heston has no Pallas kernel yet; the XLA scan is the engine.
-            return simulate_heston_underlier_rows(
+            return _sim_heston(
                 key,
                 contract,
                 timesteps=sim.timesteps,

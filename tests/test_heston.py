@@ -224,3 +224,25 @@ def test_sharded_heston_matches_single_device() -> None:
     rel = np.abs(np.asarray(sh_loss) - np.asarray(ref_loss)) / np.abs(np.asarray(ref_loss))
     assert rel.max() < 1e-4, f"sharded vs single-device loss diff {rel.max():.2e}"
     assert all(math.isfinite(float(x)) for x in np.asarray(sh_loss))
+
+
+def test_heston_pallas_fallback_and_interpret() -> None:
+    from jax.experimental.pallas import tpu as pltpu
+
+    from spectralmc_tpu.ops.gbm_pallas import simulate_heston_underlier_rows_pallas
+
+    contract = HestonContract(**PARAMS).as_array(jnp.float32)
+    key = jax.random.PRNGKey(5)
+    kw = dict(timesteps=4, rows=8, cols=128, dtype=jnp.float32, payoff=PayoffKind.TERMINAL)
+    # off-TPU: must fall back to the XLA stream exactly
+    want = np.asarray(simulate_heston_underlier_rows(key, contract, **kw))
+    got = np.asarray(simulate_heston_underlier_rows_pallas(key, contract, **kw))
+    assert np.array_equal(got, want)
+    # interpret mode: zero-bit RNG -> pure-drift skeleton, identical paths
+    with pltpu.force_tpu_interpret_mode():
+        t = np.asarray(
+            simulate_heston_underlier_rows_pallas(key, contract, interpret=True, **kw)
+        )
+    assert t.shape == (8, 128)
+    assert np.all(np.isfinite(t)) and np.all(t > 0)
+    assert np.allclose(t, t[0, 0])

@@ -17,6 +17,9 @@ from __future__ import annotations
 import threading
 from dataclasses import dataclass
 
+import contextlib
+from typing import Any, Iterator
+
 import jax
 
 _LOCK = threading.Lock()
@@ -70,3 +73,21 @@ def get_jax_handle() -> JaxRuntime:
     if cached is not None:
         return cached
     return apply_jax_runtime(decide_jax_runtime())
+
+
+@contextlib.contextmanager
+def device_scope(device: Any) -> Iterator[None]:
+    """Scoped default device (reference ``default_device`` context manager,
+    models/torch.py:181-212). The reference needs a main-thread assertion
+    because torch's default-device is process-global mutable state; jax's
+    ``default_device`` is already thread-local, so the guard dissolves."""
+    with jax.default_device(device):
+        yield
+
+
+@contextlib.contextmanager
+def matmul_precision_scope(precision: str) -> Iterator[None]:
+    """Scoped MXU matmul precision ("default" | "high" | "highest") —
+    the dtype-policy counterpart of the reference's ``default_dtype``."""
+    with jax.default_matmul_precision(precision):
+        yield

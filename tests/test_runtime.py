@@ -71,3 +71,16 @@ def test_move_tensor_tree_host_roundtrip() -> None:
     rejected = move_tensor_tree(host_tree, DevicePlacement(device_kind="tpu"))
     assert isinstance(rejected, Failure)
     assert isinstance(rejected.error, RejectTransfer)
+
+
+def test_device_and_precision_scopes() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from spectralmc_tpu.runtime.jax_runtime import device_scope, matmul_precision_scope
+
+    dev = jax.devices("cpu")[0]
+    with device_scope(dev), matmul_precision_scope("highest"):
+        x = jnp.ones((4, 4)) @ jnp.ones((4, 4))
+        assert x.devices() == {dev}
+    assert float(x[0, 0]) == 4.0

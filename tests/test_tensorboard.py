@@ -1,0 +1,105 @@
+"""TensorBoard adapter tests (per-step logger + chain history writer).
+
+torch/tensorboard are optional extras; these tests use a recording fake
+writer so they stay hermetic (the adapters only need add_scalar/add_text/
+flush/close).
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from spectralmc_tpu.serialization import compute_sha256
+
+
+class FakeWriter:
+    def __init__(self) -> None:
+        self.scalars: list[tuple[str, float, int]] = []
+        self.texts: list[tuple[str, int]] = []
+        self.flushes = 0
+        self.closed = False
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        self.scalars.append((tag, float(value), int(step)))
+
+    def add_text(self, tag: str, text: str, step: int) -> None:
+        self.texts.append((tag, step))
+
+    def flush(self) -> None:
+        self.flushes += 1
+
+    def close(self) -> None:
+        self.closed = True
+
+
+def test_step_logger_scalars_and_flush(monkeypatch: pytest.MonkeyPatch) -> None:
+    import spectralmc_tpu.utils.tensorboard_writer as tbw
+    from spectralmc_tpu.training.trainer import StepMetrics
+
+    fake = FakeWriter()
+    monkeypatch.setattr(tbw, "_make_writer", lambda logdir: fake)
+    logger = tbw.TensorBoardLogger("unused", flush_every=2)
+    for step in range(1, 5):
+        logger(StepMetrics(step=step, loss=1.0 / step, grad_norm=0.5, learning_rate=1e-3))
+    logger.close()
+
+    tags = {t for t, _, _ in fake.scalars}
+    assert {"train/loss", "train/grad_norm", "train/learning_rate"} <= tags
+    assert fake.flushes >= 2  # flush_every=2 over 4 steps, plus close
+    assert fake.closed
+
+
+def test_chain_history_writer(monkeypatch: pytest.MonkeyPatch, tmp_path) -> None:
+    import spectralmc_tpu.utils.tensorboard_writer as tbw
+    from spectralmc_tpu.storage.object_store import FileSystemObjectStore
+    from spectralmc_tpu.storage.store import AsyncBlockchainModelStore
+    from tests.helpers import expect_success
+
+    store = AsyncBlockchainModelStore(FileSystemObjectStore(str(tmp_path), "tb"))
+
+    async def fill() -> None:
+        # two real proto checkpoints so global_step/param_count scalars emit
+        from spectralmc_tpu.storage.checkpoint import commit_snapshot
+        from spectralmc_tpu.training.trainer import GbmCVNNPricer
+        from tests.test_trainer import make_pricer_config, make_training
+
+        pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+        expect_success(pricer.train(make_training(num_batches=1)))
+        expect_success(await commit_snapshot(store, pricer.snapshot(), "one"))
+        expect_success(pricer.train(make_training(num_batches=1)))
+        expect_success(await commit_snapshot(store, pricer.snapshot(), "two"))
+
+    asyncio.run(fill())
+    fake = FakeWriter()
+    monkeypatch.setattr(tbw, "_make_writer", lambda logdir: fake)
+    count = expect_success(asyncio.run(tbw.log_chain_to_tensorboard(store, "unused")))
+    assert count == 2
+    tags = {t for t, _, _ in fake.scalars}
+    assert {"chain/global_step", "chain/param_count", "chain/versions_per_day"} <= tags
+    assert len(fake.texts) == 2
+    assert fake.closed
+
+
+def test_chain_writer_tolerates_non_checkpoint_payloads(
+    monkeypatch: pytest.MonkeyPatch, tmp_path
+) -> None:
+    import spectralmc_tpu.utils.tensorboard_writer as tbw
+    from spectralmc_tpu.storage.object_store import FileSystemObjectStore
+    from spectralmc_tpu.storage.store import AsyncBlockchainModelStore
+    from tests.helpers import expect_success
+
+    store = AsyncBlockchainModelStore(FileSystemObjectStore(str(tmp_path), "tb2"))
+
+    async def fill() -> None:
+        payload = b"not a protobuf checkpoint"
+        expect_success(await store.commit(payload, compute_sha256(payload), "raw"))
+
+    asyncio.run(fill())
+    fake = FakeWriter()
+    monkeypatch.setattr(tbw, "_make_writer", lambda logdir: fake)
+    count = expect_success(asyncio.run(tbw.log_chain_to_tensorboard(store, "unused")))
+    assert count == 0  # text-only entry, no scalars, no crash
+    assert len(fake.texts) == 1

@@ -23,10 +23,18 @@ Usage: python bench.py [--tiny]   (--tiny: CPU-sized sanity run)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Honor JAX_PLATFORMS even where a TPU plugin overrides the env var (the
+# driver runs bench on the real chip with no JAX_PLATFORMS set; --tiny CPU
+# sanity runs set JAX_PLATFORMS=cpu and must actually get the CPU).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 
 A100_REFERENCE_PATH_STEPS_PER_SEC = 2.0e10  # documented estimate, see module docstring
@@ -128,10 +136,29 @@ def main() -> None:
     xla_ps = bench_mc(xla_fn, **kw)
     steps_per_sec = bench_train_step(**tr, implementation="pallas" if on_tpu else "xla")
 
+    # secondary: Heston family throughput (same engine policy)
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.gbm_pallas import simulate_heston_underlier_rows_pallas
+    from spectralmc_tpu.ops.heston import HestonContract
+
+    heston_arr = HestonContract(
+        spot=100.0, strike=100.0, maturity=1.0, rate=0.03, div_yield=0.01,
+        v0=0.04, kappa=1.5, theta=0.04, xi=0.5, rho=-0.7,
+    ).as_array(jnp.float32)
+
+    def heston_fn(key, _contract):
+        return simulate_heston_underlier_rows_pallas(
+            key, heston_arr, timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"],
+            dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
+        )
+
+    heston_ps = bench_mc(heston_fn, **kw)
+
     print(
         f"[bench] device={jax.devices()[0].device_kind} engine="
         f"{'pallas' if on_tpu else 'xla'} "
         f"xla_path_steps_per_sec={xla_ps:.3e} "
+        f"heston_path_steps_per_sec={heston_ps:.3e} "
         f"train_steps_per_sec={steps_per_sec:.3f} "
         f"(B={tr['batch_size']} contracts x {tr['batches'] * tr['network']} paths x "
         f"{tr['timesteps']} steps each)",

@@ -22,9 +22,16 @@ import jax.numpy as jnp
 def payoff_spectrum(
     payoffs: jax.Array, *, batches: int, network_size: int
 ) -> jax.Array:
-    """Batch-averaged DFT ``[network_size]`` complex of a flat payoff vector."""
+    """Batch-averaged DFT ``[network_size]`` complex of a flat payoff vector.
+
+    The DFT is linear, so ``mean_r FFT(row_r) == FFT(mean_r row_r)`` — one
+    ``network_size``-point FFT of the row-mean replaces ``batches`` row FFTs.
+    The reference runs the batched cuFFT then means (gbm_trainer.py:814-817);
+    at production scale that streams the full complex [batches, network]
+    tensor through HBM for no mathematical reason.
+    """
     rows = payoffs.reshape(batches, network_size)
-    return jnp.mean(jnp.fft.fft(rows, axis=1), axis=0)
+    return jnp.fft.fft(jnp.mean(rows, axis=0))
 
 
 def local_spectrum_sum(
@@ -32,7 +39,7 @@ def local_spectrum_sum(
 ) -> jax.Array:
     """Per-shard un-normalized spectrum sum (combine with psum + divide)."""
     rows = payoffs.reshape(batches, network_size)
-    return jnp.sum(jnp.fft.fft(rows, axis=1), axis=0)
+    return jnp.fft.fft(jnp.sum(rows, axis=0))
 
 
 def mean_spectrum_psum(

@@ -138,8 +138,9 @@ def make_sharded_batch(
             )
             flat = flat * (target / global_mean)
         put = df * jnp.maximum(strike - flat, 0.0)
-        local_sum = jnp.sum(
-            jnp.fft.fft(put.reshape(local_rows, sim.network_size), axis=1), axis=0
+        # FFT is linear: FFT(sum of rows) == sum of row-FFTs, one FFT total
+        local_sum = jnp.fft.fft(
+            jnp.sum(put.reshape(local_rows, sim.network_size), axis=0)
         )
         return jax.lax.psum(local_sum, mc_axis) / sim.batches_per_mc_run
 

@@ -273,6 +273,10 @@ def simulate_terminal_rows(
     return x_t
 
 
+@partial(
+    jax.jit,
+    static_argnames=("timesteps", "rows", "cols", "dtype", "scheme", "payoff"),
+)
 def simulate_underlier_rows(
     contract_key: jax.Array,
     contract: jax.Array,
@@ -498,6 +502,12 @@ class BlackScholes:
     """
 
     def __init__(self, params: SimulationParams) -> None:
+        if params.model != ModelKind.GBM:
+            raise ValueError(
+                f"BlackScholes simulates GBM only; params.model={params.model.value!r}. "
+                "Heston pricing goes through ops/heston.py simulators or the trainer "
+                "(training/step.py dispatches on ModelKind)."
+            )
         self._params = params
         self._key = jax.random.PRNGKey(params.mc_seed)
 
@@ -514,19 +524,13 @@ class BlackScholes:
 
     def simulate_terminal(self, contract: jax.Array, draw_index: int | jax.Array) -> jax.Array:
         p = self._params
-        if p.implementation == SimImplementation.PALLAS and p.payoff == PayoffKind.TERMINAL:
-            from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_pallas
+        if p.implementation == SimImplementation.PALLAS:
+            from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
 
-            return simulate_terminal_pallas(
-                self.contract_key(draw_index),
-                contract,
-                timesteps=p.timesteps,
-                batches=p.batches_per_mc_run,
-                network_size=p.network_size,
-                dtype=p.precision.to_jnp(),
-                scheme=p.scheme,
-            )
-        return simulate_underlier_rows(
+            simulate = simulate_underlier_rows_pallas
+        else:
+            simulate = simulate_underlier_rows
+        return simulate(
             self.contract_key(draw_index),
             contract,
             timesteps=p.timesteps,

@@ -48,6 +48,39 @@ _INV_2_24 = float(2.0**-24)
 _HALF_ULP = float(2.0**-25)
 
 
+def _uniform_24bit(shape: tuple[int, int]) -> jax.Array:
+    """Uniform in [0, 1) from the top 24 PRNG bits (exact float32 mantissa).
+
+    prng_random_bits yields *signed* int32: bitcast to uint32 for a logical
+    shift, then back to int32 (top 8 bits now zero, so the value is
+    non-negative) because Mosaic can't cast uint32->float32.
+    """
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return top24.astype(jnp.float32) * jnp.float32(_INV_2_24)
+
+
+def _sin_turns(t: jax.Array) -> jax.Array:
+    """sin(2*pi*t) via half-turn folding + degree-9 odd Taylor polynomial.
+
+    Mosaic's libm-grade sin/cos dominated the first kernel (~80% of runtime,
+    measured by ablation); on the fold x is in [-pi/2, pi/2] where the Taylor
+    tail error is <4e-6 — far below the 24-bit uniform quantization already
+    in the stream, so the normals' distribution is unaffected.
+    """
+    qf = jnp.round(jnp.float32(2.0) * t)
+    x = jnp.float32(_TWO_PI) * (t - jnp.float32(0.5) * qf)
+    sign = jnp.where(qf.astype(jnp.int32) & 1, jnp.float32(-1.0), jnp.float32(1.0))
+    y = x * x
+    p = jnp.float32(2.7557319e-6)
+    p = p * y + jnp.float32(-1.9841270e-4)
+    p = p * y + jnp.float32(8.3333333e-3)
+    p = p * y + jnp.float32(-1.6666667e-1)
+    p = p * y + jnp.float32(1.0)
+    return sign * x * p
+
+
+
 def _gbm_block_kernel(
     params_ref,  # SMEM (1, 6): spot, strike, maturity, rate, div, vol
     seeds_ref,  # SMEM (1, 3) int32: threefry key words + row-block offset
@@ -84,31 +117,6 @@ def _gbm_block_kernel(
     sqrt_dt = jnp.sqrt(dt)
     vol_sdt = vol * sqrt_dt
     shape = (rows_per_block, cols_per_block)
-
-    def _uniform_24bit(shape_: tuple[int, int]) -> jax.Array:
-        # prng_random_bits yields *signed* int32: bitcast to uint32 for a
-        # logical shift, then back to int32 (top 8 bits now zero, so the
-        # value is non-negative) because Mosaic can't cast uint32->float32.
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape_), jnp.uint32)
-        top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-        return top24.astype(jnp.float32) * jnp.float32(_INV_2_24)
-
-    def _sin_turns(t: jax.Array) -> jax.Array:
-        # sin(2*pi*t) via half-turn folding + degree-9 odd Taylor polynomial.
-        # Mosaic's libm-grade sin/cos dominated this kernel (measured ~80% of
-        # runtime); on the fold x is in [-pi/2, pi/2] where the Taylor tail
-        # error is <4e-6 — far below the 24-bit uniform quantization already
-        # in the stream, so the normals' distribution is unaffected.
-        qf = jnp.round(jnp.float32(2.0) * t)
-        x = jnp.float32(_TWO_PI) * (t - jnp.float32(0.5) * qf)
-        sign = jnp.where(qf.astype(jnp.int32) & 1, jnp.float32(-1.0), jnp.float32(1.0))
-        y = x * x
-        p = jnp.float32(2.7557319e-6)
-        p = p * y + jnp.float32(-1.9841270e-4)
-        p = p * y + jnp.float32(8.3333333e-3)
-        p = p * y + jnp.float32(-1.6666667e-1)
-        p = p * y + jnp.float32(1.0)
-        return sign * x * p
 
     def normals() -> jax.Array:
         # One Box-Muller output: z = r*cos(2*pi*u2) = r*sin(2*pi*(u2 + 1/4)).
@@ -424,23 +432,6 @@ def _heston_block_kernel(
     rho_bar = jnp.sqrt(jnp.float32(1.0) - rho * rho)
     rq_dt = (rate - div_yield) * dt
     shape = (rows_per_block, cols_per_block)
-
-    def _uniform_24bit(shape_: tuple[int, int]) -> jax.Array:
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape_), jnp.uint32)
-        top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-        return top24.astype(jnp.float32) * jnp.float32(_INV_2_24)
-
-    def _sin_turns(t: jax.Array) -> jax.Array:
-        qf = jnp.round(jnp.float32(2.0) * t)
-        x = jnp.float32(_TWO_PI) * (t - jnp.float32(0.5) * qf)
-        sign = jnp.where(qf.astype(jnp.int32) & 1, jnp.float32(-1.0), jnp.float32(1.0))
-        y = x * x
-        p = jnp.float32(2.7557319e-6)
-        p = p * y + jnp.float32(-1.9841270e-4)
-        p = p * y + jnp.float32(8.3333333e-3)
-        p = p * y + jnp.float32(-1.6666667e-1)
-        p = p * y + jnp.float32(1.0)
-        return sign * x * p
 
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     inv_n = jnp.float32(1.0 / timesteps)

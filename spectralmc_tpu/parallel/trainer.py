@@ -32,17 +32,18 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from spectralmc_tpu.models.factory import CVNN
-from spectralmc_tpu.ops.gbm import (
-    ForwardNormalization,
-    ModelKind,
-    SimImplementation,
-    SimulationParams,
-    expected_underlier_mean,
-    simulate_underlier_rows,
-)
+from spectralmc_tpu.ops.gbm import ForwardNormalization, SimulationParams
 from spectralmc_tpu.ops.sobol import scale_to_bounds, sobol_unit
+from spectralmc_tpu.ops.spectrum import local_spectrum_sum
 from spectralmc_tpu.parallel.mesh import MeshSpec
-from spectralmc_tpu.training.step import Carry, SobolTable, grad_inf_norm, make_optimizer
+from spectralmc_tpu.training.step import (
+    Carry,
+    SobolTable,
+    grad_inf_norm,
+    make_mean_target,
+    make_optimizer,
+    make_underlier_simulator,
+)
 
 
 def make_sharded_batch(
@@ -73,53 +74,8 @@ def make_sharded_batch(
     upper = table.upper.astype(dtype)
     dp_axis, mc_axis = spec.batch_axis, spec.paths_axis
 
-    if sim.model == ModelKind.HESTON:
-        from spectralmc_tpu.ops.heston import heston_expected_underlier_mean
-
-        if sim.implementation == SimImplementation.PALLAS:
-            from spectralmc_tpu.ops.gbm_pallas import (
-                simulate_heston_underlier_rows_pallas as _sim_heston,
-            )
-        else:
-            from spectralmc_tpu.ops.heston import (
-                simulate_heston_underlier_rows as _sim_heston,
-            )
-
-        def simulate(key: jax.Array, contract: jax.Array, offset: jax.Array) -> jax.Array:
-            return _sim_heston(
-                key,
-                contract,
-                timesteps=sim.timesteps,
-                rows=local_rows,
-                cols=sim.network_size,
-                dtype=dtype,
-                payoff=sim.payoff,
-                row_offset=offset,
-            )
-
-        mean_target_fn = heston_expected_underlier_mean
-    else:
-        if sim.implementation == SimImplementation.PALLAS:
-            from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
-
-            simulate_rows = simulate_underlier_rows_pallas
-        else:
-            simulate_rows = simulate_underlier_rows
-
-        def simulate(key: jax.Array, contract: jax.Array, offset: jax.Array) -> jax.Array:
-            return simulate_rows(
-                key,
-                contract,
-                timesteps=sim.timesteps,
-                rows=local_rows,
-                cols=sim.network_size,
-                dtype=dtype,
-                scheme=sim.scheme,
-                payoff=sim.payoff,
-                row_offset=offset,
-            )
-
-        mean_target_fn = expected_underlier_mean
+    simulate = make_underlier_simulator(sim, rows=local_rows)
+    mean_target_contract = make_mean_target(sim)
 
     def mc_spectrum_local(draw: jax.Array, contract: jax.Array, mc_idx: jax.Array) -> jax.Array:
         key = jax.random.fold_in(base_key, draw)
@@ -133,14 +89,10 @@ def make_sharded_batch(
         df = jnp.exp(-rate * maturity)
         if normalize:
             global_mean = jax.lax.pmean(jnp.mean(flat), mc_axis)
-            target = mean_target_fn(
-                contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
-            )
-            flat = flat * (target / global_mean)
+            flat = flat * (mean_target_contract(contract) / global_mean)
         put = df * jnp.maximum(strike - flat, 0.0)
-        # FFT is linear: FFT(sum of rows) == sum of row-FFTs, one FFT total
-        local_sum = jnp.fft.fft(
-            jnp.sum(put.reshape(local_rows, sim.network_size), axis=0)
+        local_sum = local_spectrum_sum(
+            put, batches=local_rows, network_size=sim.network_size
         )
         return jax.lax.psum(local_sum, mc_axis) / sim.batches_per_mc_run
 

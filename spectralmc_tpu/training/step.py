@@ -75,17 +75,19 @@ class SobolTable:
     upper: jax.Array
 
 
-def make_mc_spectrum(
-    sim: SimulationParams,
-) -> Callable[[jax.Array, jax.Array], jax.Array]:
-    """One contract's characteristic-function target: MC → FFT → batch mean."""
+def make_underlier_simulator(
+    sim: SimulationParams, *, rows: int
+) -> Callable[[jax.Array, jax.Array, jax.Array | int], jax.Array]:
+    """(key, contract, row_offset) -> [rows, network_size] underliers.
+
+    THE model-family/engine dispatch — single source of truth for the fused
+    step, the sharded step and any future driver. Selection:
+    (ModelKind x SimImplementation); every simulator shares the
+    (contract_key, global row, timestep[, component]) key discipline, so
+    row_offset shard-stability holds regardless of the branch taken.
+    """
     dtype = sim.precision.to_jnp()
-    base_key = jax.random.PRNGKey(sim.mc_seed)
-    normalize = sim.normalization == ForwardNormalization.MEAN
-
     if sim.model == ModelKind.HESTON:
-        from spectralmc_tpu.ops.heston import heston_expected_underlier_mean
-
         if sim.implementation == SimImplementation.PALLAS:
             from spectralmc_tpu.ops.gbm_pallas import (
                 simulate_heston_underlier_rows_pallas as _sim_heston,
@@ -95,60 +97,72 @@ def make_mc_spectrum(
                 simulate_heston_underlier_rows as _sim_heston,
             )
 
-        def simulate(key: jax.Array, contract: jax.Array) -> jax.Array:
+        def simulate(
+            key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
+        ) -> jax.Array:
             return _sim_heston(
                 key,
                 contract,
                 timesteps=sim.timesteps,
-                rows=sim.batches_per_mc_run,
+                rows=rows,
                 cols=sim.network_size,
                 dtype=dtype,
                 payoff=sim.payoff,
+                row_offset=row_offset,
             )
 
-        def mean_target(contract: jax.Array) -> jax.Array | None:
-            return heston_expected_underlier_mean(
-                contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
-            )
+        return simulate
 
-    elif sim.implementation == SimImplementation.PALLAS:
-        from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
-
-        def simulate(key: jax.Array, contract: jax.Array) -> jax.Array:
-            return simulate_underlier_rows_pallas(
-                key,
-                contract,
-                timesteps=sim.timesteps,
-                rows=sim.batches_per_mc_run,
-                cols=sim.network_size,
-                dtype=dtype,
-                scheme=sim.scheme,
-                payoff=sim.payoff,
-            )
-
-        def mean_target(contract: jax.Array) -> jax.Array | None:
-            return expected_underlier_mean(
-                contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
-            )
-
+    if sim.implementation == SimImplementation.PALLAS:
+        from spectralmc_tpu.ops.gbm_pallas import (
+            simulate_underlier_rows_pallas as _sim_gbm,
+        )
     else:
+        _sim_gbm = simulate_underlier_rows
 
-        def simulate(key: jax.Array, contract: jax.Array) -> jax.Array:
-            return simulate_underlier_rows(
-                key,
-                contract,
-                timesteps=sim.timesteps,
-                rows=sim.batches_per_mc_run,
-                cols=sim.network_size,
-                dtype=dtype,
-                scheme=sim.scheme,
-                payoff=sim.payoff,
-            )
+    def simulate(
+        key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
+    ) -> jax.Array:
+        return _sim_gbm(
+            key,
+            contract,
+            timesteps=sim.timesteps,
+            rows=rows,
+            cols=sim.network_size,
+            dtype=dtype,
+            scheme=sim.scheme,
+            payoff=sim.payoff,
+            row_offset=row_offset,
+        )
 
-        def mean_target(contract: jax.Array) -> jax.Array | None:
-            return expected_underlier_mean(
-                contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
-            )
+    return simulate
+
+
+def make_mean_target(
+    sim: SimulationParams,
+) -> Callable[[jax.Array], jax.Array | None]:
+    """contract -> analytic E[underlier] (None where no closed form exists)."""
+    dtype = sim.precision.to_jnp()
+    if sim.model == ModelKind.HESTON:
+        from spectralmc_tpu.ops.heston import heston_expected_underlier_mean as _mean
+    else:
+        _mean = expected_underlier_mean
+
+    def mean_target(contract: jax.Array) -> jax.Array | None:
+        return _mean(contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype)
+
+    return mean_target
+
+
+def make_mc_spectrum(
+    sim: SimulationParams,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """One contract's characteristic-function target: MC → FFT → batch mean."""
+    dtype = sim.precision.to_jnp()
+    base_key = jax.random.PRNGKey(sim.mc_seed)
+    normalize = sim.normalization == ForwardNormalization.MEAN
+    simulate = make_underlier_simulator(sim, rows=sim.batches_per_mc_run)
+    mean_target = make_mean_target(sim)
 
     def mc_spectrum(draw_index: jax.Array, contract: jax.Array) -> jax.Array:
         key = jax.random.fold_in(base_key, draw_index)

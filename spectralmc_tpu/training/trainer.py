@@ -608,7 +608,18 @@ class GbmCVNNPricer:
         interpreter.registry.put_function("train_segment", run_train_segment)
         interpreter.registry.update_metadata("sobol_skip", "set", self._sobol_skip)
         interpreter.registry.update_metadata("mc_skip", "set", self._sim.skip)
-        outcome = asyncio.run(interpreter.interpret_sequence(sequence))
+        coro = interpreter.interpret_sequence(sequence)
+        try:
+            asyncio.get_running_loop()
+        except RuntimeError:
+            outcome = asyncio.run(coro)
+        else:
+            # called from inside an event loop (async orchestration, notebook):
+            # asyncio.run would raise — drive the interpreter on a side thread
+            import concurrent.futures
+
+            with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+                outcome = pool.submit(asyncio.run, coro).result()
         if isinstance(outcome, Failure):
             if progress["failure"] is not None:
                 return Failure(progress["failure"])
@@ -674,14 +685,31 @@ class GbmCVNNPricer:
             logging.getLogger(__name__).warning(
                 "IFFT imaginary residue %.3g exceeds %.1g", residue, IFFT_RESIDUE_WARN
             )
-        spot = arr[:, 0]
         strike = arr[:, 1]
         maturity = arr[:, 2]
         rate = arr[:, 3]
-        div_yield = arr[:, 4]
-        forward = spot * jnp.exp((rate - div_yield) * maturity)
         df = jnp.exp(-rate * maturity)
-        call = put + df * (forward - strike)  # put-call parity
+        # Put-call parity on the payoff's OWN underlier: call - put =
+        # df * (E[underlier] - K). For TERMINAL that E is the forward
+        # (reference gbm_trainer.py:1709-1767); for the Asian kinds it is the
+        # analytic mean of the average; where no closed form exists
+        # (Heston geometric average) the call has no parity route — NaN +
+        # warning rather than a silently wrong forward-parity number.
+        from spectralmc_tpu.training.step import make_mean_target
+
+        mean_target = make_mean_target(self._sim)
+        if mean_target(arr[0]) is None:  # a config property, not per-contract
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "no closed-form E[underlier] for %s/%s: call-via-parity unavailable",
+                self._sim.model.value,
+                self._sim.payoff.value,
+            )
+            call = jnp.full_like(put, jnp.nan)
+        else:
+            expected = jax.vmap(mean_target)(arr)
+            call = put + df * (expected - strike)
         return PricePrediction(
             put=np.asarray(put), call=np.asarray(call), imag_residue=residue
         )

@@ -248,3 +248,41 @@ def test_train_via_effects_plan_validation() -> None:
     pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
     failure = pricer.train_via_effects(make_training(), commit_plan=FinalCommit())
     assert isinstance(expect_failure(failure), CommitPlanMismatch)
+
+
+def test_train_via_effects_inside_running_event_loop() -> None:
+    """The effect driver must work when called from async context (the
+    storage layer is async-first)."""
+    import asyncio
+
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    tc = make_training(num_batches=2)
+
+    async def orchestrate():
+        return pricer.train_via_effects(tc)
+
+    result = expect_success(asyncio.run(orchestrate()))
+    assert result.total_batches == 2
+
+
+def test_predict_parity_uses_payoff_mean_for_asians() -> None:
+    """call - put must equal df*(E[average] - K), not df*(forward - K)."""
+    from spectralmc_tpu.ops.gbm import PayoffKind, expected_underlier_mean
+    import jax.numpy as jnp
+
+    cfg = make_pricer_config(payoff=PayoffKind.ASIAN_ARITHMETIC)
+    pricer = expect_success(GbmCVNNPricer.create(cfg))
+    expect_success(pricer.train(make_training(num_batches=2)))
+    contract = make_contract(rate=0.05, div_yield=0.0, maturity=1.0)
+    pred = pricer.predict_price([contract])
+    arr = contract.as_array(jnp.float64)
+    expected_avg = float(expected_underlier_mean(
+        arr, timesteps=cfg.sim.timesteps, payoff=PayoffKind.ASIAN_ARITHMETIC,
+        dtype=jnp.float64,
+    ))
+    df = np.exp(-contract.rate * contract.maturity)
+    parity = float(pred.call[0] - pred.put[0])
+    assert abs(parity - df * (expected_avg - contract.strike)) < 1e-3
+    # and it must NOT be terminal-forward parity (differs by ~2.4 here)
+    fwd = contract.spot * np.exp((contract.rate - contract.div_yield) * contract.maturity)
+    assert abs(parity - df * (fwd - contract.strike)) > 1.0

@@ -128,8 +128,11 @@ class MonteCarloInterpreter:
             return Success(effect.out_id)
         if isinstance(effect, SimulatePaths):
             from spectralmc_tpu.ops.gbm import (
+                ModelKind,
                 PathScheme,
-                simulate_terminal_rows,
+                PayoffKind,
+                expected_underlier_mean,
+                simulate_underlier_rows,
                 terminal_to_prices,
             )
 
@@ -147,11 +150,22 @@ class MonteCarloInterpreter:
             )
             try:
                 scheme = PathScheme(effect.scheme)
-            except ValueError:
+                payoff = PayoffKind(effect.payoff)
+                model = ModelKind(effect.model)
+            except ValueError as exc:
                 return Failure(
-                    MonteCarloError(effect_kind=effect.kind, reason=f"bad scheme {effect.scheme}")
+                    MonteCarloError(effect_kind=effect.kind, reason=f"bad enum value: {exc}")
                 )
-            rows = simulate_terminal_rows(
+            if model != ModelKind.GBM:
+                # Heston contracts carry 10 fields the effect's 6-field market
+                # record cannot express; describe those runs via TrainSegment.
+                return Failure(
+                    MonteCarloError(
+                        effect_kind=effect.kind,
+                        reason="SimulatePaths carries BS market fields only (model=gbm)",
+                    )
+                )
+            rows = simulate_underlier_rows(
                 key,
                 contract,
                 timesteps=effect.timesteps,
@@ -159,12 +173,16 @@ class MonteCarloInterpreter:
                 cols=effect.network_size,
                 dtype=jnp.float32,
                 scheme=scheme,
+                payoff=payoff,
             )
             prices = terminal_to_prices(
                 rows.reshape(-1),
                 contract,
                 normalize=effect.normalization == "mean",
                 dtype=jnp.float32,
+                mean_target=expected_underlier_mean(
+                    contract, timesteps=effect.timesteps, payoff=payoff, dtype=jnp.float32
+                ),
             )
             put = self._registry.put_array(effect.out_id, prices.put_payoffs)
             if isinstance(put, Failure):

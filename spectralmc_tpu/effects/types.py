@@ -100,6 +100,8 @@ class SimulatePaths:
     counter: int = 0
     scheme: str = "log_euler"
     normalization: str = "mean"
+    payoff: str = "terminal"  # PayoffKind value
+    model: str = "gbm"  # ModelKind value
     out_id: str = ""
 
 

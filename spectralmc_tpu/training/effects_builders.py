@@ -46,6 +46,8 @@ def build_simulation_effects(
                 counter=sim.skip,
                 scheme=sim.scheme.value,
                 normalization=sim.normalization.value,
+                payoff=sim.payoff.value,
+                model=sim.model.value,
                 out_id=out_id,
             ),
             ComputeFFT(

@@ -177,3 +177,85 @@ def test_sequential_composes_and_grads_flow() -> None:
     flat, _ = jax.tree_util.tree_flatten(grads)
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
     assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+# ---------------------------------------------------------------------------
+# gradient correctness: autodiff vs central finite differences
+# (evidence that the split re/im formulation carries Wirtinger-correct
+# gradients through every layer kind — the property the reference gets
+# implicitly from torch and never checks)
+# ---------------------------------------------------------------------------
+
+
+def _fd_grad_check(layer_cfgs, seed: int = 11, eps: float = 1e-4) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from spectralmc_tpu.models.factory import build_cvnn_config, build_model
+    from tests.helpers import expect_success
+
+    cfg = expect_success(build_cvnn_config(layers=layer_cfgs, seed=seed))
+    model = expect_success(build_model(cfg, input_dim=4, output_dim=6))
+    params, state = model.init()
+    key = jax.random.PRNGKey(99)
+    x_re = jax.random.normal(key, (5, 4), jnp.float32)
+    x_im = jax.random.normal(jax.random.fold_in(key, 1), (5, 4), jnp.float32)
+    t_re = jax.random.normal(jax.random.fold_in(key, 2), (5, 6), jnp.float32)
+    t_im = jax.random.normal(jax.random.fold_in(key, 3), (5, 6), jnp.float32)
+
+    def loss(p):
+        out_re, out_im, _ = model.apply(p, state, x_re, x_im, train=True)
+        return jnp.mean(jnp.square(out_re - t_re)) + jnp.mean(jnp.square(out_im - t_im))
+
+    grads = jax.grad(loss)(params)
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    gflat = jax.tree_util.tree_leaves(grads)
+    checked = 0
+    for li, (leaf, gleaf) in enumerate(zip(flat, gflat)):
+        # probe up to 3 coordinates per leaf
+        idxs = [tuple(0 for _ in leaf.shape)]
+        if leaf.size > 1:
+            idxs.append(tuple(d - 1 for d in leaf.shape))
+        for idx in idxs:
+            def perturbed(delta):
+                new_leaf = leaf.at[idx].add(delta) if leaf.shape else leaf + delta
+                leaves2 = list(flat)
+                leaves2[li] = new_leaf
+                return float(loss(jax.tree_util.tree_unflatten(treedef, leaves2)))
+
+            fd = (perturbed(eps) - perturbed(-eps)) / (2 * eps)
+            ad = float(gleaf[idx] if leaf.shape else gleaf)
+            assert abs(fd - ad) < 5e-2 * max(1.0, abs(fd)), (
+                f"leaf {li} idx {idx}: fd={fd:.6f} ad={ad:.6f}"
+            )
+            checked += 1
+    assert checked >= 4
+
+
+def test_grad_complex_linear_and_activations() -> None:
+    from spectralmc_tpu.models.factory import Activation, LinearCfg
+
+    _fd_grad_check([
+        LinearCfg(width=8, activation=Activation.MODRELU),
+        LinearCfg(width=8, activation=Activation.ZRELU),
+    ])
+
+
+def test_grad_covariance_bn_and_residual() -> None:
+    from spectralmc_tpu.models.factory import Activation, CovBNCfg, LinearCfg, ResidualCfg, SequentialCfg
+
+    _fd_grad_check([
+        LinearCfg(width=8, activation=Activation.NONE),
+        CovBNCfg(),
+        ResidualCfg(body=SequentialCfg(layers=(LinearCfg(width=8, activation=Activation.MODRELU),))),
+    ])
+
+
+def test_grad_naive_bn() -> None:
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, NaiveBNCfg
+
+    _fd_grad_check([
+        LinearCfg(width=8, activation=Activation.NONE),
+        NaiveBNCfg(),
+        LinearCfg(width=8, activation=Activation.MODRELU),
+    ])

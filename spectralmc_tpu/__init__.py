@@ -16,3 +16,48 @@ TPU-first design:
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level API (PEP 562): the names a user reaches for first, without
+# paying jax-import cost for `import spectralmc_tpu` alone.
+_EXPORTS = {
+    "Result": "spectralmc_tpu.core.result",
+    "Success": "spectralmc_tpu.core.result",
+    "Failure": "spectralmc_tpu.core.result",
+    "Precision": "spectralmc_tpu.core.precision",
+    "BlackScholes": "spectralmc_tpu.ops.gbm",
+    "BlackScholesContract": "spectralmc_tpu.ops.gbm",
+    "SimulationParams": "spectralmc_tpu.ops.gbm",
+    "build_simulation_params": "spectralmc_tpu.ops.gbm",
+    "PathScheme": "spectralmc_tpu.ops.gbm",
+    "PayoffKind": "spectralmc_tpu.ops.gbm",
+    "ModelKind": "spectralmc_tpu.ops.gbm",
+    "SimImplementation": "spectralmc_tpu.ops.gbm",
+    "HestonContract": "spectralmc_tpu.ops.heston",
+    "BoundSpec": "spectralmc_tpu.ops.sobol",
+    "SobolSampler": "spectralmc_tpu.ops.sobol",
+    "build_cvnn_config": "spectralmc_tpu.models.factory",
+    "build_model": "spectralmc_tpu.models.factory",
+    "Activation": "spectralmc_tpu.models.factory",
+    "LinearCfg": "spectralmc_tpu.models.factory",
+    "GbmCVNNPricer": "spectralmc_tpu.training.trainer",
+    "GbmCVNNPricerConfig": "spectralmc_tpu.training.trainer",
+    "build_training_config": "spectralmc_tpu.training.trainer",
+    "NoCommit": "spectralmc_tpu.training.trainer",
+    "FinalCommit": "spectralmc_tpu.training.trainer",
+    "IntervalCommit": "spectralmc_tpu.training.trainer",
+    "FinalAndIntervalCommit": "spectralmc_tpu.training.trainer",
+    "AsyncBlockchainModelStore": "spectralmc_tpu.storage.store",
+    "FileSystemObjectStore": "spectralmc_tpu.storage.object_store",
+    "InferenceClient": "spectralmc_tpu.storage.inference",
+}
+
+__all__ = ["__version__", *sorted(_EXPORTS)]
+
+
+def __getattr__(name: str) -> object:
+    target = _EXPORTS.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(target), name)

@@ -286,3 +286,51 @@ def test_predict_parity_uses_payoff_mean_for_asians() -> None:
     # and it must NOT be terminal-forward parity (differs by ~2.4 here)
     fwd = contract.spot * np.exp((contract.rate - contract.div_yield) * contract.maturity)
     assert abs(parity - df * (fwd - contract.strike)) > 1.0
+
+
+@pytest.mark.slow
+def test_convergence_quality_gate() -> None:
+    """The whole-method gate: after 600 online batches on a narrow domain the
+    CVNN's IFFT-recovered put price lands within 5% of analytic Black-Scholes
+    (the verify drive's criterion, made durable in CI)."""
+    from spectralmc_tpu.ops.analytic import black_scholes_price
+    from spectralmc_tpu.ops.sobol import BoundSpec
+
+    bounds = {
+        "spot": BoundSpec(lower=95.0, upper=105.0),
+        "strike": BoundSpec(lower=95.0, upper=105.0),
+        "maturity": BoundSpec(lower=0.5, upper=1.5),
+        "rate": BoundSpec(lower=0.01, upper=0.05),
+        "div_yield": BoundSpec(lower=0.0, upper=0.02),
+        "vol": BoundSpec(lower=0.2, upper=0.3),
+    }
+    sim = make_simulation_params(timesteps=8, network_size=32, batches_per_mc_run=64)
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[
+                LinearCfg(width=64, activation=Activation.MODRELU),
+                LinearCfg(width=64, activation=Activation.ZRELU),
+            ],
+            seed=5,
+        )
+    )
+    pricer = expect_success(
+        GbmCVNNPricer.create(GbmCVNNPricerConfig(sim=sim, bounds=bounds, cvnn=cvnn))
+    )
+    tc = expect_success(
+        build_training_config(num_batches=600, batch_size=32, learning_rate=2e-3)
+    )
+    result = expect_success(pricer.train(tc))
+    assert result.final_loss < 0.1 * result.losses[0]
+
+    contract = make_contract(spot=100.0, strike=100.0, maturity=1.0, rate=0.03,
+                             div_yield=0.01, vol=0.25)
+    pred = pricer.predict_price([contract])
+    import jax.numpy as jnp
+
+    ana = black_scholes_price(
+        jnp.float64(100.0), jnp.float64(100.0), jnp.float64(1.0),
+        jnp.float64(0.03), jnp.float64(0.01), jnp.float64(0.25),
+    )
+    rel = abs(float(pred.put[0]) - float(ana.put)) / float(ana.put)
+    assert rel < 0.05, f"learned put off by {rel:.1%}"

@@ -108,3 +108,30 @@ def test_sampling_inside_jit_with_traced_start() -> None:
         np.asarray(sampler.sample_array(8, start=40)),
         rtol=1e-6,
     )
+
+
+def test_one_dimensional_stratification_under_scrambling() -> None:
+    """The first 2^k Sobol points are a (t,m,d)-net: each dimension's
+    projection hits every dyadic interval [j/2^k, (j+1)/2^k) exactly once —
+    and left-matrix scrambling + digital shift preserve the property."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spectralmc_tpu.ops.gbm import BlackScholesContract
+    from spectralmc_tpu.ops.sobol import SobolConfig, SobolSampler, sobol_unit
+    from tests.helpers import expect_success
+    from tests.helpers.factories import CONTRACT_BOUNDS
+
+    sampler = expect_success(
+        SobolSampler.create(BlackScholesContract, CONTRACT_BOUNDS, SobolConfig(seed=123))
+    )
+    dt = sampler.device_table()
+    k = 8
+    n = 1 << k
+    unit = np.asarray(
+        sobol_unit(dt["directions"], dt["shift"], 0, n, jnp.float32)
+    )
+    assert unit.shape[0] == n
+    for dim in range(unit.shape[1]):
+        cells = np.floor(unit[:, dim] * n).astype(int)
+        assert sorted(cells) == list(range(n)), f"dim {dim} not stratified at 2^-{k}"

@@ -137,21 +137,13 @@ class MonteCarloInterpreter:
             )
 
             key = jax.random.fold_in(jax.random.PRNGKey(effect.seed), effect.counter)
-            contract = jnp.array(
-                [
-                    effect.spot,
-                    effect.strike,
-                    effect.maturity,
-                    effect.rate,
-                    effect.div_yield,
-                    effect.vol,
-                ],
-                dtype=jnp.float32,
-            )
             try:
                 scheme = PathScheme(effect.scheme)
                 payoff = PayoffKind(effect.payoff)
                 model = ModelKind(effect.model)
+                from spectralmc_tpu.core.precision import Precision
+
+                dtype = Precision(effect.precision).to_jnp()
             except ValueError as exc:
                 return Failure(
                     MonteCarloError(effect_kind=effect.kind, reason=f"bad enum value: {exc}")
@@ -165,24 +157,38 @@ class MonteCarloInterpreter:
                         reason="SimulatePaths carries BS market fields only (model=gbm)",
                     )
                 )
+            contract = jnp.array(
+                [
+                    effect.spot,
+                    effect.strike,
+                    effect.maturity,
+                    effect.rate,
+                    effect.div_yield,
+                    effect.vol,
+                ],
+                dtype=dtype,
+            )
+            normalize = effect.normalization == "mean"
             rows = simulate_underlier_rows(
                 key,
                 contract,
                 timesteps=effect.timesteps,
                 rows=effect.batches,
                 cols=effect.network_size,
-                dtype=jnp.float32,
+                dtype=dtype,
                 scheme=scheme,
                 payoff=payoff,
             )
             prices = terminal_to_prices(
                 rows.reshape(-1),
                 contract,
-                normalize=effect.normalization == "mean",
-                dtype=jnp.float32,
+                normalize=normalize,
+                dtype=dtype,
                 mean_target=expected_underlier_mean(
-                    contract, timesteps=effect.timesteps, payoff=payoff, dtype=jnp.float32
-                ),
+                    contract, timesteps=effect.timesteps, payoff=payoff, dtype=dtype
+                )
+                if normalize
+                else None,
             )
             put = self._registry.put_array(effect.out_id, prices.put_payoffs)
             if isinstance(put, Failure):

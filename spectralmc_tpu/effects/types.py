@@ -102,6 +102,7 @@ class SimulatePaths:
     normalization: str = "mean"
     payoff: str = "terminal"  # PayoffKind value
     model: str = "gbm"  # ModelKind value
+    precision: str = "float32"  # Precision value
     out_id: str = ""
 
 

@@ -48,6 +48,7 @@ def build_simulation_effects(
                 normalization=sim.normalization.value,
                 payoff=sim.payoff.value,
                 model=sim.model.value,
+                precision=sim.precision.value,
                 out_id=out_id,
             ),
             ComputeFFT(

@@ -197,19 +197,54 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
             )
         )
     if (
-        params.model == ModelKind.HESTON
-        and params.payoff == PayoffKind.ASIAN_GEOMETRIC
-        and params.normalization == ForwardNormalization.MEAN
+        params.normalization == ForwardNormalization.MEAN
+        and not has_closed_form_mean(params.model, params.payoff)
     ):
         return Failure(
             InvalidSimulationParams(
                 field="normalization",
                 value=params.normalization.value,
-                reason="E[geometric average] has no closed form under Heston; "
-                "use normalization='none'",
+                reason=f"E[underlier] has no closed form for {params.model.value}/"
+                f"{params.payoff.value}; use normalization='none'",
             )
         )
     return Success(params)
+
+
+def has_closed_form_mean(model: ModelKind, payoff: PayoffKind) -> bool:
+    """Whether analytic E[underlier] exists for this (dynamics, payoff) pair.
+
+    A property of the config, not of runtime data: GBM has closed forms for
+    all payoff kinds (``expected_underlier_mean``); Heston's discounted spot
+    is a martingale so TERMINAL/ASIAN_ARITHMETIC reuse them, but the
+    geometric average's mean has no usable closed form
+    (``heston_expected_underlier_mean`` returns None there). Gates MEAN
+    normalization at build time and call-via-parity at predict time.
+    """
+    return not (model == ModelKind.HESTON and payoff == PayoffKind.ASIAN_GEOMETRIC)
+
+
+def resolve_implementation(params: SimulationParams, *, rows: int | None = None) -> SimImplementation:
+    """The engine that will ACTUALLY execute for these params on this backend.
+
+    The Pallas kernels fall back to the XLA path when the dtype/shape/backend
+    is unsupported — but the two engines draw from different bit streams
+    (hardware PRNG vs threefry), so which one ran is checkpoint-relevant
+    state. Callers that record or resume determinism state must resolve the
+    requested implementation through this function (single source of truth:
+    ``gbm_pallas.pallas_supported``). ``rows`` is the per-shard row count
+    when the MC batch is sharded over a mesh paths axis.
+    """
+    if params.implementation != SimImplementation.PALLAS:
+        return params.implementation
+    from spectralmc_tpu.ops.gbm_pallas import pallas_supported
+
+    effective_rows = params.batches_per_mc_run if rows is None else rows
+    if pallas_supported(
+        dtype=params.precision.to_jnp(), rows=effective_rows, cols=params.network_size
+    ):
+        return SimImplementation.PALLAS
+    return SimImplementation.XLA
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,177 @@
+"""Multi-host / multi-slice scaling: ``jax.distributed`` + the global mesh.
+
+The reference is strictly single-process, single-GPU (SURVEY §2.9 — no
+torch.distributed anywhere); pod-scale data parallelism is a stated target of
+THIS framework (BASELINE config 5: "pod-scale data-parallel run on v5p mesh
+... periodic blockchain commits"). Design per the mesh/collective recipe:
+
+* One JAX program per host process; ``initialize_distributed`` wires the
+  processes into a single global runtime (coordinator + Gloo/ICI backends).
+* The **global mesh** adds a leading ``slice`` axis to the single-slice
+  ``(batch, paths)`` layout. Contract data-parallelism spans
+  ``("slice", "batch")`` jointly — JAX axis names compose as tuples, so the
+  single-slice sharded segment (``parallel/trainer.py``) runs UNCHANGED over
+  the global mesh; only the axis name in ``MeshSpec.batch_axis`` widens.
+* Collective placement: the per-step spectrum ``psum`` rides the ``paths``
+  axis (intra-slice ICI); only the gradient/loss ``pmean`` crosses slices
+  (DCN) — one inter-slice collective per step, the standard multi-slice DP
+  recipe.
+* Host side-effects (blockchain commits, TensorBoard, audit logs) are gated
+  to process 0 via ``coordinator_only`` so N processes don't race N commits
+  at the CAS chain head.
+
+Hermetic validation: multi-process CPU (Gloo over localhost) in
+``tests/test_distributed.py``; single-process slice-axis semantics in the
+``__graft_entry__.dryrun_multichip`` driver check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence, TypeVar
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+from spectralmc_tpu.core.errors.trainer import InvalidTrainingConfig, TrainerError
+from spectralmc_tpu.core.result import Failure, Result, Success
+from spectralmc_tpu.parallel.mesh import BATCH_AXIS, PATHS_AXIS, MeshSpec
+
+SLICE_AXIS = "slice"
+
+T = TypeVar("T")
+
+
+@dataclass(frozen=True)
+class DistributedRuntime:
+    """The facts a process needs about the global runtime it joined."""
+
+    process_index: int
+    process_count: int
+    local_device_count: int
+    global_device_count: int
+
+    @property
+    def is_coordinator(self) -> bool:
+        return self.process_index == 0
+
+
+_initialized = False
+
+
+def initialize_distributed(
+    *,
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids: Sequence[int] | None = None,
+) -> Result[DistributedRuntime, TrainerError]:
+    """Join (or auto-detect) the multi-process runtime. Idempotent.
+
+    On TPU pods all arguments auto-detect from the environment; on CPU/GPU
+    fleets pass coordinator/process explicitly. Single-process use never
+    needs this — every entry point works without it.
+    """
+    global _initialized
+    # NB: must not touch jax.devices()/process_count() before initialize —
+    # any backend-initializing call makes jax.distributed.initialize illegal.
+    if not _initialized and (
+        coordinator_address is not None or num_processes not in (None, 1)
+    ):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                local_device_ids=local_device_ids,
+            )
+        except Exception as exc:  # noqa: BLE001 — surfaced as a Result, never a crash
+            return Failure(
+                InvalidTrainingConfig(
+                    field="distributed",
+                    value=coordinator_address,
+                    reason=f"jax.distributed.initialize failed: {exc}",
+                )
+            )
+    _initialized = True
+    return Success(current_runtime())
+
+
+def current_runtime() -> DistributedRuntime:
+    return DistributedRuntime(
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        local_device_count=len(jax.local_devices()),
+        global_device_count=len(jax.devices()),
+    )
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns host side-effects (commits, TB, logs)."""
+    return jax.process_index() == 0
+
+
+def coordinator_only(fn: Callable[..., T], *, name: str | None = None) -> Callable[..., T | None]:
+    """Wrap a host side-effect so only process 0 executes it.
+
+    Non-coordinator processes get a no-op returning None — N processes
+    running the same SPMD program must not race N commits at the chain head
+    or write N TensorBoard streams.
+    """
+    if is_coordinator():
+        return fn
+
+    def _noop(*args: object, **kwargs: object) -> None:
+        return None
+
+    _noop.__name__ = f"noop_{name or getattr(fn, '__name__', 'fn')}"
+    return _noop
+
+
+def build_global_mesh_spec(
+    *,
+    batch_shards_per_slice: int,
+    paths_shards: int,
+    num_slices: int | None = None,
+    devices: Sequence[jax.Device] | None = None,
+) -> Result[MeshSpec, TrainerError]:
+    """The global ``(slice, batch, paths)`` mesh; contract DP spans
+    ``("slice", "batch")`` as a composed axis so the sharded segment runs
+    unchanged.
+
+    Devices are laid out process-major: each slice-row of the mesh holds one
+    process's local devices (on real pods: one slice's chips), so the
+    ``paths``-axis ``psum`` and the intra-slice part of the DP ``pmean``
+    stay on ICI and only the leading axis crosses DCN. ``num_slices``
+    defaults to ``jax.process_count()``; pass it explicitly to emulate a
+    multi-slice layout inside one process (the driver dryrun does).
+    """
+    devs = list(devices) if devices is not None else list(jax.devices())
+    slices = num_slices if num_slices is not None else jax.process_count()
+    if batch_shards_per_slice <= 0 or paths_shards <= 0 or slices <= 0:
+        return Failure(
+            InvalidTrainingConfig(
+                field="mesh",
+                value=(slices, batch_shards_per_slice, paths_shards),
+                reason="shards must be > 0",
+            )
+        )
+    per_slice = batch_shards_per_slice * paths_shards
+    need = slices * per_slice
+    if need > len(devs):
+        return Failure(
+            InvalidTrainingConfig(
+                field="mesh",
+                value=need,
+                reason=f"needs {need} devices, have {len(devs)}",
+            )
+        )
+    # process-major order: jax.devices() already sorts by (process, local id);
+    # keep that order so slice i's row is process i's hardware.
+    grid = np.array(devs[:need]).reshape(slices, batch_shards_per_slice, paths_shards)
+    mesh = Mesh(grid, axis_names=(SLICE_AXIS, BATCH_AXIS, PATHS_AXIS))
+    return Success(
+        MeshSpec(mesh=mesh, batch_axis=(SLICE_AXIS, BATCH_AXIS), paths_axis=PATHS_AXIS)
+    )

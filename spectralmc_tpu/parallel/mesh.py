@@ -15,8 +15,10 @@ Two mesh axes map the workload's natural parallelism:
   a slice of the MC batch rows (exact bits, via ``row_offset`` keying) and
   per-contract spectra are ``psum``-reduced.
 
-Both collectives ride ICI; nothing crosses DCN inside a step. Multi-slice
-scaling adds a ``jax.distributed`` outer DP axis on top unchanged.
+Both collectives ride ICI; nothing crosses DCN inside a step. Multi-slice /
+multi-host scaling lives in ``parallel/distributed.py``: the global
+(slice, batch, paths) mesh composes the slice axis into ``batch_axis`` so
+this module's sharded segment runs unchanged across a pod.
 """
 
 from __future__ import annotations
@@ -35,21 +37,36 @@ BATCH_AXIS = "batch"
 PATHS_AXIS = "paths"
 
 
+def _axis_size(mesh: Mesh, axis: "str | tuple[str, ...]") -> int:
+    if isinstance(axis, tuple):
+        size = 1
+        for name in axis:
+            size *= mesh.shape[name]
+        return size
+    return mesh.shape[axis]
+
+
 @dataclass(frozen=True)
 class MeshSpec:
-    """A mesh plus the names of its contract-DP and MC-paths axes."""
+    """A mesh plus the names of its contract-DP and MC-paths axes.
+
+    Axis names may be tuples — JAX collectives and ``axis_index`` compose
+    over composed axes, which is how the multi-slice global mesh reuses the
+    single-slice trainer: ``batch_axis=("slice", "batch")``
+    (parallel/distributed.py:build_global_mesh_spec).
+    """
 
     mesh: Mesh
-    batch_axis: str = BATCH_AXIS
-    paths_axis: str = PATHS_AXIS
+    batch_axis: "str | tuple[str, ...]" = BATCH_AXIS
+    paths_axis: "str | tuple[str, ...]" = PATHS_AXIS
 
     @property
     def batch_size_divisor(self) -> int:
-        return self.mesh.shape[self.batch_axis]
+        return _axis_size(self.mesh, self.batch_axis)
 
     @property
     def paths_divisor(self) -> int:
-        return self.mesh.shape[self.paths_axis]
+        return _axis_size(self.mesh, self.paths_axis)
 
 
 def build_mesh_spec(

@@ -328,6 +328,51 @@ def jax_env_snapshot() -> common_pb2.JaxEnvProto:
 
 
 # --------------------------------------------------------------------------
+# Adam state (typed, versioned — parity: reference AdamParamState/
+# AdamStateDict field-by-field mirroring, models/torch.py:348-735)
+# --------------------------------------------------------------------------
+
+
+def adam_state_to_proto(snapshot: "AdamStateSnapshot") -> tensors_pb2.AdamStateProto:
+    return tensors_pb2.AdamStateProto(
+        schema_version=snapshot.schema_version,
+        mu=tensor_map_to_proto(snapshot.mu),
+        nu=tensor_map_to_proto(snapshot.nu),
+        count=snapshot.count,
+    )
+
+
+def adam_state_from_proto(
+    proto: tensors_pb2.AdamStateProto,
+) -> Result["AdamStateSnapshot", SerializationError]:
+    from spectralmc_tpu.training.adam_state import ADAM_SCHEMA_VERSION, AdamStateSnapshot
+
+    if proto.schema_version != ADAM_SCHEMA_VERSION:
+        return Failure(
+            DecodeError(
+                what="adam_state",
+                reason=f"schema_version {proto.schema_version} unsupported "
+                f"(this build reads v{ADAM_SCHEMA_VERSION})",
+            )
+        )
+    mu = tensor_map_from_proto(proto.mu)
+    if isinstance(mu, Failure):
+        return Failure(mu.error)
+    nu = tensor_map_from_proto(proto.nu)
+    if isinstance(nu, Failure):
+        return Failure(nu.error)
+    try:
+        return Success(
+            AdamStateSnapshot(
+                mu=mu.value, nu=nu.value, count=proto.count,
+                schema_version=proto.schema_version,
+            )
+        )
+    except ValueError as exc:
+        return Failure(DecodeError(what="adam_state", reason=str(exc)))
+
+
+# --------------------------------------------------------------------------
 # Checkpoint root (parity: ModelCheckpointConverter, tensors.py:458-593)
 # --------------------------------------------------------------------------
 
@@ -347,7 +392,12 @@ def checkpoint_to_proto(config: "GbmCVNNPricerConfig") -> tensors_pb2.ModelCheck
     if config.model_state is not None:
         proto.model_state.CopyFrom(tensor_map_to_proto(config.model_state))
     if config.optimizer_state is not None:
-        proto.optimizer_state.CopyFrom(tensor_map_to_proto(config.optimizer_state))
+        # always WRITE the typed schema; legacy flat maps migrate first
+        from spectralmc_tpu.training.adam_state import coerce_optimizer_state
+
+        proto.adam_state.CopyFrom(
+            adam_state_to_proto(coerce_optimizer_state(config.optimizer_state))
+        )
     return proto
 
 
@@ -372,12 +422,23 @@ def checkpoint_from_proto(
         if isinstance(res, Failure):
             return Failure(res.error)
         model_state = res.value
-    optimizer_state: dict[str, np.ndarray] | None = None
-    if proto.HasField("optimizer_state"):
+    optimizer_state: "AdamStateSnapshot | dict[str, np.ndarray] | None" = None
+    if proto.HasField("adam_state"):
+        adam = adam_state_from_proto(proto.adam_state)
+        if isinstance(adam, Failure):
+            return Failure(adam.error)
+        optimizer_state = adam.value
+    elif proto.HasField("optimizer_state"):
+        # legacy round-1 checkpoint: positional optax path map — migrate
         res = tensor_map_from_proto(proto.optimizer_state)
         if isinstance(res, Failure):
             return Failure(res.error)
-        optimizer_state = res.value
+        from spectralmc_tpu.training.adam_state import migrate_legacy_flat
+
+        try:
+            optimizer_state = migrate_legacy_flat(res.value)
+        except (KeyError, ValueError) as exc:
+            return Failure(DecodeError(what="optimizer_state(legacy)", reason=str(exc)))
     return Success(
         GbmCVNNPricerConfig(
             sim=sim.value,
@@ -416,4 +477,5 @@ def deserialize_checkpoint(
 from typing import TYPE_CHECKING  # noqa: E402
 
 if TYPE_CHECKING:  # pragma: no cover
+    from spectralmc_tpu.training.adam_state import AdamStateSnapshot
     from spectralmc_tpu.training.trainer import GbmCVNNPricerConfig, TrainingConfig

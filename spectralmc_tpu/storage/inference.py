@@ -12,13 +12,16 @@ from __future__ import annotations
 import asyncio
 import logging
 from dataclasses import dataclass
-from typing import Union
+from typing import TYPE_CHECKING, Union
 
 from spectralmc_tpu.core.errors.storage import StorageError, VersionNotFound
 from spectralmc_tpu.core.result import Failure, Result, Success
 from spectralmc_tpu.storage.chain import ModelVersion
 from spectralmc_tpu.storage.checkpoint import load_snapshot_from_checkpoint
 from spectralmc_tpu.storage.store import AsyncBlockchainModelStore
+
+if TYPE_CHECKING:  # pragma: no cover — typing-only, breaks the import cycle
+    from spectralmc_tpu.training.trainer import GbmCVNNPricerConfig
 
 logger = logging.getLogger(__name__)
 
@@ -47,7 +50,7 @@ class LoadedModel:
     """What ``get_model`` hands out: the config snapshot + its provenance."""
 
     version: ModelVersion
-    config: "object"  # GbmCVNNPricerConfig (avoid import cycle)
+    config: "GbmCVNNPricerConfig"
 
 
 class InferenceClient:

@@ -37,6 +37,7 @@ from pydantic import BaseModel, ConfigDict
 from spectralmc_tpu.core.errors.trainer import (
     CheckpointMismatch,
     CommitPlanMismatch,
+    EngineMismatch,
     InvalidTrainingConfig,
     NonFiniteLoss,
     TrainerError,
@@ -46,12 +47,20 @@ from spectralmc_tpu.models.factory import CVNN, CVNNConfig, build_model
 from spectralmc_tpu.ops.gbm import (
     BlackScholesContract,
     SimulationParams,
+    has_closed_form_mean,
+    resolve_implementation,
 )
 from spectralmc_tpu.ops.sobol import (
     BoundSpec,
     SobolConfig,
     SobolSampler,
     build_domain_bounds,
+)
+from spectralmc_tpu.training.adam_state import (
+    AdamStateSnapshot,
+    coerce_optimizer_state,
+    restore_into_optax,
+    snapshot_from_optax,
 )
 from spectralmc_tpu.training.step import (
     SobolTable,
@@ -175,7 +184,9 @@ class GbmCVNNPricerConfig:
     global_step: int = 0
     sobol_skip: int = 0
     model_state: Mapping[str, np.ndarray] | None = None
-    optimizer_state: Mapping[str, np.ndarray] | None = None
+    # Typed named-moment Adam state (training/adam_state.py). Legacy round-1
+    # flat maps ("opt/0/.mu/...") are accepted and migrated on create().
+    optimizer_state: AdamStateSnapshot | Mapping[str, np.ndarray] | None = None
 
 
 @dataclass(frozen=True, slots=True)
@@ -185,6 +196,23 @@ class StepMetrics:
     step: int
     loss: float
     grad_norm: float
+    learning_rate: float
+
+
+@dataclass(frozen=True, slots=True)
+class SegmentMetrics:
+    """One segment's metrics in bulk — a single host hand-off per segment.
+
+    At fused-step rates (~2k steps/s) a per-step Python callback dominates
+    the host loop; sinks that can consume arrays (TensorBoard batch logging,
+    metric stores) should register via ``set_segment_callback`` instead of
+    the per-step seam. ``losses[i]``/``grad_norms[i]`` belong to global step
+    ``start_step + i``.
+    """
+
+    start_step: int
+    losses: np.ndarray
+    grad_norms: np.ndarray
     learning_rate: float
 
 
@@ -258,7 +286,7 @@ class GbmCVNNPricer:
         model: CVNN,
         params: Any,
         bn_state: Any,
-        opt_flat: Mapping[str, np.ndarray] | None,
+        opt_snapshot: AdamStateSnapshot | Mapping[str, np.ndarray] | None,
         sampler: SobolSampler[Any],
         mesh_spec: Any | None = None,
     ) -> None:
@@ -268,20 +296,67 @@ class GbmCVNNPricer:
         self._model = model
         self._params = params
         self._bn_state = bn_state
-        self._opt_flat = dict(opt_flat) if opt_flat is not None else None
+        self._opt_snapshot = coerce_optimizer_state(opt_snapshot)
         self._sampler = sampler
         self._global_step = config.global_step
         self._sobol_skip = config.sobol_skip
         self._mesh_spec = mesh_spec
         self._segment_cache: dict[tuple[float, int, int], Callable[..., Any]] = {}
         self._step_callback: Callable[[StepMetrics], None] | None = None
+        self._segment_callback: Callable[[SegmentMetrics], None] | None = None
 
     # -- construction --------------------------------------------------------
 
     @classmethod
     def create(
-        cls, config: GbmCVNNPricerConfig, *, mesh_spec: Any | None = None
+        cls,
+        config: GbmCVNNPricerConfig,
+        *,
+        mesh_spec: Any | None = None,
+        allow_engine_fallback: bool = False,
     ) -> Result["GbmCVNNPricer", TrainerError]:
+        # Resolve the MC engine that will ACTUALLY run here, so snapshots
+        # record the truth. A fresh config downgrades with a warning; a
+        # mid-stream checkpoint (any counter advanced) must not silently
+        # switch bit streams (reference restorability ethos,
+        # gbm_trainer.py:633-643) — fail loudly unless the caller opts in.
+        shard_rows = None
+        if mesh_spec is not None and hasattr(mesh_spec, "paths_divisor"):
+            if config.sim.batches_per_mc_run % mesh_spec.paths_divisor == 0:
+                shard_rows = config.sim.batches_per_mc_run // mesh_spec.paths_divisor
+        effective = resolve_implementation(config.sim, rows=shard_rows)
+        if effective != config.sim.implementation:
+            mid_stream = (
+                config.global_step > 0 or config.sobol_skip > 0 or config.sim.skip > 0
+            )
+            if mid_stream and not allow_engine_fallback:
+                return Failure(
+                    EngineMismatch(
+                        requested=config.sim.implementation.value,
+                        effective=effective.value,
+                        reason="checkpoint was trained on a different MC engine; its "
+                        "bit stream cannot continue on this backend/shape — pass "
+                        "allow_engine_fallback=True to accept the stream break",
+                    )
+                )
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "MC engine %s unavailable (backend=%s); running %s — snapshots will "
+                "record the effective engine",
+                config.sim.implementation.value,
+                jax.default_backend(),
+                effective.value,
+            )
+            config = GbmCVNNPricerConfig(
+                sim=config.sim.model_copy(update={"implementation": effective}),
+                bounds=config.bounds,
+                cvnn=config.cvnn,
+                global_step=config.global_step,
+                sobol_skip=config.sobol_skip,
+                model_state=config.model_state,
+                optimizer_state=config.optimizer_state,
+            )
         ccls = contract_class(config.sim)
         bounds_res = build_domain_bounds(ccls, config.bounds)
         if isinstance(bounds_res, Failure):
@@ -337,8 +412,39 @@ class GbmCVNNPricer:
         return self._global_step
 
     def set_step_callback(self, cb: Callable[[StepMetrics], None] | None) -> None:
-        """Register a per-batch metrics hook (TensorBoard logger seam)."""
+        """Register a per-batch metrics hook (TensorBoard logger seam).
+
+        Costs one Python call per batch; for high-rate training prefer
+        ``set_segment_callback``, which hands off whole-segment arrays.
+        """
         self._step_callback = cb
+
+    def set_segment_callback(self, cb: Callable[[SegmentMetrics], None] | None) -> None:
+        """Register a per-segment bulk metrics hook (one call per device scan)."""
+        self._segment_callback = cb
+
+    def _emit_metrics(
+        self, base_step: int, seg_losses: np.ndarray, seg_gnorms: np.ndarray, lr: float
+    ) -> None:
+        if self._segment_callback is not None:
+            self._segment_callback(
+                SegmentMetrics(
+                    start_step=base_step + 1,
+                    losses=seg_losses,
+                    grad_norms=seg_gnorms,
+                    learning_rate=lr,
+                )
+            )
+        if self._step_callback is not None:
+            for i in range(len(seg_losses)):
+                self._step_callback(
+                    StepMetrics(
+                        step=base_step + i + 1,
+                        loss=float(seg_losses[i]),
+                        grad_norm=float(seg_gnorms[i]),
+                        learning_rate=lr,
+                    )
+                )
 
     # -- snapshot (reference gbm_trainer.py:756-800) ---------------------------
 
@@ -354,7 +460,7 @@ class GbmCVNNPricer:
             global_step=self._global_step,
             sobol_skip=self._sobol_skip,
             model_state=model_flat,
-            optimizer_state=dict(self._opt_flat) if self._opt_flat is not None else None,
+            optimizer_state=self._opt_snapshot,
         )
 
     # -- the fused step -------------------------------------------------------
@@ -405,9 +511,9 @@ class GbmCVNNPricer:
 
     def _init_opt_state(self, lr: float) -> Any:
         opt_state = make_optimizer(lr).init(self._params)
-        if self._opt_flat is not None:
+        if self._opt_snapshot is not None:
             # Reattach checkpointed Adam moments (reference gbm_trainer.py:1513-1528)
-            opt_state = unflatten_like(opt_state, "opt", self._opt_flat)
+            opt_state = restore_into_optax(opt_state, self._opt_snapshot)
         return opt_state
 
     # -- train (reference gbm_trainer.py:1456-1703) ----------------------------
@@ -418,7 +524,14 @@ class GbmCVNNPricer:
         *,
         commit_plan: CommitPlan | None = None,
         commit_fn: CommitFn | None = None,
+        profile_dir: str | None = None,
     ) -> Result[TrainingResult, TrainerError]:
+        """Run ``config.num_batches`` fused batches (optionally committing).
+
+        ``profile_dir`` turns on ``jax.profiler`` capture for the whole call
+        (TensorBoard trace-viewer format), with one ``StepTraceAnnotation``
+        per device segment — first-class evidence for perf work.
+        """
         plan = commit_plan if commit_plan is not None else NoCommit()
         if not isinstance(plan, NoCommit) and commit_fn is None:
             return Failure(
@@ -448,42 +561,49 @@ class GbmCVNNPricer:
             full, rem = divmod(config.num_batches, interval)
             segments = [interval] * full + ([rem] if rem else [])
 
+        import contextlib
+
+        trace_ctx = (
+            jax.profiler.trace(profile_dir) if profile_dir else contextlib.nullcontext()
+        )
         losses: list[np.ndarray] = []
         gnorms: list[np.ndarray] = []
         batches_done = 0
-        for seg_len in segments:
-            run = self._make_segment(config.learning_rate, config.batch_size, seg_len)
-            carry, (seg_losses, seg_gnorms) = run(carry)
-            seg_losses = np.asarray(seg_losses)
-            seg_gnorms = np.asarray(seg_gnorms)
-            losses.append(seg_losses)
-            gnorms.append(seg_gnorms)
-            batches_done += seg_len
-            if not np.isfinite(seg_losses[-1]):
-                return Failure(
-                    NonFiniteLoss(
-                        step=self._global_step + batches_done,
-                        loss=float(seg_losses[-1]),
-                        reason="training diverged",
-                    )
-                )
-            if self._step_callback is not None:
-                base_step = self._global_step + batches_done - seg_len
-                for i in range(seg_len):
-                    self._step_callback(
-                        StepMetrics(
-                            step=base_step + i + 1,
-                            loss=float(seg_losses[i]),
-                            grad_norm=float(seg_gnorms[i]),
-                            learning_rate=config.learning_rate,
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(trace_ctx)
+            for seg_index, seg_len in enumerate(segments):
+                run = self._make_segment(config.learning_rate, config.batch_size, seg_len)
+                with jax.profiler.StepTraceAnnotation("train_segment", step_num=seg_index):
+                    carry, (seg_losses, seg_gnorms) = run(carry)
+                seg_losses = np.asarray(seg_losses)
+                seg_gnorms = np.asarray(seg_gnorms)
+                losses.append(seg_losses)
+                gnorms.append(seg_gnorms)
+                batches_done += seg_len
+                if not np.isfinite(seg_losses[-1]):
+                    return Failure(
+                        NonFiniteLoss(
+                            step=start_step + batches_done,
+                            loss=float(seg_losses[-1]),
+                            reason="training diverged",
                         )
                     )
-            self._absorb(carry, start_step + batches_done)
-            # Commit at every full-interval boundary; when the final boundary
-            # will also get a FinalCommit, don't double-commit it.
-            at_boundary = interval is not None and seg_len == interval
-            if at_boundary and (batches_done < config.num_batches or not _commits_final(plan)):
-                self._commit(plan, commit_fn, float(seg_losses[-1]), batches_done)
+                # base on start_step: _absorb has already advanced
+                # self._global_step for earlier segments in this run
+                self._emit_metrics(
+                    start_step + batches_done - seg_len,
+                    seg_losses,
+                    seg_gnorms,
+                    config.learning_rate,
+                )
+                self._absorb(carry, start_step + batches_done)
+                # Commit at every full-interval boundary; when the final boundary
+                # will also get a FinalCommit, don't double-commit it.
+                at_boundary = interval is not None and seg_len == interval
+                if at_boundary and (
+                    batches_done < config.num_batches or not _commits_final(plan)
+                ):
+                    self._commit(plan, commit_fn, float(seg_losses[-1]), batches_done)
 
         all_losses = np.concatenate(losses)
         all_gnorms = np.concatenate(gnorms)
@@ -578,17 +698,12 @@ class GbmCVNNPricer:
                     reason="training diverged",
                 )
                 raise FloatingPointError("non-finite loss")  # surfaces as TrainingError
-            if self._step_callback is not None:
-                base = start_step + progress["batches_done"] - effect.length
-                for i in range(effect.length):
-                    self._step_callback(
-                        StepMetrics(
-                            step=base + i + 1,
-                            loss=float(seg_losses[i]),
-                            grad_norm=float(seg_gnorms[i]),
-                            learning_rate=effect.learning_rate,
-                        )
-                    )
+            self._emit_metrics(
+                start_step + progress["batches_done"] - effect.length,
+                seg_losses,
+                seg_gnorms,
+                effect.learning_rate,
+            )
             self._absorb(progress["carry"], start_step + progress["batches_done"])
             return progress["batches_done"]
 
@@ -644,7 +759,7 @@ class GbmCVNNPricer:
         """Pull the scan carry back into pricer state (device arrays stay on device)."""
         self._params = carry["params"]
         self._bn_state = carry["bn_state"]
-        self._opt_flat = flatten_pytree("opt", carry["opt_state"])
+        self._opt_snapshot = snapshot_from_optax(carry["opt_state"])
         self._sobol_skip = int(carry["sobol_skip"])
         self._sim = self._sim.model_copy(update={"skip": int(carry["mc_skip"])})
         self._sampler = self._sampler.with_skip(self._sobol_skip)
@@ -697,8 +812,7 @@ class GbmCVNNPricer:
         # warning rather than a silently wrong forward-parity number.
         from spectralmc_tpu.training.step import make_mean_target
 
-        mean_target = make_mean_target(self._sim)
-        if mean_target(arr[0]) is None:  # a config property, not per-contract
+        if not has_closed_form_mean(self._sim.model, self._sim.payoff):
             import logging
 
             logging.getLogger(__name__).warning(
@@ -708,7 +822,7 @@ class GbmCVNNPricer:
             )
             call = jnp.full_like(put, jnp.nan)
         else:
-            expected = jax.vmap(mean_target)(arr)
+            expected = jax.vmap(make_mean_target(self._sim))(arr)
             call = put + df * (expected - strike)
         return PricePrediction(
             put=np.asarray(put), call=np.asarray(call), imag_residue=residue

@@ -20,7 +20,7 @@ from spectralmc_tpu.core.result import Failure, Result, Success
 
 if TYPE_CHECKING:  # pragma: no cover
     from spectralmc_tpu.storage.store import AsyncBlockchainModelStore
-    from spectralmc_tpu.training.trainer import StepMetrics
+    from spectralmc_tpu.training.trainer import SegmentMetrics, StepMetrics
 
 
 def _make_writer(logdir: str) -> Any:
@@ -58,6 +58,25 @@ class TensorBoardLogger:
                 self._writer.add_histogram(name, np.asarray(value), step)
         if step % self._flush_every == 0:
             self._writer.flush()
+
+    def log_segment(self, metrics: "SegmentMetrics") -> None:
+        """Bulk per-segment sink for ``GbmCVNNPricer.set_segment_callback``.
+
+        One Python call per device scan: scalars for every step in the
+        segment, histograms/flush at the same cadences as the per-step path.
+        """
+        for i in range(len(metrics.losses)):
+            step = metrics.start_step + i
+            self._writer.add_scalar("train/loss", float(metrics.losses[i]), step)
+            self._writer.add_scalar("train/grad_norm", float(metrics.grad_norms[i]), step)
+            self._writer.add_scalar("train/learning_rate", metrics.learning_rate, step)
+        last = metrics.start_step + len(metrics.losses) - 1
+        if self._param_source is not None and last // self._hist_every != (
+            metrics.start_step - 1
+        ) // self._hist_every:
+            for name, value in self._param_source().items():
+                self._writer.add_histogram(name, np.asarray(value), last)
+        self._writer.flush()
 
     def close(self) -> None:
         self._writer.flush()

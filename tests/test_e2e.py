@@ -115,9 +115,12 @@ def test_checkpoint_roundtrip_optimizer_state_equality(tmp_path) -> None:
     assert loaded.global_step == snap.global_step
     assert loaded.sobol_skip == snap.sobol_skip
     assert loaded.sim == snap.sim
-    assert set(loaded.optimizer_state) == set(snap.optimizer_state)
-    for k in snap.optimizer_state:
-        assert np.array_equal(loaded.optimizer_state[k], snap.optimizer_state[k]), k
+    assert loaded.optimizer_state.schema_version == snap.optimizer_state.schema_version
+    assert loaded.optimizer_state.count == snap.optimizer_state.count
+    assert set(loaded.optimizer_state.mu) == set(snap.optimizer_state.mu)
+    for k in snap.optimizer_state.mu:
+        assert np.array_equal(loaded.optimizer_state.mu[k], snap.optimizer_state.mu[k]), k
+        assert np.array_equal(loaded.optimizer_state.nu[k], snap.optimizer_state.nu[k]), k
     for k in snap.model_state:
         assert np.array_equal(loaded.model_state[k], snap.model_state[k]), k
 

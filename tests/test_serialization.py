@@ -122,8 +122,10 @@ def test_checkpoint_roundtrip_resumes_bit_exact() -> None:
     s1, s2 = continuous.snapshot(), restored.snapshot()
     for key in s1.model_state:
         np.testing.assert_array_equal(s1.model_state[key], s2.model_state[key])
-    for key in s1.optimizer_state:
-        np.testing.assert_array_equal(s1.optimizer_state[key], s2.optimizer_state[key])
+    assert s1.optimizer_state.count == s2.optimizer_state.count
+    for key in s1.optimizer_state.mu:
+        np.testing.assert_array_equal(s1.optimizer_state.mu[key], s2.optimizer_state.mu[key])
+        np.testing.assert_array_equal(s1.optimizer_state.nu[key], s2.optimizer_state.nu[key])
 
 
 def test_checkpoint_deterministic_bytes() -> None:

@@ -334,3 +334,96 @@ def test_convergence_quality_gate() -> None:
     )
     rel = abs(float(pred.put[0]) - float(ana.put)) / float(ana.put)
     assert rel < 0.05, f"learned put off by {rel:.1%}"
+
+
+# --------------------------------------------------------------------------
+# Engine recording / mismatch (determinism contract across backends)
+# --------------------------------------------------------------------------
+
+
+def test_fresh_pallas_request_downgrades_and_records_effective_engine() -> None:
+    """On a backend where the Pallas kernel can't run, a FRESH config is
+    downgraded with a warning and the snapshot records the engine that
+    actually ran (never a silent lie in the checkpoint)."""
+    from spectralmc_tpu.ops.gbm import SimImplementation
+
+    config = make_pricer_config(implementation=SimImplementation.PALLAS)
+    pricer = expect_success(GbmCVNNPricer.create(config))
+    expect_success(pricer.train(make_training(num_batches=2)))
+    snap = pricer.snapshot()
+    assert snap.sim.implementation == SimImplementation.XLA
+
+
+def test_midstream_pallas_checkpoint_fails_loud_off_tpu() -> None:
+    """Resuming a mid-stream PALLAS checkpoint where the kernel can't run is
+    an EngineMismatch failure — the bit stream would silently change."""
+    from spectralmc_tpu.core.errors.trainer import EngineMismatch
+    from spectralmc_tpu.ops.gbm import SimImplementation
+
+    base = make_pricer_config(implementation=SimImplementation.PALLAS)
+    midstream = GbmCVNNPricerConfig(
+        sim=base.sim, bounds=base.bounds, cvnn=base.cvnn, global_step=4, sobol_skip=16
+    )
+    err = expect_failure(GbmCVNNPricer.create(midstream))
+    assert isinstance(err, EngineMismatch)
+    assert err.requested == "pallas" and err.effective == "xla"
+
+    # explicit opt-in accepts the stream break and trains on
+    pricer = expect_success(GbmCVNNPricer.create(midstream, allow_engine_fallback=True))
+    expect_success(pricer.train(make_training(num_batches=1)))
+    assert pricer.snapshot().sim.implementation == SimImplementation.XLA
+
+
+def test_resolve_implementation_is_the_fallback_predicate() -> None:
+    from spectralmc_tpu.ops.gbm import SimImplementation, resolve_implementation
+
+    xla_sim = make_simulation_params()
+    assert resolve_implementation(xla_sim) == SimImplementation.XLA
+    pallas_sim = make_simulation_params(implementation=SimImplementation.PALLAS)
+    # CPU backend: the hardware kernel can never run
+    assert resolve_implementation(pallas_sim) == SimImplementation.XLA
+
+
+# --------------------------------------------------------------------------
+# Segment (bulk) metrics callback
+# --------------------------------------------------------------------------
+
+
+def test_segment_callback_matches_per_step_metrics() -> None:
+    from spectralmc_tpu.training.trainer import IntervalCommit
+
+    per_step: list = []
+    segments: list = []
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    pricer.set_step_callback(per_step.append)
+    pricer.set_segment_callback(segments.append)
+    commits: list = []
+    expect_success(
+        pricer.train(
+            make_training(num_batches=5, batch_size=4),
+            commit_plan=IntervalCommit(interval=2),
+            commit_fn=lambda snap, msg: commits.append(msg),
+        )
+    )
+    # 5 batches at interval 2 -> segments of [2, 2, 1]
+    assert [len(s.losses) for s in segments] == [2, 2, 1]
+    assert segments[0].start_step == 1
+    assert segments[1].start_step == 3
+    assert segments[2].start_step == 5
+    flat_losses = np.concatenate([s.losses for s in segments])
+    assert len(per_step) == 5
+    np.testing.assert_array_equal(flat_losses, [m.loss for m in per_step])
+    assert [m.step for m in per_step] == [1, 2, 3, 4, 5]
+
+
+def test_profile_dir_writes_trace(tmp_path) -> None:
+    """profile_dir turns on jax.profiler capture around the train call."""
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    profile_dir = str(tmp_path / "trace")
+    expect_success(
+        pricer.train(make_training(num_batches=2), profile_dir=profile_dir)
+    )
+    import pathlib
+
+    produced = list(pathlib.Path(profile_dir).rglob("*"))
+    assert any(p.is_file() for p in produced), "profiler wrote no trace files"

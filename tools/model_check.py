@@ -64,8 +64,22 @@ def _final_state(snapshot) -> dict:
         "sobol_skip": snapshot.sobol_skip,
         "mc_skip": snapshot.sim.skip,
         "model": {k: np.asarray(v) for k, v in (snapshot.model_state or {}).items()},
-        "opt": {k: np.asarray(v) for k, v in (snapshot.optimizer_state or {}).items()},
+        "opt": _opt_tensors(snapshot.optimizer_state),
     }
+
+
+def _opt_tensors(opt) -> dict:
+    """Typed AdamStateSnapshot -> comparable flat tensor dict."""
+    import numpy as np
+
+    if opt is None:
+        return {}
+    out = {"count": np.asarray(opt.count)}
+    for k, v in opt.mu.items():
+        out[f"mu/{k}"] = np.asarray(v)
+    for k, v in opt.nu.items():
+        out[f"nu/{k}"] = np.asarray(v)
+    return out
 
 
 def _diff(a: dict, b: dict) -> list[str]:

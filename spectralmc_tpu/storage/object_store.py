@@ -161,6 +161,67 @@ class FileSystemObjectStore:
         return Success((len(data), compute_etag(data)))
 
 
+class InMemoryObjectStore:
+    """Dict-backed backend with the same CAS semantics (fastest hermetic seam).
+
+    Same conditional-put contract as the filesystem/S3 backends; mutations
+    serialize through one asyncio lock so read-compare-replace is atomic.
+    """
+
+    def __init__(self, bucket: str) -> None:
+        self.bucket = bucket
+        self._objects: dict[str, bytes] = {}
+        self._lock = asyncio.Lock()
+
+    async def get(self, key: str) -> Result[tuple[bytes, str], StoreOpError]:
+        data = self._objects.get(key)
+        if data is None:
+            return Failure(ObjectNotFound(bucket=self.bucket, key=key))
+        return Success((data, compute_etag(data)))
+
+    async def put(
+        self,
+        key: str,
+        data: bytes,
+        *,
+        if_match: str | None = None,
+        if_none_match: bool = False,
+    ) -> Result[str, StoreOpError]:
+        async with self._lock:
+            current = self._objects.get(key)
+            if if_none_match and current is not None:
+                return Failure(
+                    PreconditionFailed(
+                        bucket=self.bucket, key=key, expected_etag=compute_etag(current)
+                    )
+                )
+            if if_match is not None:
+                if current is None:
+                    return Failure(ObjectNotFound(bucket=self.bucket, key=key))
+                if compute_etag(current) != if_match:
+                    return Failure(
+                        PreconditionFailed(
+                            bucket=self.bucket, key=key, expected_etag=if_match
+                        )
+                    )
+            self._objects[key] = bytes(data)
+        return Success(compute_etag(data))
+
+    async def delete(self, key: str) -> Result[None, StoreOpError]:
+        async with self._lock:
+            self._objects.pop(key, None)
+        return Success(None)
+
+    async def list(self, prefix: str) -> Result[tuple[str, ...], StoreOpError]:
+        return Success(tuple(sorted(k for k in self._objects if k.startswith(prefix))))
+
+    async def head(self, key: str) -> Result[tuple[int, str], StoreOpError]:
+        data = self._objects.get(key)
+        if data is None:
+            return Failure(ObjectNotFound(bucket=self.bucket, key=key))
+        return Success((len(data), compute_etag(data)))
+
+
 def make_s3_object_store(bucket: str, *, endpoint_url: str | None = None) -> ObjectStore:
     """S3 backend (aioboto3), env-configured like the reference (store.py:238-243).
 

@@ -1,0 +1,255 @@
+"""ObjectStore conformance: ONE contract suite over all three backends.
+
+Parity motive: the reference proves its CAS semantics against live MinIO
+(``/root/reference/tests/test_storage/test_atomic_cas.py:14-50``,
+``conftest.py:174-229``). Here the same contract runs over the in-memory,
+filesystem and S3 backends — the S3 backend executes its real production
+code (``storage/s3_store.py``) against a faithful aioboto3/botocore fake
+(``tests/helpers/fake_aioboto3.py``) implementing real S3 semantics (md5
+ETags, 412 conditional-write failures, 404 HEAD misses, paginated listing).
+
+Real-S3 envelope note: S3 conditional writes (If-None-Match ``*``, If-Match
+on PUT) became generally available in late 2024; MinIO and GCS-interop
+endpoints support them. The classifier treats a missing capability
+(NotImplemented) as UnknownStoreError — loud, not silent.
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+import pytest
+
+from spectralmc_tpu.core.errors.storage import (
+    BucketNotFound,
+    NetworkError,
+    NotFastForward,
+    ObjectNotFound,
+    PreconditionFailed,
+    Throttled,
+    UnknownStoreError,
+)
+from spectralmc_tpu.core.result import Failure
+from spectralmc_tpu.storage.object_store import FileSystemObjectStore, InMemoryObjectStore
+from spectralmc_tpu.storage.store import AsyncBlockchainModelStore
+from tests.helpers import expect_failure, expect_success
+from tests.helpers import fake_aioboto3
+
+BACKENDS = ("memory", "filesystem", "s3")
+
+
+@pytest.fixture(params=BACKENDS)
+def object_store(request, tmp_path, monkeypatch):
+    """One fixture, three production backends."""
+    if request.param == "memory":
+        yield InMemoryObjectStore("conformance")
+    elif request.param == "filesystem":
+        yield FileSystemObjectStore(str(tmp_path), "conformance")
+    else:
+        fake_aioboto3.reset()
+        fake_aioboto3.create_bucket("conformance")
+        s3_store = fake_aioboto3.install(monkeypatch)
+        yield s3_store.S3ObjectStore("conformance")
+        import sys
+
+        sys.modules.pop("spectralmc_tpu.storage.s3_store", None)
+
+
+@pytest.fixture
+def s3_only(monkeypatch):
+    """The S3 backend alone, with the fault-injection hooks exposed."""
+    fake_aioboto3.reset()
+    fake_aioboto3.create_bucket("faulty")
+    s3_store = fake_aioboto3.install(monkeypatch)
+    yield s3_store.S3ObjectStore("faulty"), fake_aioboto3
+    import sys
+
+    sys.modules.pop("spectralmc_tpu.storage.s3_store", None)
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+# --------------------------------------------------------------------------
+# The shared contract (every backend must pass every test)
+# --------------------------------------------------------------------------
+
+
+def test_put_get_roundtrip_with_stable_etag(object_store) -> None:
+    etag = expect_success(run(object_store.put("a/b.txt", b"payload")))
+    data, got_etag = expect_success(run(object_store.get("a/b.txt")))
+    assert data == b"payload"
+    assert got_etag == etag
+    # same content => same etag (content-addressed CAS token)
+    assert expect_success(run(object_store.put("a/b.txt", b"payload"))) == etag
+
+
+def test_get_and_head_missing_key(object_store) -> None:
+    assert isinstance(expect_failure(run(object_store.get("nope"))), ObjectNotFound)
+    assert isinstance(expect_failure(run(object_store.head("nope"))), ObjectNotFound)
+
+
+def test_head_reports_size_and_etag(object_store) -> None:
+    etag = expect_success(run(object_store.put("k", b"12345")))
+    size, got = expect_success(run(object_store.head("k")))
+    assert size == 5 and got == etag
+
+
+def test_if_none_match_create_then_conflict(object_store) -> None:
+    expect_success(run(object_store.put("chain.json", b"v0", if_none_match=True)))
+    err = expect_failure(run(object_store.put("chain.json", b"v1", if_none_match=True)))
+    assert isinstance(err, PreconditionFailed)
+    data, _ = expect_success(run(object_store.get("chain.json")))
+    assert data == b"v0"  # loser's write did not land
+
+
+def test_if_match_swap_and_stale_etag_conflict(object_store) -> None:
+    etag0 = expect_success(run(object_store.put("chain.json", b"v0")))
+    etag1 = expect_success(run(object_store.put("chain.json", b"v1", if_match=etag0)))
+    assert etag1 != etag0
+    # replay with the stale etag: the CAS must reject it
+    err = expect_failure(run(object_store.put("chain.json", b"v2", if_match=etag0)))
+    assert isinstance(err, PreconditionFailed)
+    data, _ = expect_success(run(object_store.get("chain.json")))
+    assert data == b"v1"
+
+
+def test_if_match_missing_key_is_not_found(object_store) -> None:
+    err = expect_failure(run(object_store.put("ghost", b"x", if_match="deadbeef")))
+    assert isinstance(err, ObjectNotFound)
+
+
+def test_delete_is_idempotent(object_store) -> None:
+    expect_success(run(object_store.put("victim", b"x")))
+    expect_success(run(object_store.delete("victim")))
+    expect_success(run(object_store.delete("victim")))  # second delete: still OK
+    assert isinstance(expect_failure(run(object_store.get("victim"))), ObjectNotFound)
+
+
+def test_list_is_prefix_filtered_and_sorted(object_store) -> None:
+    for key in ("versions/v2/meta", "versions/v1/meta", "audit/x", "versions/v1/blob"):
+        expect_success(run(object_store.put(key, b"d")))
+    keys = expect_success(run(object_store.list("versions/")))
+    assert keys == ("versions/v1/blob", "versions/v1/meta", "versions/v2/meta")
+    assert expect_success(run(object_store.list("zzz/"))) == ()
+
+
+def test_concurrent_cas_single_winner(object_store) -> None:
+    """N racing If-Match writers: exactly one wins, the rest get 412."""
+
+    async def race() -> list:
+        etag = (await object_store.put("head", b"base")).value
+        return list(
+            await asyncio.gather(
+                *(object_store.put("head", f"w{i}".encode(), if_match=etag) for i in range(8))
+            )
+        )
+
+    results = run(race())
+    winners = [r for r in results if not isinstance(r, Failure)]
+    losers = [r for r in results if isinstance(r, Failure)]
+    assert len(winners) == 1, f"expected one CAS winner, got {len(winners)}"
+    assert all(isinstance(r.error, PreconditionFailed) for r in losers)
+
+
+def test_full_commit_protocol_over_backend(object_store) -> None:
+    """The 10-step blockchain commit runs unchanged over every backend."""
+    store = AsyncBlockchainModelStore(object_store)
+    v0 = expect_success(run(store.commit(b"ckpt-0", _sha(b"ckpt-0"), "genesis")))
+    assert v0.counter == 0
+    v1 = expect_success(run(store.commit(b"ckpt-1", _sha(b"ckpt-1"), "second")))
+    assert v1.counter == 1 and v1.parent_hash == v0.content_hash
+    head = expect_success(run(store.get_head()))
+    assert head is not None and head.counter == 1
+    payload = expect_success(run(store.load_checkpoint(v1)))
+    assert payload == b"ckpt-1"
+
+
+def _sha(data: bytes) -> str:
+    from spectralmc_tpu.serialization import compute_sha256
+
+    return compute_sha256(data)
+
+
+# --------------------------------------------------------------------------
+# S3-specific: error classification + retry engine through the real module
+# --------------------------------------------------------------------------
+
+
+def test_s3_throttle_classified_and_retried(s3_only) -> None:
+    store, fake = s3_only
+    # direct classification
+    fake.inject("put", "hot", fake.throttle_error("SlowDown"))
+    err = expect_failure(run(store.put("hot", b"x")))
+    assert isinstance(err, Throttled) and err.code == "SlowDown"
+
+    # the retry engine must absorb transient throttles end-to-end
+    from spectralmc_tpu.storage.retry import retry_on_throttle
+
+    fake.inject("put", "hot", fake.throttle_error("RequestLimitExceeded"), times=2)
+    result = expect_success(
+        run(retry_on_throttle(lambda: store.put("hot", b"y"), base_delay=0.001))
+    )
+    assert result  # the etag of the eventually-successful put
+    data, _ = expect_success(run(store.get("hot")))
+    assert data == b"y"
+
+
+def test_s3_network_error_classified(s3_only) -> None:
+    store, fake = s3_only
+    fake.inject("get", "flaky", fake.network_error())
+    err = expect_failure(run(store.get("flaky")))
+    assert isinstance(err, NetworkError)
+
+
+def test_s3_missing_bucket_classified(s3_only) -> None:
+    store, fake = s3_only
+    orphan = type(store)("no-such-bucket")
+    assert isinstance(expect_failure(run(orphan.get("k"))), BucketNotFound)
+
+
+def test_s3_unknown_code_classified(s3_only) -> None:
+    store, fake = s3_only
+    fake.inject("put", "odd", fake.throttle_error("NotImplemented"))
+    err = expect_failure(run(store.put("odd", b"x")))
+    assert isinstance(err, UnknownStoreError)
+
+
+def test_s3_cas_conflict_rolls_back_artifacts(s3_only) -> None:
+    """A chain.json CAS loss mid-commit must roll the uploaded version
+    artifacts back off the bucket (reference test_atomic_cas ethos)."""
+    store_backend, fake = s3_only
+    store = AsyncBlockchainModelStore(store_backend)
+    expect_success(run(store.commit(b"base", _sha(b"base"), "genesis")))
+
+    async def racing_commit():
+        # sabotage: between this commit's recheck and its CAS PUT, a rival
+        # advances the head. Injecting a PreconditionFailed at the CAS PUT
+        # models exactly the losing side of that race.
+        fake.inject("put", "chain.json", fake._client_error("PreconditionFailed", "PutObject"))
+        return await store.commit(b"loser", _sha(b"loser"), "losing side")
+
+    err = expect_failure(run(racing_commit()))
+    assert isinstance(err, NotFastForward)
+    # the loser's version directory is gone (rollback deleted the artifacts):
+    # only the genesis version's files remain
+    keys = expect_success(run(store_backend.list("versions/")))
+    assert len([k for k in keys if k.endswith("checkpoint.pb")]) == 1
+    head = expect_success(run(store.get_head()))
+    assert head is not None and head.message == "genesis"
+
+
+def test_s3_paginated_listing(s3_only) -> None:
+    store, fake = s3_only
+    fake.PAGE_SIZE = 1000  # S3 page size; exceed it to force multiple pages
+    try:
+        # write through the production put path in bulk via the fake directly
+        bucket = fake.SERVICE.buckets["faulty"]
+        for i in range(2500):
+            bucket[f"versions/{i:06d}"] = b"x"
+        keys = expect_success(run(store.list("versions/")))
+        assert len(keys) == 2500
+        assert list(keys) == sorted(keys)
+    finally:
+        fake.PAGE_SIZE = 1000

@@ -35,6 +35,12 @@ import jax
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Persistent XLA compilation cache: the fused train step's first-process
+# compile is ~4 min on the tunneled TPU; cached reruns compile in seconds.
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/spectralmc_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 A100_REFERENCE_PATH_STEPS_PER_SEC = 2.0e10  # documented estimate, see module docstring
@@ -109,6 +115,203 @@ def bench_train_step(*, timesteps: int, batches: int, network: int, batch_size: 
     return reps * calls / (time.perf_counter() - start)
 
 
+def bench_production_batch(*, tiny: bool, implementation: str) -> tuple[float, float]:
+    """BASELINE config 3: 8k contracts x 1.05M paths each, 512-pt FFT, deep CVNN.
+
+    The full batch simulates 1.37e14 path-steps (~14 min at kernel speed) and
+    its rows exceed HBM if vmapped, so the library streams contracts through
+    ``lax.map`` chunks (TrainingConfig.contract_chunk — bit-transparent,
+    tested). The measurement times 2 chunks of 256 contracts through the real
+    chunked program and scales linearly to the 32-chunk batch (the chunks are
+    the identical program executed serially).
+
+    Returns (measured_path_steps_per_sec, extrapolated_full_batch_steps_per_sec).
+    """
+    from spectralmc_tpu.models.factory import (
+        Activation,
+        CovBNCfg,
+        LinearCfg,
+        ResidualCfg,
+        SequentialCfg,
+        build_cvnn_config,
+        build_model,
+    )
+    from spectralmc_tpu.ops.gbm import CONTRACT_DIM, build_simulation_params
+    from spectralmc_tpu.ops.sobol import BoundSpec, SobolConfig, SobolSampler
+    from spectralmc_tpu.training.step import SobolTable, make_fused_batch, make_optimizer
+
+    if tiny:
+        rows, cols, timesteps, chunk, measured_b, full_b = 4, 64, 4, 4, 8, 32
+    else:
+        rows, cols, timesteps, chunk, measured_b, full_b = 2048, 512, 16, 256, 512, 8192
+
+    from spectralmc_tpu.ops.gbm import BlackScholesContract
+
+    bounds = {
+        "spot": BoundSpec(lower=80.0, upper=120.0),
+        "strike": BoundSpec(lower=80.0, upper=120.0),
+        "maturity": BoundSpec(lower=0.25, upper=2.0),
+        "rate": BoundSpec(lower=0.0, upper=0.08),
+        "div_yield": BoundSpec(lower=0.0, upper=0.04),
+        "vol": BoundSpec(lower=0.15, upper=0.45),
+    }
+    sim = build_simulation_params(
+        timesteps=timesteps, network_size=cols, batches_per_mc_run=rows, mc_seed=7,
+        implementation=implementation,
+    ).expect("sim")
+    # deep head: 256-wide, covariance BN, residual block (docs/performance.md)
+    cvnn = build_cvnn_config(
+        layers=[
+            LinearCfg(width=32 if tiny else 256, activation=Activation.MODRELU),
+            CovBNCfg(),
+            ResidualCfg(
+                body=SequentialCfg(
+                    layers=(
+                        LinearCfg(width=32 if tiny else 256, activation=Activation.ZRELU),
+                        LinearCfg(width=32 if tiny else 256, activation=Activation.NONE),
+                    )
+                ),
+                activation=Activation.MODRELU,
+            ),
+        ],
+        seed=11,
+    ).expect("cvnn")
+    model = build_model(cvnn, input_dim=CONTRACT_DIM, output_dim=cols).expect("model")
+    sampler = SobolSampler.create(BlackScholesContract, bounds, SobolConfig(seed=7)).expect(
+        "sampler"
+    )
+    dt = sampler.device_table()
+    table = SobolTable(
+        directions=dt["directions"], shift=dt["shift"], lower=dt["lower"], upper=dt["upper"]
+    )
+    one = make_fused_batch(
+        model, sim, table, batch_size=measured_b, learning_rate=1e-3, contract_chunk=chunk
+    )
+    params, bn_state = model.init()
+    carry = {
+        "params": params,
+        "bn_state": bn_state,
+        "opt_state": make_optimizer(1e-3).init(params),
+        "sobol_skip": jnp.uint32(0),
+        "mc_skip": jnp.uint32(0),
+    }
+    run = jax.jit(lambda c: one(c, None))
+    carry, (loss, _) = run(carry)
+    float(loss)  # compile + warm the transfer path
+    start = time.perf_counter()
+    carry, (loss, _) = run(carry)
+    float(loss)
+    elapsed = time.perf_counter() - start
+    path_steps = measured_b * rows * cols * timesteps
+    full_batch_time = elapsed * (full_b / measured_b)
+    return path_steps / elapsed, 1.0 / full_batch_time
+
+
+def bench_wide_spectrum(*, tiny: bool, implementation: str) -> float:
+    """BASELINE config 4: large FFT + wide CVNN output heads (XLA FFT tiling
+    + complex matmuls). Returns fused train steps/sec."""
+    import __graft_entry__ as ge
+    from spectralmc_tpu.training.step import make_fused_batch
+
+    if tiny:
+        cfg = dict(timesteps=4, network_size=128, batches_per_mc_run=4)
+        batch_size, reps = 8, 3
+    else:
+        cfg = dict(timesteps=16, network_size=2048, batches_per_mc_run=16)
+        batch_size, reps = 256, 50
+    model, sim, table, carry = ge._build(
+        dict(**cfg, implementation=implementation), wide=True
+    )
+    one = make_fused_batch(model, sim, table, batch_size=batch_size, learning_rate=1e-3)
+
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(one, c, None, length=reps)
+
+    carry, _ = run(carry)
+    jax.block_until_ready(carry["params"])
+    carry, (loss, _) = run(carry)
+    float(loss[-1])
+    start = time.perf_counter()
+    carry, (loss, _) = run(carry)
+    float(loss[-1])
+    return reps / (time.perf_counter() - start)
+
+
+def bench_charfn_quality(*, tiny: bool) -> tuple[float, float]:
+    """BASELINE quality metric: characteristic-function pricing MAE vs
+    analytic Black-Scholes.
+
+    Trains the online pricer (600 batches x 32 Sobol contracts — the CI
+    convergence-gate workload) and evaluates the learned spectrum's DC
+    pricing on 64 fresh Sobol contracts against the closed form.
+    Returns (mae, relative_mae).
+    """
+    import numpy as np
+
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.ops.analytic import black_scholes_price
+    from spectralmc_tpu.ops.gbm import BlackScholesContract, build_simulation_params
+    from spectralmc_tpu.ops.sobol import BoundSpec, scale_to_bounds, sobol_unit
+    from spectralmc_tpu.training.trainer import (
+        GbmCVNNPricer,
+        GbmCVNNPricerConfig,
+        build_training_config,
+    )
+
+    bounds = {
+        "spot": BoundSpec(lower=95.0, upper=105.0),
+        "strike": BoundSpec(lower=95.0, upper=105.0),
+        "maturity": BoundSpec(lower=0.5, upper=1.5),
+        "rate": BoundSpec(lower=0.01, upper=0.05),
+        "div_yield": BoundSpec(lower=0.0, upper=0.02),
+        "vol": BoundSpec(lower=0.2, upper=0.3),
+    }
+    sim = build_simulation_params(
+        timesteps=8, network_size=32, batches_per_mc_run=64, mc_seed=7
+    ).expect("sim")
+    cvnn = build_cvnn_config(
+        layers=[
+            LinearCfg(width=64, activation=Activation.MODRELU),
+            LinearCfg(width=64, activation=Activation.ZRELU),
+        ],
+        seed=5,
+    ).expect("cvnn")
+    pricer = GbmCVNNPricer.create(
+        GbmCVNNPricerConfig(sim=sim, bounds=bounds, cvnn=cvnn)
+    ).expect("pricer")
+    tc = build_training_config(
+        num_batches=60 if tiny else 3000, batch_size=32, learning_rate=2e-3
+    ).expect("tc")
+    pricer.train(tc).expect("train")
+
+    # 64 fresh Sobol contracts (skip past the training stream)
+    table = pricer._sobol_table()
+    unit = sobol_unit(table.directions, table.shift, jnp.uint32(1 << 16), 64, jnp.float32)
+    grid = np.asarray(scale_to_bounds(unit, table.lower, table.upper))
+    contracts = [
+        BlackScholesContract(
+            spot=float(r[0]), strike=float(r[1]), maturity=float(r[2]),
+            rate=float(r[3]), div_yield=float(r[4]), vol=float(r[5]),
+        )
+        for r in grid
+    ]
+    pred = pricer.predict_price(contracts)
+    analytic = np.array(
+        [
+            float(
+                black_scholes_price(
+                    jnp.float64(c.spot), jnp.float64(c.strike), jnp.float64(c.maturity),
+                    jnp.float64(c.rate), jnp.float64(c.div_yield), jnp.float64(c.vol),
+                ).put
+            )
+            for c in contracts
+        ]
+    )
+    abs_err = np.abs(np.asarray(pred.put) - analytic)
+    return float(np.mean(abs_err)), float(np.mean(abs_err / np.maximum(analytic, 1e-6)))
+
+
 def main() -> None:
     from spectralmc_tpu.ops.gbm import PathScheme, simulate_terminal_rows
     from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_rows_pallas
@@ -158,14 +361,23 @@ def main() -> None:
 
     heston_ps = bench_mc(heston_fn, **kw)
 
+    engine = "pallas" if on_tpu else "xla"
+    # BASELINE configs 3-5 (SURVEY §6 / BASELINE.json):
+    prod_ps, prod_steps = bench_production_batch(tiny=tiny, implementation=engine)
+    wide_steps = bench_wide_spectrum(tiny=tiny, implementation=engine)
+    charfn_mae, charfn_rel_mae = bench_charfn_quality(tiny=tiny)
+
     print(
-        f"[bench] device={jax.devices()[0].device_kind} engine="
-        f"{'pallas' if on_tpu else 'xla'} "
+        f"[bench] device={jax.devices()[0].device_kind} engine={engine} "
         f"xla_path_steps_per_sec={xla_ps:.3e} "
         f"heston_path_steps_per_sec={heston_ps:.3e} "
         f"train_steps_per_sec={steps_per_sec:.3f} "
         f"(B={tr['batch_size']} contracts x {tr['batches'] * tr['network']} paths x "
-        f"{tr['timesteps']} steps each)",
+        f"{tr['timesteps']} steps each) "
+        f"production_path_steps_per_sec={prod_ps:.3e} "
+        f"production_8k_batch_steps_per_sec={prod_steps:.4f} "
+        f"wide_spectrum_train_steps_per_sec={wide_steps:.3f} "
+        f"charfn_price_mae={charfn_mae:.4f} charfn_price_rel_mae={charfn_rel_mae:.4f}",
         file=sys.stderr,
     )
     vs = path_steps_per_sec / (BASELINE_MULTIPLIER * A100_REFERENCE_PATH_STEPS_PER_SEC)
@@ -176,6 +388,24 @@ def main() -> None:
                 "value": path_steps_per_sec,
                 "unit": "path-steps/s",
                 "vs_baseline": vs,
+                "extras": {
+                    "xla_path_steps_per_sec": xla_ps,
+                    "heston_path_steps_per_sec": heston_ps,
+                    "train_steps_per_sec": steps_per_sec,
+                    # BASELINE config 3: 8192 contracts x 1.05M paths, 512-pt
+                    # FFT, deep CVNN — chunk-streamed (contract_chunk=256);
+                    # full-batch rate extrapolated linearly from 2 measured
+                    # chunks of the identical serial program.
+                    "production_path_steps_per_sec": prod_ps,
+                    "production_8k_batch_steps_per_sec": prod_steps,
+                    # BASELINE config 4: 2048-pt FFT + 256-wide CVNN heads
+                    "wide_spectrum_train_steps_per_sec": wide_steps,
+                    # BASELINE quality metric: learned char-fn pricing vs
+                    # analytic Black-Scholes over 64 fresh Sobol contracts
+                    # after the 600-batch online workload
+                    "charfn_price_mae": charfn_mae,
+                    "charfn_price_rel_mae": charfn_rel_mae,
+                },
             }
         )
     )

@@ -292,6 +292,7 @@ def training_config_to_proto(cfg: "TrainingConfig") -> training_pb2.TrainingConf
         num_batches=cfg.num_batches,
         batch_size=cfg.batch_size,
         learning_rate=cfg.learning_rate,
+        contract_chunk=cfg.contract_chunk or 0,
     )
 
 
@@ -304,6 +305,7 @@ def training_config_from_proto(
         num_batches=proto.num_batches,
         batch_size=proto.batch_size,
         learning_rate=proto.learning_rate,
+        contract_chunk=proto.contract_chunk or None,
     )
     if isinstance(res, Failure):
         return Failure(DecodeError(what="training_config", reason=repr(res.error)))

@@ -198,17 +198,43 @@ def make_fused_batch(
     *,
     batch_size: int,
     learning_rate: float,
+    contract_chunk: int | None = None,
 ) -> BatchFn:
     """Build the single-device fused batch function.
 
     Carry: ``{params, bn_state, opt_state, sobol_skip: u32, mc_skip: u32}``.
     Returns ``(new_carry, (loss, grad_inf_norm))`` — jit/scan-composable.
+
+    ``contract_chunk`` bounds the MC working set: the per-contract spectrum
+    targets are computed ``chunk`` contracts at a time under ``lax.map``
+    instead of one big ``vmap``, so production batches whose simulated rows
+    exceed HBM (BASELINE config 3: 8k contracts x 1M paths needs ~34 GB live
+    if vmapped) stream through in O(chunk x paths) memory. Chunking is
+    bit-transparent — each contract's program is unchanged; only scheduling
+    differs.
     """
     dtype = sim.precision.to_jnp()
     mc_spectrum = make_mc_spectrum(sim)
     optimizer = make_optimizer(learning_rate)
     lower = table.lower.astype(dtype)
     upper = table.upper.astype(dtype)
+    if contract_chunk is not None and batch_size % contract_chunk:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by contract_chunk {contract_chunk}"
+        )
+
+    def spectrum_targets(draws: jax.Array, contracts: jax.Array) -> jax.Array:
+        if contract_chunk is None or contract_chunk >= batch_size:
+            return jax.vmap(mc_spectrum)(draws, contracts)
+        chunks = batch_size // contract_chunk
+        mapped = jax.lax.map(
+            lambda args: jax.vmap(mc_spectrum)(*args),
+            (
+                draws.reshape(chunks, contract_chunk),
+                contracts.reshape(chunks, contract_chunk, contracts.shape[-1]),
+            ),
+        )
+        return mapped.reshape(batch_size, sim.network_size)
 
     def one_batch(carry: Carry, _: None) -> tuple[Carry, tuple[jax.Array, jax.Array]]:
         params, bn_state = carry["params"], carry["bn_state"]
@@ -218,7 +244,7 @@ def make_fused_batch(
         unit = sobol_unit(table.directions, table.shift, sobol_skip, batch_size, dtype)
         contracts = scale_to_bounds(unit, lower, upper)  # [B, 6]
         draws = mc_skip + jnp.arange(batch_size, dtype=jnp.uint32)
-        specs = jax.vmap(mc_spectrum)(draws, contracts)  # [B, network] complex
+        specs = spectrum_targets(draws, contracts)  # [B, network] complex
 
         def loss_fn(p: Any, s: Any) -> tuple[jax.Array, Any]:
             out_re, out_im, new_s = model.apply(

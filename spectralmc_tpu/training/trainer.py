@@ -84,10 +84,18 @@ class TrainingConfig(BaseModel):
     num_batches: int
     batch_size: int
     learning_rate: float
+    # Bound the MC working set: spectrum targets stream `contract_chunk`
+    # contracts at a time (lax.map) instead of one big vmap. Bit-transparent;
+    # required for production batches whose rows exceed HBM (BASELINE cfg 3).
+    contract_chunk: int | None = None
 
 
 def build_training_config(
-    *, num_batches: int, batch_size: int, learning_rate: float
+    *,
+    num_batches: int,
+    batch_size: int,
+    learning_rate: float,
+    contract_chunk: int | None = None,
 ) -> Result[TrainingConfig, TrainerError]:
     if num_batches <= 0:
         return Failure(
@@ -103,9 +111,22 @@ def build_training_config(
                 field="learning_rate", value=learning_rate, reason="must be in (0, 1)"
             )
         )
+    if contract_chunk is not None and (
+        contract_chunk <= 0 or batch_size % contract_chunk
+    ):
+        return Failure(
+            InvalidTrainingConfig(
+                field="contract_chunk",
+                value=contract_chunk,
+                reason="must be > 0 and divide batch_size",
+            )
+        )
     return Success(
         TrainingConfig(
-            num_batches=num_batches, batch_size=batch_size, learning_rate=learning_rate
+            num_batches=num_batches,
+            batch_size=batch_size,
+            learning_rate=learning_rate,
+            contract_chunk=contract_chunk,
         )
     )
 
@@ -474,9 +495,16 @@ class GbmCVNNPricer:
             upper=table["upper"],
         )
 
-    def _make_segment(self, lr: float, batch_size: int, length: int) -> Callable[..., Any]:
-        """Build (and cache) a jitted ``lax.scan`` over ``length`` fused batches."""
-        cache_key = (lr, batch_size, length)
+    def _make_segment(
+        self, lr: float, batch_size: int, length: int, contract_chunk: int | None = None
+    ) -> Callable[..., Any]:
+        """Build (and cache) a jitted ``lax.scan`` over ``length`` fused batches.
+
+        ``contract_chunk`` is bit-transparent scheduling (see
+        ``make_fused_batch``); the sharded path ignores it — mesh sharding
+        already bounds the per-device working set.
+        """
+        cache_key = (lr, batch_size, length, contract_chunk)
         cached = self._segment_cache.get(cache_key)
         if cached is not None:
             return cached
@@ -500,6 +528,7 @@ class GbmCVNNPricer:
                 self._sobol_table(),
                 batch_size=batch_size,
                 learning_rate=lr,
+                contract_chunk=contract_chunk,
             )
 
             @jax.jit
@@ -572,7 +601,9 @@ class GbmCVNNPricer:
         with contextlib.ExitStack() as stack:
             stack.enter_context(trace_ctx)
             for seg_index, seg_len in enumerate(segments):
-                run = self._make_segment(config.learning_rate, config.batch_size, seg_len)
+                run = self._make_segment(
+                    config.learning_rate, config.batch_size, seg_len, config.contract_chunk
+                )
                 with jax.profiler.StepTraceAnnotation("train_segment", step_num=seg_index):
                     carry, (seg_losses, seg_gnorms) = run(carry)
                 seg_losses = np.asarray(seg_losses)
@@ -683,7 +714,9 @@ class GbmCVNNPricer:
         }
 
         def run_train_segment(effect: TrainSegment) -> int:
-            run = self._make_segment(effect.learning_rate, effect.batch_size, effect.length)
+            run = self._make_segment(
+                effect.learning_rate, effect.batch_size, effect.length, config.contract_chunk
+            )
             new_carry, (seg_losses, seg_gnorms) = run(progress["carry"])
             seg_losses = np.asarray(seg_losses)
             seg_gnorms = np.asarray(seg_gnorms)
@@ -782,36 +815,63 @@ class GbmCVNNPricer:
 
     # -- inference (reference gbm_trainer.py:1709-1767) -------------------------
 
+    def _predict_program(self) -> Callable[..., Any]:
+        """The jitted inference program (cached).
+
+        One compiled program per contract-count shape: CVNN forward → complex
+        spectrum → IFFT → price + parity expectation. Must be jitted — eager
+        complex arithmetic is unimplemented on some TPU runtimes, and jit is
+        how inference should dispatch anyway.
+        """
+        cached = self._segment_cache.get(("predict",))
+        if cached is not None:
+            return cached
+        model = self._model
+        parity = has_closed_form_mean(self._sim.model, self._sim.payoff)
+        from spectralmc_tpu.training.step import make_mean_target
+
+        mean_target = make_mean_target(self._sim) if parity else None
+
+        @jax.jit
+        def run(params: Any, bn_state: Any, arr: jax.Array):
+            out_re, out_im, _ = model.apply(
+                params, bn_state, arr, jnp.zeros_like(arr), train=False
+            )
+            spectrum = out_re + 1j * out_im  # [N, network]
+            recovered = jnp.fft.ifft(spectrum, axis=1)
+            put = jnp.mean(recovered.real, axis=1)
+            residue = jnp.max(jnp.abs(jnp.mean(recovered.imag, axis=1)))
+            if mean_target is None:
+                expected = jnp.full_like(put, jnp.nan)
+            else:
+                expected = jax.vmap(mean_target)(arr)
+            return put, residue, expected
+
+        self._segment_cache[("predict",)] = run
+        return run
+
     def predict_price(
         self, contracts: Sequence["BlackScholesContract | Any"]
     ) -> PricePrediction:
         dtype = self._sim.precision.to_jnp()
         arr = jnp.stack([c.as_array(dtype) for c in contracts])  # [N, 6]
-        out_re, out_im, _ = self._model.apply(
-            self._params, self._bn_state, arr, jnp.zeros_like(arr), train=False
+        put, residue_dev, expected = self._predict_program()(
+            self._params, self._bn_state, arr
         )
-        spectrum = out_re + 1j * out_im  # [N, network]
-        recovered = jnp.fft.ifft(spectrum, axis=1)
-        put = jnp.mean(recovered.real, axis=1)
-        residue = float(jnp.max(jnp.abs(jnp.mean(recovered.imag, axis=1))))
+        residue = float(residue_dev)
         if residue > IFFT_RESIDUE_WARN:
             import logging
 
             logging.getLogger(__name__).warning(
                 "IFFT imaginary residue %.3g exceeds %.1g", residue, IFFT_RESIDUE_WARN
             )
-        strike = arr[:, 1]
-        maturity = arr[:, 2]
-        rate = arr[:, 3]
-        df = jnp.exp(-rate * maturity)
         # Put-call parity on the payoff's OWN underlier: call - put =
         # df * (E[underlier] - K). For TERMINAL that E is the forward
         # (reference gbm_trainer.py:1709-1767); for the Asian kinds it is the
         # analytic mean of the average; where no closed form exists
         # (Heston geometric average) the call has no parity route — NaN +
         # warning rather than a silently wrong forward-parity number.
-        from spectralmc_tpu.training.step import make_mean_target
-
+        put_np = np.asarray(put)
         if not has_closed_form_mean(self._sim.model, self._sim.payoff):
             import logging
 
@@ -820,10 +880,10 @@ class GbmCVNNPricer:
                 self._sim.model.value,
                 self._sim.payoff.value,
             )
-            call = jnp.full_like(put, jnp.nan)
+            call_np = np.full_like(put_np, np.nan)
         else:
-            expected = jax.vmap(make_mean_target(self._sim))(arr)
-            call = put + df * (expected - strike)
-        return PricePrediction(
-            put=np.asarray(put), call=np.asarray(call), imag_residue=residue
-        )
+            arr_np = np.asarray(arr)
+            strike, maturity, rate = arr_np[:, 1], arr_np[:, 2], arr_np[:, 3]
+            df = np.exp(-rate * maturity)
+            call_np = put_np + df * (np.asarray(expected) - strike)
+        return PricePrediction(put=put_np, call=call_np, imag_residue=residue)

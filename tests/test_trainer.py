@@ -427,3 +427,43 @@ def test_profile_dir_writes_trace(tmp_path) -> None:
 
     produced = list(pathlib.Path(profile_dir).rglob("*"))
     assert any(p.is_file() for p in produced), "profiler wrote no trace files"
+
+
+def test_contract_chunking_is_bit_transparent() -> None:
+    """lax.map chunked spectrum targets == one-vmap targets, to the bit —
+    chunking is pure scheduling (production batches exceed HBM vmapped)."""
+    full = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    chunked = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    rf = expect_success(full.train(make_training(num_batches=3, batch_size=8)))
+    rc = expect_success(
+        chunked.train(
+            expect_success(
+                build_training_config(
+                    num_batches=3, batch_size=8, learning_rate=1e-3, contract_chunk=2
+                )
+            )
+        )
+    )
+    np.testing.assert_array_equal(rf.losses, rc.losses)
+    sf, sc = full.snapshot(), chunked.snapshot()
+    for key in sf.model_state:
+        np.testing.assert_array_equal(sf.model_state[key], sc.model_state[key])
+
+
+def test_contract_chunk_validation() -> None:
+    assert isinstance(
+        expect_failure(
+            build_training_config(
+                num_batches=1, batch_size=8, learning_rate=0.1, contract_chunk=3
+            )
+        ),
+        InvalidTrainingConfig,
+    )
+    assert isinstance(
+        expect_failure(
+            build_training_config(
+                num_batches=1, batch_size=8, learning_rate=0.1, contract_chunk=0
+            )
+        ),
+        InvalidTrainingConfig,
+    )

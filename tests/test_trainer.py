@@ -98,8 +98,14 @@ def test_snapshot_restore_equals_continuous() -> None:
     s_cont, s_res = continuous.snapshot(), restored.snapshot()
     for key in s_cont.model_state:
         np.testing.assert_array_equal(s_cont.model_state[key], s_res.model_state[key])
-    for key in s_cont.optimizer_state:
-        np.testing.assert_array_equal(s_cont.optimizer_state[key], s_res.optimizer_state[key])
+    assert s_cont.optimizer_state.count == s_res.optimizer_state.count
+    for key in s_cont.optimizer_state.mu:
+        np.testing.assert_array_equal(
+            s_cont.optimizer_state.mu[key], s_res.optimizer_state.mu[key]
+        )
+        np.testing.assert_array_equal(
+            s_cont.optimizer_state.nu[key], s_res.optimizer_state.nu[key]
+        )
 
 
 def test_restart_without_optimizer_state() -> None:
@@ -220,8 +226,10 @@ def test_train_via_effects_equals_train_bit_exact() -> None:
     assert sa.sim.skip == sb.sim.skip
     for k in sa.model_state:
         assert np.array_equal(sa.model_state[k], sb.model_state[k]), k
-    for k in sa.optimizer_state:
-        assert np.array_equal(sa.optimizer_state[k], sb.optimizer_state[k]), k
+    assert sa.optimizer_state.count == sb.optimizer_state.count
+    for k in sa.optimizer_state.mu:
+        assert np.array_equal(sa.optimizer_state.mu[k], sb.optimizer_state.mu[k]), k
+        assert np.array_equal(sa.optimizer_state.nu[k], sb.optimizer_state.nu[k]), k
 
 
 def test_train_via_effects_commit_boundaries_match_train() -> None:

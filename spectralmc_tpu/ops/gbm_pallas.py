@@ -101,6 +101,35 @@ def _sin_turns(t: jax.Array) -> jax.Array:
     return sign * x * p
 
 
+def _sincos_turns(t: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(sin, cos)(2*pi*t) sharing ONE half-turn fold and the x^2 powers.
+
+    The Heston step needs two normals per draw — r*cos(theta) and
+    r*sin(theta) — so evaluating both polynomials off one fold beats two
+    separate ``_sin_turns`` calls by ~20% end-to-end (benchmarks/
+    heston_lab.py ablation). cos(x + q*pi) carries the same (-1)^q factor as
+    sin, so the fold's sign applies to both. Degree-10 even Taylor: max
+    error 4.6e-7 on the fold — same class as the sine poly, far below the
+    stream's statistical resolution.
+    """
+    qf = jnp.round(jnp.float32(2.0) * t)
+    x = jnp.float32(_TWO_PI) * (t - jnp.float32(0.5) * qf)
+    sign = jnp.where(qf.astype(jnp.int32) & 1, jnp.float32(-1.0), jnp.float32(1.0))
+    y = x * x
+    ps = jnp.float32(2.7557319e-6)
+    ps = ps * y + jnp.float32(-1.9841270e-4)
+    ps = ps * y + jnp.float32(8.3333333e-3)
+    ps = ps * y + jnp.float32(-1.6666667e-1)
+    ps = ps * y + jnp.float32(1.0)
+    pc = jnp.float32(-2.7557319e-7)
+    pc = pc * y + jnp.float32(2.4801587e-5)
+    pc = pc * y + jnp.float32(-1.3888889e-3)
+    pc = pc * y + jnp.float32(4.1666667e-2)
+    pc = pc * y + jnp.float32(-5.0e-1)
+    pc = pc * y + jnp.float32(1.0)
+    return sign * x * ps, sign * pc
+
+
 
 def _gbm_block_kernel(
     params_ref,  # SMEM (1, 6): spot, strike, maturity, rate, div, vol
@@ -450,6 +479,10 @@ def _heston_block_kernel(
     sqrt_dt = jnp.sqrt(dt)
     rho_bar = jnp.sqrt(jnp.float32(1.0) - rho * rho)
     rq_dt = (rate - div_yield) * dt
+    # hoisted variance-recursion scalars; full truncation keeps RAW v as the
+    # base (only drift/diffusion see v+): v' = v + k*theta*dt - k*dt*v+ + ...
+    kdt = kappa * dt
+    ktheta_dt = kappa * theta * dt
     shape = (rows_per_block, cols_per_block)
 
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
@@ -461,16 +494,19 @@ def _heston_block_kernel(
         logx, v, acc = carry
         # ONE Box-Muller pair per step: r*cos and r*sin are independent
         # normals — z_v drives the variance, z_w the orthogonal spot part.
+        # sin+cos come from one fold with shared powers (_sincos_turns):
+        # +21% end-to-end vs two separate sine evaluations (heston_lab.py).
         u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
         u2 = _uniform_24bit(shape)
         radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
-        z_v = radius * _sin_turns(u2 + jnp.float32(0.25))
-        z_w = radius * _sin_turns(u2)
-        z_s = rho * z_v + rho_bar * z_w
+        sin_t, cos_t = _sincos_turns(u2)
+        z_v = radius * cos_t
+        z_s = rho * z_v + rho_bar * (radius * sin_t)
         v_plus = jnp.maximum(v, jnp.float32(0.0))
-        sqrt_v = jnp.sqrt(v_plus)
-        logx = logx + rq_dt - jnp.float32(0.5) * v_plus * dt + sqrt_v * sqrt_dt * z_s
-        v = v + kappa * (theta - v_plus) * dt + xi * sqrt_v * sqrt_dt * z_v
+        # sqrt(v)*sqrt(dt) fused into one sqrt; recursion uses hoisted scalars
+        sqrt_v_sdt = jnp.sqrt(v_plus * dt)
+        logx = logx + rq_dt - jnp.float32(0.5) * v_plus * dt + sqrt_v_sdt * z_s
+        v = v + ktheta_dt - kdt * v_plus + xi * sqrt_v_sdt * z_v
         if payoff != PayoffKind.TERMINAL:
             acc = acc + (logx if geometric else jnp.exp(logx))
         return (logx, v, acc)

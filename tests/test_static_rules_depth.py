@@ -1,0 +1,314 @@
+"""Adversarial depth tests for the static-verification rule engine.
+
+Parity motive: the reference backs its purity tooling with an 837-LoC
+test_purity_checker.py; round-1's test_tools.py had one happy-path test per
+rule. This file probes the EDGES: tier exemptions, lookalike code that must
+NOT be flagged, suppression scoping, fixer idempotence, and the layer map as
+an executable invariant."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from tools.static_checks.classifier import JAX_IN_CORE_ALLOWED, Tier, classify
+from tools.static_checks.engine import Violation, library_files, run_rules
+from tools.static_checks.rules import (
+    ALLOWED_IMPORTS,
+    CLASS_BUILDERS,
+    FIXERS,
+    RULES,
+    get_rule,
+    rules_in_family,
+)
+
+
+def _write(tmp_path: Path, rel: str, source: str) -> Path:
+    p = tmp_path / rel
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(source)
+    return p
+
+
+def _ids(violations: list[Violation]) -> list[str]:
+    return [v.rule_id for v in violations]
+
+
+def check(tmp_path: Path, rel: str, source: str, rule_ids: tuple[str, ...] | None = None):
+    p = _write(tmp_path, rel, source)
+    rules = RULES if rule_ids is None else tuple(r for r in RULES if r.rule_id in rule_ids)
+    return run_rules([p], rules)
+
+
+# --------------------------------------------------------------------------
+# Tier classification edges
+# --------------------------------------------------------------------------
+
+
+def test_classify_absolute_and_relative_paths_agree(tmp_path: Path) -> None:
+    assert classify("spectralmc_tpu/ops/gbm.py") == Tier.KERNEL
+    assert classify(str(tmp_path / "spectralmc_tpu/ops/gbm.py")) == Tier.KERNEL
+    assert classify("spectralmc_tpu/core/result.py") == Tier.CORE
+    assert classify("spectralmc_tpu/storage/__main__.py") == Tier.CLI
+    assert classify("spectralmc_tpu/training/trainer.py") == Tier.PURE
+    assert classify("spectralmc_tpu/runtime/jax_runtime.py") == Tier.ADAPTER
+    # unknown files default to the loosest library tier, never CLI
+    assert classify("somewhere/else.py") == Tier.ADAPTER
+
+
+def test_first_match_wins_ordering() -> None:
+    # models/cvnn.py is KERNEL even though models/* is PURE
+    assert classify("spectralmc_tpu/models/cvnn.py") == Tier.KERNEL
+    assert classify("spectralmc_tpu/models/factory.py") == Tier.PURE
+
+
+# --------------------------------------------------------------------------
+# P003 impure calls: lookalikes that must NOT fire
+# --------------------------------------------------------------------------
+
+
+def test_p003_seeded_default_rng_is_allowed(tmp_path: Path) -> None:
+    src = "import numpy as np\nrng = np.random.default_rng(42)\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("P003",))) == []
+
+
+def test_p003_unseeded_default_rng_flagged(tmp_path: Path) -> None:
+    src = "import numpy as np\nrng = np.random.default_rng()\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("P003",))) == ["P003"]
+
+
+def test_p003_np_random_direct_flagged(tmp_path: Path) -> None:
+    src = "import numpy as np\nz = np.random.rand(3)\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("P003",))) == ["P003"]
+
+
+def test_p003_method_named_open_on_object_not_flagged(tmp_path: Path) -> None:
+    # only the builtin `open(...)` is impure; obj.open() is a method call
+    src = "def f(store):\n    return store.open()\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("P003",))) == []
+
+
+def test_p003_time_calls_flagged_but_adapter_exempt(tmp_path: Path) -> None:
+    src = "import time\nt = time.perf_counter()\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("P003",))) == ["P003"]
+    # runtime/ is ADAPTER: timing there is sanctioned
+    assert _ids(check(tmp_path, "spectralmc_tpu/runtime/x.py", src, ("P003",))) == []
+
+
+def test_p003_jax_random_never_flagged(tmp_path: Path) -> None:
+    src = "import jax\nz = jax.random.normal(jax.random.PRNGKey(0), (3,))\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("P003",))) == []
+
+
+# --------------------------------------------------------------------------
+# P005 env mutation: reads fine, writes flagged, aug-assign covered
+# --------------------------------------------------------------------------
+
+
+def test_p005_env_read_allowed_write_flagged(tmp_path: Path) -> None:
+    read = "import os\nv = os.environ.get('X', '')\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", read, ("P005",))) == []
+    write = "import os\nos.environ['X'] = '1'\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", write, ("P005",))) == ["P005"]
+    setdefault = "import os\nos.environ.setdefault('X', '1')\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", setdefault, ("P005",))) == ["P005"]
+
+
+# --------------------------------------------------------------------------
+# I001/I002/I003 immutability edges
+# --------------------------------------------------------------------------
+
+
+def test_i001_frozen_false_explicit_flagged(tmp_path: Path) -> None:
+    src = (
+        "from dataclasses import dataclass\n"
+        "@dataclass(frozen=False)\nclass C:\n    x: int = 0\n"
+    )
+    assert _ids(check(tmp_path, "spectralmc_tpu/models/x.py", src, ("I001",))) == ["I001"]
+
+
+def test_i001_module_qualified_decorator_detected(tmp_path: Path) -> None:
+    src = "import dataclasses\n@dataclasses.dataclass\nclass C:\n    x: int = 0\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/models/x.py", src, ("I001",))) == ["I001"]
+
+
+def test_i001_adapter_tier_may_be_mutable(tmp_path: Path) -> None:
+    src = "from dataclasses import dataclass\n@dataclass\nclass Buf:\n    n: int = 0\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/runtime/x.py", src, ("I001",))) == []
+
+
+def test_i002_annotated_class_var_not_flagged_but_literal_is(tmp_path: Path) -> None:
+    flagged = "class C:\n    cache = {}\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/models/x.py", flagged, ("I002",))) == ["I002"]
+    tuple_ok = "class C:\n    names = ('a', 'b')\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/models/x.py", tuple_ok, ("I002",))) == []
+
+
+def test_i003_mutable_default_variants(tmp_path: Path) -> None:
+    for bad in ("def f(x=[]): ...", "def f(x={}): ...", "def f(*, x=set()): ...",
+                "async def f(x=list()): ..."):
+        assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", bad, ("I003",))) == ["I003"], bad
+    for ok in ("def f(x=()): ...", "def f(x=None): ...", "def f(x=frozenset()): ..."):
+        assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", ok, ("I003",))) == [], ok
+
+
+# --------------------------------------------------------------------------
+# C001 construction: exemptions that make the rule usable
+# --------------------------------------------------------------------------
+
+
+def test_c001_direct_construction_flagged_everywhere_except_builders(tmp_path: Path) -> None:
+    src = "from spectralmc_tpu.ops.gbm import SimulationParams\np = SimulationParams(timesteps=1)\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/training/x.py", src, ("C001",))) == ["C001"]
+
+
+def test_c001_inside_own_builder_allowed(tmp_path: Path) -> None:
+    src = (
+        "def build_simulation_params(**kw):\n"
+        "    return SimulationParams(**kw)\n"
+    )
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("C001",))) == []
+
+
+def test_c001_private_helper_allowed(tmp_path: Path) -> None:
+    src = "def _clone(p):\n    return TrainingConfig(num_batches=p.num_batches)\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/training/x.py", src, ("C001",))) == []
+
+
+def test_c001_serialization_layer_exempt(tmp_path: Path) -> None:
+    src = "def training_config_from_proto(p):\n    return TrainingConfig(num_batches=p.n)\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/serialization/x.py", src, ("C001",))) == []
+
+
+def test_c001_methods_on_instances_not_flagged(tmp_path: Path) -> None:
+    # model_copy / classmethod-style alternates are sanctioned mutation paths
+    src = "def advance(p):\n    return p.model_copy(update={'skip': p.skip + 1})\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/training/x.py", src, ("C001",))) == []
+
+
+def test_c001_covers_every_registered_builder(tmp_path: Path) -> None:
+    for cls_name, builder in CLASS_BUILDERS.items():
+        src = f"def use():\n    return {cls_name}()\n"
+        got = _ids(check(tmp_path, "spectralmc_tpu/training/x.py", src, ("C001",)))
+        assert got == ["C001"], cls_name
+
+
+# --------------------------------------------------------------------------
+# T001/T002 type-safety edges
+# --------------------------------------------------------------------------
+
+
+def test_t001_nested_closures_and_private_exempt(tmp_path: Path) -> None:
+    src = (
+        "def public(x: int) -> int:\n"
+        "    def inner(y):\n        return y\n"
+        "    return inner(x)\n"
+        "def _private(y):\n    return y\n"
+    )
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("T001",))) == []
+
+
+def test_t001_missing_param_and_return_both_reported(tmp_path: Path) -> None:
+    src = "def f(a, b: int):\n    return a\n"
+    got = _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("T001",)))
+    assert got == ["T001", "T001"]  # missing return + missing `a`
+
+
+def test_t001_self_cls_exempt(tmp_path: Path) -> None:
+    src = (
+        "class C:\n"
+        "    def method(self, x: int) -> int:\n        return x\n"
+        "    @classmethod\n"
+        "    def make(cls) -> 'C':\n        return cls()\n"
+    )
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("T001",))) == []
+
+
+def test_t002_scoped_ignore_ok_blanket_flagged(tmp_path: Path) -> None:
+    ok = "x = f()  # type: ignore[no-untyped-call]\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", ok, ("T002",))) == []
+    bad = "x = f()  # type: ignore\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", bad, ("T002",))) == ["T002"]
+
+
+# --------------------------------------------------------------------------
+# L001/L003 layering: the SURVEY §1 layer map is executable
+# --------------------------------------------------------------------------
+
+
+def test_l001_forbidden_edge_flagged_allowed_edge_clean(tmp_path: Path) -> None:
+    bad = "from spectralmc_tpu.training.trainer import GbmCVNNPricer\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/core/x.py", bad, ("L001",))) == ["L001"]
+    ok = "from spectralmc_tpu.core.result import Success\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", ok, ("L001",))) == []
+    bad2 = "from spectralmc_tpu.ops.gbm import SimulationParams\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/storage/x.py", bad2, ("L001",))) == ["L001"]
+
+
+def test_l003_core_jax_exemption_is_exactly_precision(tmp_path: Path) -> None:
+    assert set(JAX_IN_CORE_ALLOWED) == {"spectralmc_tpu/core/precision.py"}
+    src = "import jax.numpy as jnp\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/core/other.py", src, ("L003",))) == ["L003"]
+    p = _write(tmp_path, "spectralmc_tpu/core/precision.py", src)
+    assert run_rules([p], tuple(r for r in RULES if r.rule_id == "L003")) == []
+
+
+def test_allowed_imports_map_matches_reality() -> None:
+    """The layer map must be verified against the ACTUAL import graph —
+    every library file passes L001 (and the whole rule set)."""
+    violations = run_rules(library_files(), RULES)
+    assert violations == [], "\n".join(v.render() for v in violations)
+
+
+# --------------------------------------------------------------------------
+# Suppression scoping + fixer behavior
+# --------------------------------------------------------------------------
+
+
+def test_suppression_is_line_and_rule_scoped(tmp_path: Path) -> None:
+    src = (
+        "import os\n"
+        "os.environ['A'] = '1'  # check: ignore[P005]\n"
+        "os.environ['B'] = '2'\n"
+    )
+    got = check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("P005",))
+    assert [v.line for v in got] == [3]  # line 2 suppressed, line 3 not
+    # suppressing a DIFFERENT rule id does not silence P005
+    src2 = "import os\nos.environ['A'] = '1'  # check: ignore[P001]\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src2, ("P005",))) == ["P005"]
+
+
+def test_multi_rule_suppression_comment(tmp_path: Path) -> None:
+    src = "import os\nprint(os.environ.setdefault('A', '1'))  # check: ignore[P001, P005]\n"
+    assert _ids(check(tmp_path, "spectralmc_tpu/ops/x.py", src, ("P001", "P005"))) == []
+
+
+def test_i001_fixer_is_idempotent_and_preserves_kwargs(tmp_path: Path) -> None:
+    fixer = FIXERS["I001"]
+    bare = "@dataclass\nclass C:\n    x: int = 0\n"
+    fixed = fixer(bare)
+    assert "@dataclass(frozen=True)" in fixed
+    assert fixer(fixed) == fixed  # idempotent
+    with_kwargs = "@dataclass(slots=True)\nclass C:\n    x: int = 0\n"
+    fixed2 = fixer(with_kwargs)
+    assert "frozen=True" in fixed2 and "slots=True" in fixed2
+    already = "@dataclass(frozen=True, slots=True)\nclass C: ...\n"
+    assert fixer(already) == already
+
+
+# --------------------------------------------------------------------------
+# Registry integrity
+# --------------------------------------------------------------------------
+
+
+def test_rule_registry_integrity() -> None:
+    ids = [r.rule_id for r in RULES]
+    assert len(ids) == len(set(ids))
+    families = {r.family for r in RULES}
+    assert families == {"purity", "immutability", "construction", "type-safety", "layering"}
+    for family in families:
+        assert rules_in_family(family), family
+    assert get_rule("P003") is not None and get_rule("Z999") is None
+    for r in RULES:
+        assert r.summary and r.explain and r.tiers, r.rule_id

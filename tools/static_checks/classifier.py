@@ -45,6 +45,10 @@ _TIER_PATTERNS: tuple[tuple[str, Tier], ...] = (
     ("spectralmc_tpu/core/errors/*", Tier.CORE),
     ("spectralmc_tpu/ops/*", Tier.KERNEL),
     ("spectralmc_tpu/training/step.py", Tier.KERNEL),
+    # distributed.py wraps jax.distributed (process-global runtime init +
+    # coordinator gating) — it is the multi-host impure boundary, like
+    # runtime/jax_runtime.py, not traced compute.
+    ("spectralmc_tpu/parallel/distributed.py", Tier.ADAPTER),
     ("spectralmc_tpu/parallel/*", Tier.KERNEL),
     ("spectralmc_tpu/models/cvnn.py", Tier.KERNEL),
     ("spectralmc_tpu/models/*", Tier.PURE),

@@ -235,13 +235,15 @@ def _check_mutable_default_arg(
 
 # Validated config models and their sanctioned Result-returning builders
 # (reference tools/check_pydantic_construction.py enforces the same contract
-# over its build_* validators, SURVEY §5 config/flag system).
-CLASS_BUILDERS: dict[str, str] = {
-    "SimulationParams": "build_simulation_params",
-    "TrainingConfig": "build_training_config",
-    "CVNNConfig": "build_cvnn_config",
-    "MeshSpec": "build_mesh_spec",
-    "DomainBounds": "build_domain_bounds",
+# over its build_* validators, SURVEY §5 config/flag system). A class may
+# name several sanctioned constructors (MeshSpec has the flat and the
+# multi-slice global builder).
+CLASS_BUILDERS: dict[str, tuple[str, ...]] = {
+    "SimulationParams": ("build_simulation_params",),
+    "TrainingConfig": ("build_training_config",),
+    "CVNNConfig": ("build_cvnn_config",),
+    "MeshSpec": ("build_mesh_spec", "build_global_mesh_spec"),
+    "DomainBounds": ("build_domain_bounds",),
 }
 
 # Modules allowed to construct directly: the wire-format layer rebuilds
@@ -264,12 +266,12 @@ def _check_builder_construction(
             name = node.func.attr
         if name not in CLASS_BUILDERS:
             continue
-        builder = CLASS_BUILDERS[name]
+        builders = CLASS_BUILDERS[name]
         enclosing = [
             p.name for p in parents if isinstance(p, (ast.FunctionDef, ast.AsyncFunctionDef))
         ]
-        # inside the sanctioned builder (or a private helper of it) is fine
-        if any(fn == builder or fn.startswith("_") for fn in enclosing):
+        # inside a sanctioned builder (or a private helper of it) is fine
+        if any(fn in builders or fn.startswith("_") for fn in enclosing):
             continue
         # `ClassName.model_construct` / classmethod-style alternate ctors fine
         if isinstance(node.func, ast.Attribute) and node.func.attr != name:
@@ -278,7 +280,8 @@ def _check_builder_construction(
             "C001",
             path,
             node.lineno,
-            f"construct `{name}` via `{builder}(...)` (Result-validated), not directly",
+            f"construct `{name}` via `{' / '.join(builders)}(...)` (Result-validated), "
+            "not directly",
         )
 
 

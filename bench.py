@@ -278,7 +278,7 @@ def bench_charfn_quality(*, tiny: bool) -> tuple[float, float]:
         seed=5,
     ).expect("cvnn")
     pricer = GbmCVNNPricer.create(
-        GbmCVNNPricerConfig(sim=sim, bounds=bounds, cvnn=cvnn)
+        GbmCVNNPricerConfig(sim=sim, bounds=bounds, cvnn=cvnn, normalize_inputs=True)
     ).expect("pricer")
     tc = build_training_config(
         num_batches=60 if tiny else 3000, batch_size=32, learning_rate=2e-3

@@ -40,6 +40,7 @@ from spectralmc_tpu.training.step import (
     Carry,
     SobolTable,
     grad_inf_norm,
+    make_input_normalizer,
     make_mean_target,
     make_optimizer,
     make_underlier_simulator,
@@ -54,6 +55,7 @@ def make_sharded_batch(
     batch_size: int,
     learning_rate: float,
     spec: MeshSpec,
+    normalize_inputs: bool = False,
 ) -> Callable[[Carry, None], tuple[Carry, tuple[jax.Array, jax.Array]]]:
     """Per-device body of one fused batch; call under ``shard_map``."""
     dp = spec.batch_size_divisor
@@ -76,6 +78,7 @@ def make_sharded_batch(
 
     simulate = make_underlier_simulator(sim, rows=local_rows)
     mean_target_contract = make_mean_target(sim)
+    normalize_fn = make_input_normalizer(table, enabled=normalize_inputs, dtype=dtype)
 
     def mc_spectrum_local(draw: jax.Array, contract: jax.Array, mc_idx: jax.Array) -> jax.Array:
         key = jax.random.fold_in(base_key, draw)
@@ -108,10 +111,11 @@ def make_sharded_batch(
         contracts = scale_to_bounds(unit, lower, upper)  # [local_b, 6]
         draws = mc_skip + dp_idx * jnp.uint32(local_b) + jnp.arange(local_b, dtype=jnp.uint32)
         specs = jax.vmap(lambda d, c: mc_spectrum_local(d, c, mc_idx))(draws, contracts)
+        inputs = normalize_fn(contracts)  # MC keeps raw market units
 
         def loss_fn(p: Any, s: Any) -> tuple[jax.Array, Any]:
             out_re, out_im, new_s = model.apply(
-                p, s, contracts, jnp.zeros_like(contracts), train=True
+                p, s, inputs, jnp.zeros_like(inputs), train=True
             )
             loss = jnp.mean(jnp.square(out_re - specs.real.astype(dtype))) + jnp.mean(
                 jnp.square(out_im - specs.imag.astype(dtype))
@@ -147,6 +151,7 @@ def make_sharded_segment(
     learning_rate: float,
     spec: MeshSpec,
     length: int,
+    normalize_inputs: bool = False,
 ) -> Callable[[Carry], tuple[Carry, tuple[jax.Array, jax.Array]]]:
     """Jitted ``shard_map``-wrapped scan over ``length`` sharded batches.
 
@@ -161,6 +166,7 @@ def make_sharded_segment(
         batch_size=batch_size,
         learning_rate=learning_rate,
         spec=spec,
+        normalize_inputs=normalize_inputs,
     )
 
     def scanned(carry: Carry) -> tuple[Carry, tuple[jax.Array, jax.Array]]:

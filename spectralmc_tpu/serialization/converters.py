@@ -385,6 +385,7 @@ def checkpoint_to_proto(config: "GbmCVNNPricerConfig") -> tensors_pb2.ModelCheck
         cvnn=cvnn_config_to_proto(config.cvnn),
         global_step=config.global_step,
         sobol_skip=config.sobol_skip,
+        normalize_inputs=config.normalize_inputs,
         env=jax_env_snapshot(),
     )
     for name in sorted(config.bounds):
@@ -448,6 +449,7 @@ def checkpoint_from_proto(
             cvnn=cvnn.value,
             global_step=proto.global_step,
             sobol_skip=proto.sobol_skip,
+            normalize_inputs=proto.normalize_inputs,
             model_state=model_state,
             optimizer_state=optimizer_state,
         )

@@ -204,6 +204,12 @@ class GbmCVNNPricerConfig:
     cvnn: CVNNConfig
     global_step: int = 0
     sobol_skip: int = 0
+    # Map contract features onto [0,1] from the domain bounds before the
+    # CVNN (training AND inference; the MC always sees raw market units).
+    # Raw features span two orders of magnitude, which conditions the first
+    # layer badly — ~4x on the char-fn pricing MAE at the bench workload.
+    # Checkpointed: part of the model's function, must survive resume.
+    normalize_inputs: bool = False
     model_state: Mapping[str, np.ndarray] | None = None
     # Typed named-moment Adam state (training/adam_state.py). Legacy round-1
     # flat maps ("opt/0/.mu/...") are accepted and migrated on create().
@@ -321,6 +327,7 @@ class GbmCVNNPricer:
         self._sampler = sampler
         self._global_step = config.global_step
         self._sobol_skip = config.sobol_skip
+        self._normalize_inputs = config.normalize_inputs
         self._mesh_spec = mesh_spec
         self._segment_cache: dict[tuple[float, int, int], Callable[..., Any]] = {}
         self._step_callback: Callable[[StepMetrics], None] | None = None
@@ -375,6 +382,7 @@ class GbmCVNNPricer:
                 cvnn=config.cvnn,
                 global_step=config.global_step,
                 sobol_skip=config.sobol_skip,
+                normalize_inputs=config.normalize_inputs,
                 model_state=config.model_state,
                 optimizer_state=config.optimizer_state,
             )
@@ -480,6 +488,7 @@ class GbmCVNNPricer:
             cvnn=self._cvnn_cfg,
             global_step=self._global_step,
             sobol_skip=self._sobol_skip,
+            normalize_inputs=self._normalize_inputs,
             model_state=model_flat,
             optimizer_state=self._opt_snapshot,
         )
@@ -520,6 +529,7 @@ class GbmCVNNPricer:
                 learning_rate=lr,
                 spec=self._mesh_spec,
                 length=length,
+                normalize_inputs=self._normalize_inputs,
             )
         else:
             one_batch = make_fused_batch(
@@ -529,6 +539,7 @@ class GbmCVNNPricer:
                 batch_size=batch_size,
                 learning_rate=lr,
                 contract_chunk=contract_chunk,
+                normalize_inputs=self._normalize_inputs,
             )
 
             @jax.jit
@@ -828,14 +839,20 @@ class GbmCVNNPricer:
             return cached
         model = self._model
         parity = has_closed_form_mean(self._sim.model, self._sim.payoff)
-        from spectralmc_tpu.training.step import make_mean_target
+        from spectralmc_tpu.training.step import make_input_normalizer, make_mean_target
 
         mean_target = make_mean_target(self._sim) if parity else None
+        normalize_fn = make_input_normalizer(
+            self._sobol_table(),
+            enabled=self._normalize_inputs,
+            dtype=self._sim.precision.to_jnp(),
+        )
 
         @jax.jit
         def run(params: Any, bn_state: Any, arr: jax.Array):
+            inputs = normalize_fn(arr)
             out_re, out_im, _ = model.apply(
-                params, bn_state, arr, jnp.zeros_like(arr), train=False
+                params, bn_state, inputs, jnp.zeros_like(inputs), train=False
             )
             spectrum = out_re + 1j * out_im  # [N, network]
             recovered = jnp.fft.ifft(spectrum, axis=1)

@@ -475,3 +475,49 @@ def test_contract_chunk_validation() -> None:
         ),
         InvalidTrainingConfig,
     )
+
+
+def test_normalize_inputs_resume_and_wire_roundtrip() -> None:
+    """normalize_inputs is part of the model's function: it survives
+    snapshot/resume (bit-exact) and the proto wire format."""
+    from spectralmc_tpu.serialization import deserialize_checkpoint, serialize_checkpoint
+
+    base = make_pricer_config()
+    norm_cfg = GbmCVNNPricerConfig(
+        sim=base.sim, bounds=base.bounds, cvnn=base.cvnn, normalize_inputs=True
+    )
+    continuous = expect_success(GbmCVNNPricer.create(norm_cfg))
+    r_full = expect_success(continuous.train(make_training(num_batches=6)))
+
+    half = expect_success(GbmCVNNPricer.create(norm_cfg))
+    expect_success(half.train(make_training(num_batches=3)))
+    data, digest = serialize_checkpoint(half.snapshot())
+    restored_cfg = expect_success(deserialize_checkpoint(data, expected_hash=digest))
+    assert restored_cfg.normalize_inputs is True
+    restored = expect_success(GbmCVNNPricer.create(restored_cfg))
+    r_resumed = expect_success(restored.train(make_training(num_batches=3)))
+    np.testing.assert_array_equal(r_full.losses[3:], r_resumed.losses)
+
+    # normalization actually changes the program (different trajectories)
+    plain = expect_success(GbmCVNNPricer.create(base))
+    r_plain = expect_success(plain.train(make_training(num_batches=6)))
+    assert not np.array_equal(r_plain.losses, r_full.losses)
+
+    # predict runs the same normalized program without error
+    pred = continuous.predict_price([make_contract()])
+    assert np.isfinite(pred.put).all()
+
+
+def test_normalize_inputs_sharded_matches_single_device() -> None:
+    from spectralmc_tpu.parallel.mesh import build_mesh_spec
+
+    base = make_pricer_config()
+    cfg = GbmCVNNPricerConfig(
+        sim=base.sim, bounds=base.bounds, cvnn=base.cvnn, normalize_inputs=True
+    )
+    spec = expect_success(build_mesh_spec(batch_shards=2, paths_shards=2))
+    single = expect_success(GbmCVNNPricer.create(cfg))
+    sharded = expect_success(GbmCVNNPricer.create(cfg, mesh_spec=spec))
+    rs = expect_success(single.train(make_training(num_batches=3, batch_size=4)))
+    rm = expect_success(sharded.train(make_training(num_batches=3, batch_size=4)))
+    np.testing.assert_allclose(rs.losses, rm.losses, rtol=2e-4)

@@ -37,9 +37,11 @@ if os.environ.get("JAX_PLATFORMS"):
 
 # Persistent XLA compilation cache: the fused train step's first-process
 # compile is ~4 min on the tunneled TPU; cached reruns compile in seconds.
-_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/spectralmc_jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from spectralmc_tpu.runtime.jax_runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/spectralmc_jax_cache")
+)
 
 import jax.numpy as jnp
 

@@ -75,6 +75,21 @@ def get_jax_handle() -> JaxRuntime:
     return apply_jax_runtime(decide_jax_runtime())
 
 
+def enable_compilation_cache(
+    cache_dir: str, *, min_compile_time_secs: float = 1.0
+) -> None:
+    """Turn on the persistent XLA compilation cache.
+
+    The fused train step's first-process compile is minutes-scale on a
+    tunneled TPU; with the cache, later processes deserialize the executable
+    in seconds. Safe to call more than once; the last dir wins. Production
+    entry points (bench.py, examples) call this — the library never does
+    implicitly, because the cache dir is an environment decision.
+    """
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_time_secs)
+
+
 @contextlib.contextmanager
 def device_scope(device: Any) -> Iterator[None]:
     """Scoped default device (reference ``default_device`` context manager,

@@ -44,7 +44,8 @@ def main() -> int:
 
     # 3. pytest markers used in tests are declared
     declared = {
-        m.split(":")[0].strip()
+        # "name(args): description" -> "name"
+        m.split(":")[0].split("(")[0].strip()
         for m in data.get("tool", {}).get("pytest", {}).get("ini_options", {}).get("markers", [])
     }
     used: set[str] = set()

@@ -56,8 +56,15 @@ def make_sharded_batch(
     learning_rate: float,
     spec: MeshSpec,
     normalize_inputs: bool = False,
+    contract_chunk: int | None = None,
 ) -> Callable[[Carry, None], tuple[Carry, tuple[jax.Array, jax.Array]]]:
-    """Per-device body of one fused batch; call under ``shard_map``."""
+    """Per-device body of one fused batch; call under ``shard_map``.
+
+    ``contract_chunk`` bounds each device's MC working set the same way the
+    single-device step does (``training/step.py``): the per-shard contract
+    slice streams ``chunk`` contracts at a time under ``lax.map``.
+    Bit-transparent; required when the per-shard rows exceed HBM.
+    """
     dp = spec.batch_size_divisor
     mc = spec.paths_divisor
     if batch_size % dp != 0:
@@ -67,6 +74,10 @@ def make_sharded_batch(
             f"batches_per_mc_run {sim.batches_per_mc_run} not divisible by paths axis {mc}"
         )
     local_b = batch_size // dp
+    if contract_chunk is not None and local_b % contract_chunk:
+        raise ValueError(
+            f"per-shard batch {local_b} not divisible by contract_chunk {contract_chunk}"
+        )
     local_rows = sim.batches_per_mc_run // mc
     dtype = sim.precision.to_jnp()
     normalize = sim.normalization == ForwardNormalization.MEAN
@@ -110,7 +121,18 @@ def make_sharded_batch(
         unit = sobol_unit(table.directions, table.shift, start, local_b, dtype)
         contracts = scale_to_bounds(unit, lower, upper)  # [local_b, 6]
         draws = mc_skip + dp_idx * jnp.uint32(local_b) + jnp.arange(local_b, dtype=jnp.uint32)
-        specs = jax.vmap(lambda d, c: mc_spectrum_local(d, c, mc_idx))(draws, contracts)
+        spectrum_one = lambda d, c: mc_spectrum_local(d, c, mc_idx)  # noqa: E731
+        if contract_chunk is None or contract_chunk >= local_b:
+            specs = jax.vmap(spectrum_one)(draws, contracts)
+        else:
+            chunks = local_b // contract_chunk
+            specs = jax.lax.map(
+                lambda args: jax.vmap(spectrum_one)(*args),
+                (
+                    draws.reshape(chunks, contract_chunk),
+                    contracts.reshape(chunks, contract_chunk, contracts.shape[-1]),
+                ),
+            ).reshape(local_b, sim.network_size)
         inputs = normalize_fn(contracts)  # MC keeps raw market units
 
         def loss_fn(p: Any, s: Any) -> tuple[jax.Array, Any]:
@@ -152,6 +174,7 @@ def make_sharded_segment(
     spec: MeshSpec,
     length: int,
     normalize_inputs: bool = False,
+    contract_chunk: int | None = None,
 ) -> Callable[[Carry], tuple[Carry, tuple[jax.Array, jax.Array]]]:
     """Jitted ``shard_map``-wrapped scan over ``length`` sharded batches.
 
@@ -167,6 +190,7 @@ def make_sharded_segment(
         learning_rate=learning_rate,
         spec=spec,
         normalize_inputs=normalize_inputs,
+        contract_chunk=contract_chunk,
     )
 
     def scanned(carry: Carry) -> tuple[Carry, tuple[jax.Array, jax.Array]]:

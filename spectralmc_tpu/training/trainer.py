@@ -510,8 +510,8 @@ class GbmCVNNPricer:
         """Build (and cache) a jitted ``lax.scan`` over ``length`` fused batches.
 
         ``contract_chunk`` is bit-transparent scheduling (see
-        ``make_fused_batch``); the sharded path ignores it — mesh sharding
-        already bounds the per-device working set.
+        ``make_fused_batch``); on a mesh it bounds each SHARD's working set
+        (the divisor check applies to the per-shard contract slice).
         """
         cache_key = (lr, batch_size, length, contract_chunk)
         cached = self._segment_cache.get(cache_key)
@@ -530,6 +530,7 @@ class GbmCVNNPricer:
                 spec=self._mesh_spec,
                 length=length,
                 normalize_inputs=self._normalize_inputs,
+                contract_chunk=contract_chunk,
             )
         else:
             one_batch = make_fused_batch(

@@ -127,3 +127,46 @@ def test_indivisible_batch_rejected() -> None:
     )
     with pytest.raises(ValueError, match="not divisible"):
         pricer.train(cfg)
+
+
+def test_sharded_contract_chunking_is_bit_transparent() -> None:
+    """Per-shard lax.map chunking == per-shard vmap, to the bit, on the mesh."""
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.parallel.mesh import build_mesh_spec
+    from spectralmc_tpu.training.trainer import (
+        GbmCVNNPricer,
+        GbmCVNNPricerConfig,
+        build_training_config,
+    )
+    from tests.helpers import expect_success
+    from tests.helpers.factories import CONTRACT_BOUNDS, make_simulation_params
+
+    sim = make_simulation_params(timesteps=2, network_size=16, batches_per_mc_run=4)
+    cvnn = expect_success(
+        build_cvnn_config(layers=[LinearCfg(width=16, activation=Activation.ZRELU)], seed=3)
+    )
+    cfg = GbmCVNNPricerConfig(sim=sim, bounds=CONTRACT_BOUNDS, cvnn=cvnn)
+    spec = expect_success(build_mesh_spec(batch_shards=2, paths_shards=2))
+
+    plain = expect_success(GbmCVNNPricer.create(cfg, mesh_spec=spec))
+    chunked = expect_success(GbmCVNNPricer.create(cfg, mesh_spec=spec))
+    rp = expect_success(
+        plain.train(
+            expect_success(
+                build_training_config(num_batches=3, batch_size=8, learning_rate=1e-3)
+            )
+        )
+    )
+    rc = expect_success(
+        chunked.train(
+            expect_success(
+                build_training_config(
+                    num_batches=3, batch_size=8, learning_rate=1e-3, contract_chunk=2
+                )
+            )
+        )
+    )
+    np.testing.assert_array_equal(rp.losses, rc.losses)
+    sa, sb = plain.snapshot(), chunked.snapshot()
+    for key in sa.model_state:
+        np.testing.assert_array_equal(sa.model_state[key], sb.model_state[key])

@@ -103,3 +103,58 @@ def test_chain_writer_tolerates_non_checkpoint_payloads(
     count = expect_success(asyncio.run(tbw.log_chain_to_tensorboard(store, "unused")))
     assert count == 0  # text-only entry, no scalars, no crash
     assert len(fake.texts) == 1
+
+
+def test_segment_logger_matches_per_step_scalars(monkeypatch: pytest.MonkeyPatch) -> None:
+    """log_segment writes the same scalar stream as the per-step __call__,
+    with one Python call per device segment."""
+    import numpy as np
+
+    import spectralmc_tpu.utils.tensorboard_writer as tbw
+    from spectralmc_tpu.training.trainer import SegmentMetrics, StepMetrics
+
+    fake_seg, fake_step = FakeWriter(), FakeWriter()
+    monkeypatch.setattr(tbw, "_make_writer", lambda logdir: fake_seg)
+    seg_logger = tbw.TensorBoardLogger("unused")
+    monkeypatch.setattr(tbw, "_make_writer", lambda logdir: fake_step)
+    step_logger = tbw.TensorBoardLogger("unused")
+
+    losses = np.array([3.0, 2.0, 1.5], dtype=np.float32)
+    gnorms = np.array([0.3, 0.2, 0.1], dtype=np.float32)
+    seg_logger.log_segment(
+        SegmentMetrics(start_step=5, losses=losses, grad_norms=gnorms, learning_rate=1e-3)
+    )
+    for i in range(3):
+        step_logger(
+            StepMetrics(step=5 + i, loss=float(losses[i]), grad_norm=float(gnorms[i]),
+                        learning_rate=1e-3)
+        )
+    assert fake_seg.scalars == fake_step.scalars
+    assert fake_seg.flushes >= 1
+
+
+def test_segment_logger_histogram_cadence(monkeypatch: pytest.MonkeyPatch) -> None:
+    import numpy as np
+
+    import spectralmc_tpu.utils.tensorboard_writer as tbw
+    from spectralmc_tpu.training.trainer import SegmentMetrics
+
+    class HistWriter(FakeWriter):
+        def __init__(self) -> None:
+            super().__init__()
+            self.hists: list[tuple[str, int]] = []
+
+        def add_histogram(self, tag: str, values, step: int) -> None:
+            self.hists.append((tag, step))
+
+    fake = HistWriter()
+    monkeypatch.setattr(tbw, "_make_writer", lambda logdir: fake)
+    logger = tbw.TensorBoardLogger(
+        "unused", hist_every=10, param_source=lambda: {"w": np.zeros(2)}
+    )
+    # segment [1..5]: does not cross a 10-step boundary -> no histogram
+    logger.log_segment(SegmentMetrics(1, np.ones(5), np.ones(5), 1e-3))
+    assert fake.hists == []
+    # segment [6..12]: crosses step 10 -> exactly one histogram at the tail
+    logger.log_segment(SegmentMetrics(6, np.ones(7), np.ones(7), 1e-3))
+    assert fake.hists == [("w", 12)]

@@ -464,3 +464,51 @@ def test_training_with_storage_roundtrip(store: AsyncBlockchainModelStore) -> No
     r1 = expect_success(pricer.train(make_training(num_batches=2)))
     r2 = expect_success(restored.train(make_training(num_batches=2)))
     np.testing.assert_array_equal(r1.losses, r2.losses)
+
+
+def test_audit_log_appends_per_commit_and_is_nonfatal(tmp_path) -> None:
+    """Every commit appends an audit_log/ JSONL record carrying the version's
+    record_hash (reference store.py:774-786); an audit write failure is
+    logged but never fails the commit."""
+    import json
+
+    from spectralmc_tpu.serialization import compute_sha256
+    from spectralmc_tpu.storage.object_store import InMemoryObjectStore
+    from spectralmc_tpu.storage.store import AUDIT_PREFIX, AsyncBlockchainModelStore
+
+    backend = InMemoryObjectStore("audit")
+    store = AsyncBlockchainModelStore(backend)
+
+    async def flow() -> None:
+        v0 = expect_success(await store.commit(b"a", compute_sha256(b"a"), "one"))
+        v1 = expect_success(await store.commit(b"b", compute_sha256(b"b"), "two"))
+        keys = expect_success(await backend.list(AUDIT_PREFIX))
+        assert len(keys) == 2
+        records = []
+        for key in keys:
+            data, _ = expect_success(await backend.get(key))
+            records.append(json.loads(data))
+        assert {r["counter"] for r in records} == {0, 1}
+        for r, v in zip(sorted(records, key=lambda r: r["counter"]), (v0, v1)):
+            assert r["content_hash"] == v.content_hash
+            assert r["record_hash"] == v.compute_hash()
+
+        # audit failure must not fail the commit
+        original_put = backend.put
+
+        async def failing_put(key, data, **kwargs):
+            if key.startswith(AUDIT_PREFIX):
+                from spectralmc_tpu.core.errors.storage import UnknownStoreError
+                from spectralmc_tpu.core.result import Failure
+
+                return Failure(
+                    UnknownStoreError(bucket="audit", key=key, reason="disk full")
+                )
+            return await original_put(key, data, **kwargs)
+
+        backend.put = failing_put  # type: ignore[method-assign]
+        v2 = expect_success(await store.commit(b"c", compute_sha256(b"c"), "three"))
+        assert v2.counter == 2  # commit succeeded despite the audit failure
+        assert len(expect_success(await backend.list(AUDIT_PREFIX))) == 2
+
+    asyncio.run(flow())

@@ -48,6 +48,21 @@ _INV_2_24 = float(2.0**-24)
 _HALF_ULP = float(2.0**-25)
 
 
+# The hardware kernels' bit streams are versioned PER MODEL FAMILY: any
+# change to the in-kernel RNG/transcendental evaluation order changes the
+# stream, and a mid-stream checkpoint must not silently continue on a
+# different one (the same contract as engine recording). History:
+#   gbm v1    — round 1 (pair-step + folded deg-9 sine); unchanged since.
+#   heston v1 — round 1 (two _sin_turns per step).
+#   heston v2 — round 2 (fused _sincos_turns + hoisted variance scalars).
+PALLAS_STREAM_VERSIONS: dict[str, int] = {"gbm": 1, "heston": 2}
+
+
+def pallas_stream_version(model: "object") -> int:
+    """Current stream version for a ModelKind (by value, avoids an import)."""
+    return PALLAS_STREAM_VERSIONS[getattr(model, "value", str(model))]
+
+
 def pallas_supported(*, dtype: jnp.dtype, rows: int, cols: int) -> bool:
     """Whether the fused hardware kernel can honor this request.
 

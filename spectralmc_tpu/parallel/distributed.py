@@ -67,26 +67,36 @@ def initialize_distributed(
     num_processes: int | None = None,
     process_id: int | None = None,
     local_device_ids: Sequence[int] | None = None,
+    auto: bool = False,
 ) -> Result[DistributedRuntime, TrainerError]:
-    """Join (or auto-detect) the multi-process runtime. Idempotent.
+    """Join the multi-process runtime. Idempotent once actually initialized.
 
-    On TPU pods all arguments auto-detect from the environment; on CPU/GPU
-    fleets pass coordinator/process explicitly. Single-process use never
-    needs this — every entry point works without it.
+    Explicit mode (CPU/GPU fleets): pass coordinator/process arguments.
+    Auto mode (TPU pods): pass ``auto=True`` and everything detects from the
+    pod environment. A call with neither is a pure query — it returns the
+    current runtime WITHOUT latching, so a later explicit call still works.
+    Single-process use never needs this function at all.
     """
     global _initialized
+    explicit = (
+        auto
+        or coordinator_address is not None
+        or process_id is not None
+        or num_processes not in (None, 1)
+    )
     # NB: must not touch jax.devices()/process_count() before initialize —
     # any backend-initializing call makes jax.distributed.initialize illegal.
-    if not _initialized and (
-        coordinator_address is not None or num_processes not in (None, 1)
-    ):
+    if explicit and not _initialized:
         try:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-                local_device_ids=local_device_ids,
-            )
+            if auto and coordinator_address is None:
+                jax.distributed.initialize()  # pod auto-detection
+            else:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator_address,
+                    num_processes=num_processes,
+                    process_id=process_id,
+                    local_device_ids=local_device_ids,
+                )
         except Exception as exc:  # noqa: BLE001 — surfaced as a Result, never a crash
             return Failure(
                 InvalidTrainingConfig(
@@ -95,7 +105,7 @@ def initialize_distributed(
                     reason=f"jax.distributed.initialize failed: {exc}",
                 )
             )
-    _initialized = True
+        _initialized = True
     return Success(current_runtime())
 
 
@@ -116,18 +126,21 @@ def is_coordinator() -> bool:
 def coordinator_only(fn: Callable[..., T], *, name: str | None = None) -> Callable[..., T | None]:
     """Wrap a host side-effect so only process 0 executes it.
 
-    Non-coordinator processes get a no-op returning None — N processes
-    running the same SPMD program must not race N commits at the chain head
-    or write N TensorBoard streams.
+    Non-coordinator processes get None back — N processes running the same
+    SPMD program must not race N commits at the chain head or write N
+    TensorBoard streams. The gate is evaluated at CALL time, never at wrap
+    time: wrapping must stay legal BEFORE ``initialize_distributed`` (a
+    ``jax.process_index()`` probe here would initialize the backend and make
+    a later ``jax.distributed.initialize`` illegal).
     """
-    if is_coordinator():
-        return fn
 
-    def _noop(*args: object, **kwargs: object) -> None:
+    def gated(*args: object, **kwargs: object) -> T | None:
+        if is_coordinator():
+            return fn(*args, **kwargs)
         return None
 
-    _noop.__name__ = f"noop_{name or getattr(fn, '__name__', 'fn')}"
-    return _noop
+    gated.__name__ = f"coordinator_only_{name or getattr(fn, '__name__', 'fn')}"
+    return gated
 
 
 def build_global_mesh_spec(

@@ -74,7 +74,9 @@ def make_sharded_batch(
             f"batches_per_mc_run {sim.batches_per_mc_run} not divisible by paths axis {mc}"
         )
     local_b = batch_size // dp
-    if contract_chunk is not None and local_b % contract_chunk:
+    # chunk >= local_b degrades to the plain vmap (same as the single-device
+    # step when chunk >= batch); only a PARTIAL chunking needs divisibility.
+    if contract_chunk is not None and contract_chunk < local_b and local_b % contract_chunk:
         raise ValueError(
             f"per-shard batch {local_b} not divisible by contract_chunk {contract_chunk}"
         )

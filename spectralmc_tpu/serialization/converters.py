@@ -386,6 +386,7 @@ def checkpoint_to_proto(config: "GbmCVNNPricerConfig") -> tensors_pb2.ModelCheck
         global_step=config.global_step,
         sobol_skip=config.sobol_skip,
         normalize_inputs=config.normalize_inputs,
+        pallas_stream_version=config.pallas_stream_version,
         env=jax_env_snapshot(),
     )
     for name in sorted(config.bounds):
@@ -450,6 +451,7 @@ def checkpoint_from_proto(
             global_step=proto.global_step,
             sobol_skip=proto.sobol_skip,
             normalize_inputs=proto.normalize_inputs,
+            pallas_stream_version=proto.pallas_stream_version,
             model_state=model_state,
             optimizer_state=optimizer_state,
         )

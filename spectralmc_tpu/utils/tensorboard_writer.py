@@ -63,7 +63,10 @@ class TensorBoardLogger:
         """Bulk per-segment sink for ``GbmCVNNPricer.set_segment_callback``.
 
         One Python call per device scan: scalars for every step in the
-        segment, histograms/flush at the same cadences as the per-step path.
+        segment; histograms land on the exact ``hist_every`` multiples the
+        segment crosses (same step grid as the per-step path) and flushes
+        honor ``flush_every`` — never once-per-segment, which would defeat
+        the seam under 1-batch commit intervals.
         """
         for i in range(len(metrics.losses)):
             step = metrics.start_step + i
@@ -71,12 +74,14 @@ class TensorBoardLogger:
             self._writer.add_scalar("train/grad_norm", float(metrics.grad_norms[i]), step)
             self._writer.add_scalar("train/learning_rate", metrics.learning_rate, step)
         last = metrics.start_step + len(metrics.losses) - 1
-        if self._param_source is not None and last // self._hist_every != (
-            metrics.start_step - 1
-        ) // self._hist_every:
-            for name, value in self._param_source().items():
-                self._writer.add_histogram(name, np.asarray(value), last)
-        self._writer.flush()
+        if self._param_source is not None:
+            first_mult = (metrics.start_step - 1) // self._hist_every + 1
+            for mult in range(first_mult, last // self._hist_every + 1):
+                step = mult * self._hist_every
+                for name, value in self._param_source().items():
+                    self._writer.add_histogram(name, np.asarray(value), step)
+        if last // self._flush_every != (metrics.start_step - 1) // self._flush_every:
+            self._writer.flush()
 
     def close(self) -> None:
         self._writer.flush()

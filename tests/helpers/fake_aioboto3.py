@@ -287,4 +287,9 @@ def install(monkeypatch) -> types.ModuleType:
     # (re)import the production module against the fake; drop any cached copy
     sys.modules.pop("spectralmc_tpu.storage.s3_store", None)
     s3_store = importlib.import_module("spectralmc_tpu.storage.s3_store")
+    # hand lifetime management to monkeypatch: the entry did not exist before
+    # this call, so teardown DELETES it — no fake-bound module can leak into
+    # later tests that import s3_store.
+    sys.modules.pop("spectralmc_tpu.storage.s3_store")
+    monkeypatch.setitem(sys.modules, "spectralmc_tpu.storage.s3_store", s3_store)
     return s3_store

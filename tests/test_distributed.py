@@ -28,6 +28,7 @@ import pytest
 import jax
 
 from spectralmc_tpu.core.precision import Precision
+from spectralmc_tpu.core.result import Failure
 from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
 from spectralmc_tpu.parallel.distributed import (
     DistributedRuntime,
@@ -109,19 +110,47 @@ def test_coordinator_gating(monkeypatch: pytest.MonkeyPatch) -> None:
     # single process IS the coordinator
     assert is_coordinator()
     calls: list[str] = []
-    gated = coordinator_only(calls.append)
+    gated = coordinator_only(calls.append, name="commit")
     gated("committed")
     assert calls == ["committed"]
+    assert "commit" in gated.__name__
 
-    # emulate a non-coordinator process
+    # the gate is evaluated at CALL time: the SAME wrapper flips to no-op
+    # when the process stops being the coordinator (and back)
     import spectralmc_tpu.parallel.distributed as dist
 
     monkeypatch.setattr(dist.jax, "process_index", lambda: 3)
     assert not is_coordinator()
-    noop = coordinator_only(calls.append, name="commit")
-    assert noop("dropped") is None
+    assert gated("dropped") is None
     assert calls == ["committed"]
-    assert "commit" in noop.__name__
+    monkeypatch.undo()
+    gated("committed again")
+    assert calls == ["committed", "committed again"]
+
+
+def test_initialize_query_does_not_latch(monkeypatch: pytest.MonkeyPatch) -> None:
+    """A no-arg call is a pure query: it must NOT latch _initialized, so a
+    later explicit call still reaches jax.distributed.initialize."""
+    import spectralmc_tpu.parallel.distributed as dist
+
+    monkeypatch.setattr(dist, "_initialized", False)
+    rt = expect_success(dist.initialize_distributed())
+    assert rt.process_count == 1
+    assert dist._initialized is False  # not latched by the query
+
+    attempted: list[dict] = []
+
+    def fake_init(**kwargs):
+        attempted.append(kwargs)
+        raise RuntimeError("coordinator unreachable (expected in this test)")
+
+    monkeypatch.setattr(dist.jax.distributed, "initialize", fake_init)
+    res = dist.initialize_distributed(
+        coordinator_address="localhost:1", num_processes=2, process_id=0
+    )
+    assert isinstance(res, Failure)
+    assert attempted, "explicit call after a query must attempt initialize"
+    assert dist._initialized is False  # failure must not latch either
 
 
 def test_current_runtime_single_process() -> None:

@@ -50,9 +50,6 @@ def object_store(request, tmp_path, monkeypatch):
         fake_aioboto3.create_bucket("conformance")
         s3_store = fake_aioboto3.install(monkeypatch)
         yield s3_store.S3ObjectStore("conformance")
-        import sys
-
-        sys.modules.pop("spectralmc_tpu.storage.s3_store", None)
 
 
 @pytest.fixture
@@ -62,9 +59,6 @@ def s3_only(monkeypatch):
     fake_aioboto3.create_bucket("faulty")
     s3_store = fake_aioboto3.install(monkeypatch)
     yield s3_store.S3ObjectStore("faulty"), fake_aioboto3
-    import sys
-
-    sys.modules.pop("spectralmc_tpu.storage.s3_store", None)
 
 
 def run(coro):

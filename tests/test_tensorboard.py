@@ -115,9 +115,9 @@ def test_segment_logger_matches_per_step_scalars(monkeypatch: pytest.MonkeyPatch
 
     fake_seg, fake_step = FakeWriter(), FakeWriter()
     monkeypatch.setattr(tbw, "_make_writer", lambda logdir: fake_seg)
-    seg_logger = tbw.TensorBoardLogger("unused")
+    seg_logger = tbw.TensorBoardLogger("unused", flush_every=2)
     monkeypatch.setattr(tbw, "_make_writer", lambda logdir: fake_step)
-    step_logger = tbw.TensorBoardLogger("unused")
+    step_logger = tbw.TensorBoardLogger("unused", flush_every=2)
 
     losses = np.array([3.0, 2.0, 1.5], dtype=np.float32)
     gnorms = np.array([0.3, 0.2, 0.1], dtype=np.float32)
@@ -155,6 +155,9 @@ def test_segment_logger_histogram_cadence(monkeypatch: pytest.MonkeyPatch) -> No
     # segment [1..5]: does not cross a 10-step boundary -> no histogram
     logger.log_segment(SegmentMetrics(1, np.ones(5), np.ones(5), 1e-3))
     assert fake.hists == []
-    # segment [6..12]: crosses step 10 -> exactly one histogram at the tail
+    # segment [6..12]: crosses step 10 -> one histogram ON the grid step 10
     logger.log_segment(SegmentMetrics(6, np.ones(7), np.ones(7), 1e-3))
-    assert fake.hists == [("w", 12)]
+    assert fake.hists == [("w", 10)]
+    # segment [13..31]: crosses 20 and 30 -> histograms on both grid steps
+    logger.log_segment(SegmentMetrics(13, np.ones(19), np.ones(19), 1e-3))
+    assert fake.hists == [("w", 10), ("w", 20), ("w", 30)]

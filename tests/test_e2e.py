@@ -133,3 +133,54 @@ def test_checkpoint_roundtrip_optimizer_state_equality(tmp_path) -> None:
     r1 = expect_success(c1.train(tc2))
     r2 = expect_success(c2.train(tc2))
     assert np.array_equal(r1.losses, r2.losses)
+
+
+def test_serving_path_tracking_client_hot_swap_to_prediction(tmp_path) -> None:
+    """SURVEY call stack 3.4 end to end: train -> commit v0 -> tracking
+    InferenceClient serves v0 -> more training -> commit v1 -> the poll loop
+    hot-swaps -> predictions from the served config match the live trainer's
+    bit-for-bit."""
+    from spectralmc_tpu.storage.inference import InferenceClient, TrackingMode
+    from spectralmc_tpu.training.trainer import FinalCommit
+
+    store = AsyncBlockchainModelStore(FileSystemObjectStore(str(tmp_path), "serving"))
+    commit_fn = make_commit_fn(store)
+    trainer = expect_success(GbmCVNNPricer.create(_fresh_config(seed=4)))
+    tc = expect_success(build_training_config(num_batches=2, batch_size=4,
+                                              learning_rate=2e-3))
+    expect_success(trainer.train(tc, commit_plan=FinalCommit(), commit_fn=commit_fn))
+    contracts = [make_contract(strike=95.0), make_contract(strike=105.0)]
+
+    async def serve() -> None:
+        async with InferenceClient(store, TrackingMode(), poll_interval=0.05) as client:
+            v0 = client.get_model()
+            assert v0 is not None and v0.version.counter == 0
+            served_v0 = expect_success(GbmCVNNPricer.create(v0.config))
+            pred_v0 = served_v0.predict_price(contracts)
+
+            # the trainer advances and commits v1 while the client polls.
+            # train() runs on a worker thread: the synchronous commit adapter
+            # drives its own event loop (asyncio.run), which is illegal on
+            # the thread already running the client's loop.
+            expect_success(
+                await asyncio.to_thread(
+                    trainer.train, tc, commit_plan=FinalCommit(), commit_fn=commit_fn
+                )
+            )
+            for _ in range(100):
+                await asyncio.sleep(0.05)
+                current = client.get_model()
+                if current is not None and current.version.counter == 1:
+                    break
+            else:
+                raise AssertionError("tracking client never hot-swapped to v1")
+
+            served_v1 = expect_success(GbmCVNNPricer.create(current.config))
+            pred_v1 = served_v1.predict_price(contracts)
+            live = trainer.predict_price(contracts)
+            np.testing.assert_array_equal(pred_v1.put, live.put)
+            np.testing.assert_array_equal(pred_v1.call, live.call)
+            # the swap actually changed the served function
+            assert not np.array_equal(pred_v0.put, pred_v1.put)
+
+    asyncio.run(serve())

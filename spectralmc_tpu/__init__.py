@@ -33,6 +33,9 @@ _EXPORTS = {
     "ModelKind": "spectralmc_tpu.ops.gbm",
     "SimImplementation": "spectralmc_tpu.ops.gbm",
     "HestonContract": "spectralmc_tpu.ops.heston",
+    "mc_greeks": "spectralmc_tpu.ops.greeks",
+    "analytic_greeks": "spectralmc_tpu.ops.greeks",
+    "OptionSide": "spectralmc_tpu.ops.greeks",
     "BoundSpec": "spectralmc_tpu.ops.sobol",
     "SobolSampler": "spectralmc_tpu.ops.sobol",
     "build_cvnn_config": "spectralmc_tpu.models.factory",

@@ -1,0 +1,127 @@
+"""Model-family dispatch — THE (ModelKind × SimImplementation) seam.
+
+Single source of truth mapping ``SimulationParams`` to the contract model,
+the underlier simulator and the analytic-mean target for its dynamics. Every
+driver builds from here: the fused train step (``training/step.py``), the
+sharded trainer, the Greeks estimators (``ops/greeks.py``), the graft entry
+point and the benchmarks. Lives in ``ops`` because selecting a numeric
+engine is a numeric-layer concern (the trainer layer composes on top).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+
+from spectralmc_tpu.ops.gbm import (
+    CONTRACT_DIM,
+    BlackScholesContract,
+    ModelKind,
+    SimImplementation,
+    SimulationParams,
+    expected_underlier_mean,
+    simulate_underlier_rows,
+)
+
+
+def contract_class(sim: SimulationParams) -> type:
+    """The contract model for the sim's dynamics (the model-family seam)."""
+    if sim.model == ModelKind.HESTON:
+        from spectralmc_tpu.ops.heston import HestonContract
+
+        return HestonContract
+    return BlackScholesContract
+
+
+def contract_dim(sim: SimulationParams) -> int:
+    if sim.model == ModelKind.HESTON:
+        from spectralmc_tpu.ops.heston import HESTON_CONTRACT_DIM
+
+        return HESTON_CONTRACT_DIM
+    return CONTRACT_DIM
+
+
+def make_underlier_simulator(
+    sim: SimulationParams, *, rows: int
+) -> Callable[[jax.Array, jax.Array, jax.Array | int], jax.Array]:
+    """(key, contract, row_offset) -> [rows, network_size] underliers.
+
+    Selection: (ModelKind x SimImplementation); every simulator shares the
+    (contract_key, global row, timestep[, component]) key discipline, so
+    row_offset shard-stability holds regardless of the branch taken.
+    """
+    dtype = sim.precision.to_jnp()
+    if sim.model == ModelKind.HESTON:
+        if sim.implementation == SimImplementation.PALLAS:
+            from spectralmc_tpu.ops.gbm_pallas import (
+                simulate_heston_underlier_rows_pallas as _sim_heston,
+            )
+        else:
+            from spectralmc_tpu.ops.heston import (
+                simulate_heston_underlier_rows as _sim_heston,
+            )
+
+        def simulate(
+            key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
+        ) -> jax.Array:
+            return _sim_heston(
+                key,
+                contract,
+                timesteps=sim.timesteps,
+                rows=rows,
+                cols=sim.network_size,
+                dtype=dtype,
+                payoff=sim.payoff,
+                row_offset=row_offset,
+            )
+
+        return simulate
+
+    if sim.implementation == SimImplementation.PALLAS:
+        from spectralmc_tpu.ops.gbm_pallas import (
+            simulate_underlier_rows_pallas as _sim_gbm,
+        )
+    else:
+        _sim_gbm = simulate_underlier_rows
+
+    def simulate(
+        key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
+    ) -> jax.Array:
+        return _sim_gbm(
+            key,
+            contract,
+            timesteps=sim.timesteps,
+            rows=rows,
+            cols=sim.network_size,
+            dtype=dtype,
+            scheme=sim.scheme,
+            payoff=sim.payoff,
+            row_offset=row_offset,
+        )
+
+    return simulate
+
+
+def make_mean_target(
+    sim: SimulationParams,
+) -> Callable[[jax.Array], jax.Array | None]:
+    """contract -> analytic E[underlier] (None where no closed form exists)."""
+    dtype = sim.precision.to_jnp()
+    if sim.model == ModelKind.HESTON:
+        from spectralmc_tpu.ops.heston import heston_expected_underlier_mean as _mean
+    else:
+        _mean = expected_underlier_mean
+
+    def mean_target(contract: jax.Array) -> jax.Array | None:
+        return _mean(contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype)
+
+    return mean_target
+
+
+__all__ = [
+    "contract_class",
+    "contract_dim",
+    "make_mean_target",
+    "make_underlier_simulator",
+]

@@ -1,0 +1,257 @@
+"""Option Greeks — pathwise (IPA) Monte-Carlo sensitivities by autodiff.
+
+Capability beyond the reference: its path generator is an opaque Numba-CUDA
+JIT kernel (reference gbm.py:224-257), invisible to torch autograd, so
+Monte-Carlo Greeks are impossible there without hand-written estimators or
+bump-and-reprice reruns. Here the whole simulator is a JAX program, so
+
+    greeks = jax.grad(mean discounted payoff)(contract vector)
+
+is the pathwise-derivative (infinitesimal-perturbation-analysis) estimator —
+computed in ONE reverse pass over the same fused Sobol→MC→payoff pipeline the
+pricer runs, with the same normals: key derivation (`fold_in`) depends only on
+integer indices, never on contract values, so differentiation holds the noise
+fixed (common random numbers), which is exactly the IPA validity condition
+for the a.e.-differentiable vanilla/Asian payoffs used here.
+
+Three estimator families:
+
+* ``mc_greeks`` — first-order Greeks of the MC price for any
+  (ModelKind, PayoffKind) the engines support, plus gamma via a
+  central difference of the *pathwise delta* under common random numbers
+  (the standard mixed IPA/FD estimator — pure second-order IPA of a kinked
+  payoff is a.e. zero and inconsistent).
+* ``analytic_greeks`` — exact Greeks by autodiff of the closed-form oracles
+  (``ops/analytic.py``). Because MC and oracle differentiate the SAME
+  parametrization, every sign/scale convention matches by construction.
+* ``GbmCVNNPricer.predict_greeks`` (training/trainer.py) — Greeks of the
+  *learned* pricer: gradient through IFFT∘CVNN, smooth in all inputs, so
+  even gamma is a plain second derivative.
+
+The MC estimators always run the XLA (`lax.scan`) engine: a `pallas_call`
+kernel has no registered VJP, and Greeks are statistical estimates — the
+engine bit-stream pin (`SimulationParams.implementation`) governs *resume*
+determinism, not estimator choice. This is documented behavior, not a silent
+fallback: the returned ``MCGreeks.engine`` records it.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from spectralmc_tpu.ops.analytic import black_scholes_price, geometric_asian_price
+from spectralmc_tpu.ops.gbm import (
+    ForwardNormalization,
+    PayoffKind,
+    SimImplementation,
+    SimulationParams,
+    terminal_to_prices,
+)
+
+
+class OptionSide(enum.Enum):
+    PUT = "put"
+    CALL = "call"
+
+
+@dataclass(frozen=True)
+class MCGreeks:
+    """One contract's price + full first-order sensitivity vector.
+
+    ``by_field`` maps every contract field (the model family's own fields —
+    6 for GBM, 10 for Heston) to ∂price/∂field. Named accessors cover the
+    classic Greeks; ``theta`` follows the market convention −∂price/∂T.
+    """
+
+    price: float
+    by_field: Mapping[str, float]
+    gamma: float
+    engine: SimImplementation
+
+    @property
+    def delta(self) -> float:
+        return self.by_field["spot"]
+
+    @property
+    def dual_delta(self) -> float:
+        return self.by_field["strike"]
+
+    @property
+    def theta(self) -> float:
+        return -self.by_field["maturity"]
+
+    @property
+    def rho(self) -> float:
+        return self.by_field["rate"]
+
+    @property
+    def div_rho(self) -> float:
+        return self.by_field["div_yield"]
+
+    @property
+    def vega(self) -> float:
+        """∂price/∂vol — GBM only (Heston exposes v0/xi/… sensitivities)."""
+        return self.by_field["vol"]
+
+
+def make_mc_price_fn(
+    sim: SimulationParams, *, option: OptionSide
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """(draw_index, contract_vector) → scalar MC price, differentiable.
+
+    The same Sobol→simulate→normalize→discount pipeline as
+    ``training/step.py::make_mc_spectrum`` but reduced to the mean discounted
+    payoff instead of the spectrum. Forces the XLA engine (see module
+    docstring) while preserving the (contract_key, row, timestep) stream.
+    """
+    from spectralmc_tpu.ops.dispatch import make_mean_target, make_underlier_simulator
+
+    xla_sim = sim.model_copy(update={"implementation": SimImplementation.XLA})
+    dtype = xla_sim.precision.to_jnp()
+    base_key = jax.random.PRNGKey(xla_sim.mc_seed)
+    normalize = xla_sim.normalization == ForwardNormalization.MEAN
+    simulate = make_underlier_simulator(xla_sim, rows=xla_sim.batches_per_mc_run)
+    mean_target = make_mean_target(xla_sim)
+
+    def price(draw_index: jax.Array, contract: jax.Array) -> jax.Array:
+        key = jax.random.fold_in(base_key, draw_index)
+        rows = simulate(key, contract)
+        prices = terminal_to_prices(
+            rows.reshape(-1),
+            contract,
+            normalize=normalize,
+            dtype=dtype,
+            mean_target=mean_target(contract),
+        )
+        payoffs = prices.put_payoffs if option == OptionSide.PUT else prices.call_payoffs
+        return jnp.mean(payoffs)
+
+    return price
+
+
+def make_mc_greeks_fn(
+    sim: SimulationParams, *, option: OptionSide, gamma_rel_bump: float = 1e-2
+) -> Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array, jax.Array]]:
+    """(draw_index, contract) → (price, grad_vector, gamma), one jitted program.
+
+    gamma = (Δ(S₀(1+h)) − Δ(S₀(1−h))) / (2·h·S₀) with the SAME key — the
+    central difference of the pathwise delta under common random numbers.
+    Bias is O(h²) plus a kink-crossing term that vanishes with the path count;
+    ``gamma_rel_bump`` trades them (1e-2 of spot is the classic choice).
+    """
+    price_fn = make_mc_price_fn(sim, option=option)
+    value_and_grad = jax.value_and_grad(price_fn, argnums=1)
+    delta_fn = jax.grad(price_fn, argnums=1)
+
+    @jax.jit
+    def run(draw_index: jax.Array, contract: jax.Array):
+        price, grad = value_and_grad(draw_index, contract)
+        h = gamma_rel_bump * contract[0]
+        bump = jnp.zeros_like(contract).at[0].set(h)
+        delta_up = delta_fn(draw_index, contract + bump)[0]
+        delta_dn = delta_fn(draw_index, contract - bump)[0]
+        gamma = (delta_up - delta_dn) / (2.0 * h)
+        return price, grad, gamma
+
+    return run
+
+
+def mc_greeks(
+    sim: SimulationParams,
+    contract: Any,
+    *,
+    option: OptionSide = OptionSide.CALL,
+    draw_index: int | None = None,
+    gamma_rel_bump: float = 1e-2,
+) -> MCGreeks:
+    """Pathwise MC Greeks for one contract (GBM or Heston, any payoff kind).
+
+    ``contract`` is a ``BlackScholesContract`` / ``HestonContract`` (anything
+    with ``as_array`` + the sim's field set). ``draw_index`` defaults to the
+    sim's checkpointed ``skip`` — the same draw the pricer would consume next.
+    """
+    from spectralmc_tpu.ops.dispatch import contract_class
+
+    fields = tuple(contract_class(sim).model_fields.keys())
+    dtype = sim.precision.to_jnp()
+    arr = contract.as_array(dtype)
+    idx = sim.skip if draw_index is None else draw_index
+    run = make_mc_greeks_fn(sim, option=option, gamma_rel_bump=gamma_rel_bump)
+    price, grad, gamma = run(jnp.asarray(idx, jnp.uint32), arr)
+    grad_host = [float(g) for g in grad]
+    return MCGreeks(
+        price=float(price),
+        by_field=dict(zip(fields, grad_host)),
+        gamma=float(gamma),
+        engine=SimImplementation.XLA,
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic oracle Greeks — autodiff of the closed forms
+# --------------------------------------------------------------------------
+
+_BS_FIELDS = ("spot", "strike", "maturity", "rate", "div_yield", "vol")
+
+
+def make_analytic_price_fn(
+    *, option: OptionSide, payoff: PayoffKind = PayoffKind.TERMINAL, timesteps: int = 1
+) -> Callable[[jax.Array], jax.Array]:
+    """contract 6-vector → exact price (TERMINAL Black or geometric Asian)."""
+    if payoff == PayoffKind.ASIAN_ARITHMETIC:
+        raise ValueError("arithmetic Asian has no closed form; use mc_greeks")
+
+    def price(contract: jax.Array) -> jax.Array:
+        args = tuple(contract[i] for i in range(6))
+        if payoff == PayoffKind.TERMINAL:
+            prices = black_scholes_price(*args)
+        else:
+            prices = geometric_asian_price(*args, timesteps=timesteps)
+        return prices.put if option == OptionSide.PUT else prices.call
+
+    return price
+
+
+def analytic_greeks(
+    contract: Any,
+    *,
+    option: OptionSide = OptionSide.CALL,
+    payoff: PayoffKind = PayoffKind.TERMINAL,
+    timesteps: int = 1,
+    dtype: Any = None,
+) -> MCGreeks:
+    """Exact Greeks of the closed-form price by autodiff (+ gamma = ∂²/∂S₀²).
+
+    Shares ``MCGreeks``' field conventions with the MC estimator because both
+    differentiate the same 6-vector parametrization — the oracle the
+    statistical tests compare against. ``dtype`` defaults to float64 when x64
+    is enabled, else float32.
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    price_fn = make_analytic_price_fn(option=option, payoff=payoff, timesteps=timesteps)
+    arr = contract.as_array(dtype)
+    price, grad = jax.value_and_grad(price_fn)(arr)
+    gamma = jax.grad(lambda c: jax.grad(price_fn)(c)[0])(arr)[0]
+    return MCGreeks(
+        price=float(price),
+        by_field=dict(zip(_BS_FIELDS, (float(g) for g in grad))),
+        gamma=float(gamma),
+        engine=SimImplementation.XLA,
+    )
+
+
+__all__ = [
+    "MCGreeks",
+    "OptionSide",
+    "analytic_greeks",
+    "make_analytic_price_fn",
+    "make_mc_greeks_fn",
+    "make_mc_price_fn",
+    "mc_greeks",
+]

@@ -21,15 +21,15 @@ import jax.numpy as jnp
 import optax
 
 from spectralmc_tpu.models.factory import CVNN
+from spectralmc_tpu.ops.dispatch import (  # noqa: F401 — re-exported seam
+    contract_class,
+    contract_dim,
+    make_mean_target,
+    make_underlier_simulator,
+)
 from spectralmc_tpu.ops.gbm import (
-    CONTRACT_DIM,
-    BlackScholesContract,
     ForwardNormalization,
-    ModelKind,
-    SimImplementation,
     SimulationParams,
-    expected_underlier_mean,
-    simulate_underlier_rows,
     terminal_to_prices,
 )
 from spectralmc_tpu.ops.sobol import scale_to_bounds, sobol_unit
@@ -48,23 +48,6 @@ def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
     return optax.adam(learning_rate, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS)
 
 
-def contract_class(sim: SimulationParams) -> type:
-    """The contract model for the sim's dynamics (the model-family seam)."""
-    if sim.model == ModelKind.HESTON:
-        from spectralmc_tpu.ops.heston import HestonContract
-
-        return HestonContract
-    return BlackScholesContract
-
-
-def contract_dim(sim: SimulationParams) -> int:
-    if sim.model == ModelKind.HESTON:
-        from spectralmc_tpu.ops.heston import HESTON_CONTRACT_DIM
-
-        return HESTON_CONTRACT_DIM
-    return CONTRACT_DIM
-
-
 @dataclass(frozen=True)
 class SobolTable:
     """Device-resident Sobol constants (directions/shift/bounds columns)."""
@@ -73,85 +56,6 @@ class SobolTable:
     shift: jax.Array
     lower: jax.Array
     upper: jax.Array
-
-
-def make_underlier_simulator(
-    sim: SimulationParams, *, rows: int
-) -> Callable[[jax.Array, jax.Array, jax.Array | int], jax.Array]:
-    """(key, contract, row_offset) -> [rows, network_size] underliers.
-
-    THE model-family/engine dispatch — single source of truth for the fused
-    step, the sharded step and any future driver. Selection:
-    (ModelKind x SimImplementation); every simulator shares the
-    (contract_key, global row, timestep[, component]) key discipline, so
-    row_offset shard-stability holds regardless of the branch taken.
-    """
-    dtype = sim.precision.to_jnp()
-    if sim.model == ModelKind.HESTON:
-        if sim.implementation == SimImplementation.PALLAS:
-            from spectralmc_tpu.ops.gbm_pallas import (
-                simulate_heston_underlier_rows_pallas as _sim_heston,
-            )
-        else:
-            from spectralmc_tpu.ops.heston import (
-                simulate_heston_underlier_rows as _sim_heston,
-            )
-
-        def simulate(
-            key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
-        ) -> jax.Array:
-            return _sim_heston(
-                key,
-                contract,
-                timesteps=sim.timesteps,
-                rows=rows,
-                cols=sim.network_size,
-                dtype=dtype,
-                payoff=sim.payoff,
-                row_offset=row_offset,
-            )
-
-        return simulate
-
-    if sim.implementation == SimImplementation.PALLAS:
-        from spectralmc_tpu.ops.gbm_pallas import (
-            simulate_underlier_rows_pallas as _sim_gbm,
-        )
-    else:
-        _sim_gbm = simulate_underlier_rows
-
-    def simulate(
-        key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
-    ) -> jax.Array:
-        return _sim_gbm(
-            key,
-            contract,
-            timesteps=sim.timesteps,
-            rows=rows,
-            cols=sim.network_size,
-            dtype=dtype,
-            scheme=sim.scheme,
-            payoff=sim.payoff,
-            row_offset=row_offset,
-        )
-
-    return simulate
-
-
-def make_mean_target(
-    sim: SimulationParams,
-) -> Callable[[jax.Array], jax.Array | None]:
-    """contract -> analytic E[underlier] (None where no closed form exists)."""
-    dtype = sim.precision.to_jnp()
-    if sim.model == ModelKind.HESTON:
-        from spectralmc_tpu.ops.heston import heston_expected_underlier_mean as _mean
-    else:
-        _mean = expected_underlier_mean
-
-    def mean_target(contract: jax.Array) -> jax.Array | None:
-        return _mean(contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype)
-
-    return mean_target
 
 
 def make_mc_spectrum(

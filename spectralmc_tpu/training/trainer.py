@@ -270,6 +270,28 @@ class PricePrediction:
     imag_residue: float
 
 
+@dataclass(frozen=True)
+class GreeksPrediction:
+    """Sensitivities of the LEARNED pricer (no reference counterpart).
+
+    The surrogate price is smooth in every contract field (IFFT∘CVNN of
+    normalized inputs), so full Jacobians and spot-gamma are plain autodiff —
+    including gamma, which the kinked MC payoff only supports via mixed
+    estimators (``ops/greeks.py``). ``jacobian[:, i]`` is ∂price/∂fields[i];
+    call columns are NaN where the payoff has no closed-form E[underlier]
+    (call prices come via parity). Conventions match ``ops.greeks.MCGreeks``
+    (e.g. market theta = −jacobian[:, maturity]).
+    """
+
+    put: np.ndarray  # [N]
+    call: np.ndarray  # [N]
+    put_jacobian: np.ndarray  # [N, D]
+    call_jacobian: np.ndarray  # [N, D]
+    put_gamma: np.ndarray  # [N] — ∂²put/∂spot²
+    call_gamma: np.ndarray  # [N]
+    fields: tuple[str, ...]
+
+
 # --------------------------------------------------------------------------
 # Pytree <-> flat-numpy round trip (checkpoint payload format)
 # --------------------------------------------------------------------------
@@ -969,3 +991,97 @@ class GbmCVNNPricer:
             df = np.exp(-rate * maturity)
             call_np = put_np + df * (np.asarray(expected) - strike)
         return PricePrediction(put=put_np, call=call_np, imag_residue=residue)
+
+    def _greeks_program(self) -> Callable[..., Any]:
+        """Jitted Greeks-of-the-surrogate program (cached).
+
+        The put price is the same IFFT∘CVNN map ``_predict_program`` uses,
+        reduced per contract row to a scalar; the call adds the parity term
+        df·(E[underlier] − K), itself differentiable through the analytic
+        mean. Jacobians via vmap(grad); gamma via forward-over-reverse
+        (jvp of grad along the spot axis).
+        """
+        cached = self._segment_cache.get(("greeks",))
+        if cached is not None:
+            return cached
+        model = self._model
+        parity = has_closed_form_mean(self._sim.model, self._sim.payoff)
+        from spectralmc_tpu.training.step import make_input_normalizer, make_mean_target
+
+        mean_target = make_mean_target(self._sim) if parity else None
+        normalize_fn = make_input_normalizer(
+            self._sobol_table(),
+            enabled=self._normalize_inputs,
+            dtype=self._sim.precision.to_jnp(),
+        )
+
+        def put_price(params: Any, bn_state: Any, row: jax.Array) -> jax.Array:
+            inputs = normalize_fn(row[None, :])
+            out_re, out_im, _ = model.apply(
+                params, bn_state, inputs, jnp.zeros_like(inputs), train=False
+            )
+            recovered = jnp.fft.ifft(out_re + 1j * out_im, axis=1)
+            return jnp.mean(recovered.real)
+
+        def call_price(params: Any, bn_state: Any, row: jax.Array) -> jax.Array:
+            put = put_price(params, bn_state, row)
+            df = jnp.exp(-row[3] * row[2])  # rate, maturity
+            return put + df * (mean_target(row) - row[1])
+
+        @jax.jit
+        def run(params: Any, bn_state: Any, arr: jax.Array):
+            def price_jac_gamma(fn: Callable[..., jax.Array]):
+                scalar = lambda r: fn(params, bn_state, r)  # noqa: E731
+                prices = jax.vmap(scalar)(arr)
+                jac = jax.vmap(jax.grad(scalar))(arr)
+
+                def gamma_row(r: jax.Array) -> jax.Array:
+                    e_spot = jnp.zeros_like(r).at[0].set(1.0)
+                    _, hvp = jax.jvp(jax.grad(scalar), (r,), (e_spot,))
+                    return hvp[0]
+
+                return prices, jac, jax.vmap(gamma_row)(arr)
+
+            put, put_jac, put_gamma = price_jac_gamma(put_price)
+            if mean_target is None:
+                nan_vec = jnp.full_like(put, jnp.nan)
+                call, call_jac, call_gamma = nan_vec, jnp.full_like(put_jac, jnp.nan), nan_vec
+            else:
+                call, call_jac, call_gamma = price_jac_gamma(call_price)
+            return put, call, put_jac, call_jac, put_gamma, call_gamma
+
+        self._segment_cache[("greeks",)] = run
+        return run
+
+    def predict_greeks(
+        self, contracts: Sequence["BlackScholesContract | Any"]
+    ) -> GreeksPrediction:
+        """Greeks of the learned pricer for a batch of contracts.
+
+        One compiled program per contract-count shape, like ``predict_price``.
+        Where no closed-form E[underlier] exists the call outputs are NaN
+        (same parity rule as ``predict_price``), with the same warning.
+        """
+        dtype = self._sim.precision.to_jnp()
+        arr = jnp.stack([c.as_array(dtype) for c in contracts])
+        if not has_closed_form_mean(self._sim.model, self._sim.payoff):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "no closed-form E[underlier] for %s/%s: call greeks unavailable",
+                self._sim.model.value,
+                self._sim.payoff.value,
+            )
+        put, call, put_jac, call_jac, put_gamma, call_gamma = self._greeks_program()(
+            self._params, self._bn_state, arr
+        )
+        fields = tuple(contract_class(self._sim).model_fields.keys())
+        return GreeksPrediction(
+            put=np.asarray(put),
+            call=np.asarray(call),
+            put_jacobian=np.asarray(put_jac),
+            call_jacobian=np.asarray(call_jac),
+            put_gamma=np.asarray(put_gamma),
+            call_gamma=np.asarray(call_gamma),
+            fields=fields,
+        )

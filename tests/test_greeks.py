@@ -1,0 +1,264 @@
+"""Greeks: pathwise-AD MC estimators vs closed-form oracles.
+
+Capability beyond the reference (its Numba kernel is opaque to autograd —
+reference gbm.py:224-257). Oracle Greeks are the autodiff of the SAME
+closed forms the price tests use (ops/analytic.py), so conventions match by
+construction; the MC/oracle comparisons are statistical gates in the spirit
+of the reference's z-score/RMSPE MC validation (tests/test_gbm.py:100-140).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spectralmc_tpu.core.precision import Precision
+from spectralmc_tpu.ops.gbm import PayoffKind, SimulationParams
+from spectralmc_tpu.ops.greeks import (
+    MCGreeks,
+    OptionSide,
+    analytic_greeks,
+    mc_greeks,
+)
+from tests.helpers.factories import make_contract, make_simulation_params
+
+# 64k paths: pathwise first-order estimators are low-variance at this size
+GREEKS_SIM = dict(timesteps=16, network_size=256, batches_per_mc_run=256)
+
+FIRST_ORDER_FIELDS = ("spot", "strike", "maturity", "rate", "div_yield", "vol")
+
+
+def _sim(**overrides: object) -> SimulationParams:
+    merged: dict[str, object] = {**GREEKS_SIM, **overrides}
+    return make_simulation_params(**merged)
+
+
+def _assert_first_order_close(
+    mc: MCGreeks, oracle: MCGreeks, *, rel: float, abs_floor: float
+) -> None:
+    for field in FIRST_ORDER_FIELDS:
+        got, want = mc.by_field[field], oracle.by_field[field]
+        tol = max(rel * abs(want), abs_floor)
+        assert got == pytest.approx(want, abs=tol), (
+            f"{field}: mc={got} analytic={want} (tol {tol})"
+        )
+
+
+@pytest.mark.parametrize("option", [OptionSide.PUT, OptionSide.CALL])
+def test_terminal_first_order_greeks_match_black_scholes(option: OptionSide) -> None:
+    contract = make_contract()
+    mc = mc_greeks(_sim(), contract, option=option)
+    oracle = analytic_greeks(contract, option=option)
+    assert mc.price == pytest.approx(oracle.price, rel=0.02, abs=0.01)
+    _assert_first_order_close(mc, oracle, rel=0.03, abs_floor=0.004)
+
+
+def test_terminal_gamma_matches_black_scholes() -> None:
+    contract = make_contract()
+    mc = mc_greeks(_sim(), contract, option=OptionSide.CALL)
+    oracle = analytic_greeks(contract, option=OptionSide.CALL)
+    # mixed IPA/FD gamma is noisier than pure pathwise firsts
+    assert mc.gamma == pytest.approx(oracle.gamma, rel=0.15)
+
+
+def test_named_greek_accessors_and_conventions() -> None:
+    """theta is the market convention -dP/dT; accessors alias by_field."""
+    contract = make_contract()
+    g = analytic_greeks(contract, option=OptionSide.CALL)
+    assert g.delta == g.by_field["spot"]
+    assert g.theta == -g.by_field["maturity"]
+    assert g.vega == g.by_field["vol"]
+    # ATM-ish call: delta in (0,1), vega > 0, dual delta < 0, theta < 0
+    assert 0.0 < g.delta < 1.0
+    assert g.vega > 0.0
+    assert g.dual_delta < 0.0
+    assert g.theta < 0.0
+    assert g.gamma > 0.0
+
+
+def test_asian_geometric_greeks_match_closed_form() -> None:
+    """Geometric-Asian MC under log-Euler is EXACTLY the closed form's law,
+    so its pathwise Greeks converge to AD-of-the-oracle with zero bias."""
+    timesteps = 8
+    contract = make_contract()
+    sim = _sim(timesteps=timesteps, payoff=PayoffKind.ASIAN_GEOMETRIC)
+    mc = mc_greeks(sim, contract, option=OptionSide.CALL)
+    oracle = analytic_greeks(
+        contract,
+        option=OptionSide.CALL,
+        payoff=PayoffKind.ASIAN_GEOMETRIC,
+        timesteps=timesteps,
+    )
+    assert mc.price == pytest.approx(oracle.price, rel=0.02, abs=0.01)
+    _assert_first_order_close(mc, oracle, rel=0.04, abs_floor=0.004)
+
+
+def test_put_call_greek_parity_is_exact() -> None:
+    """call − put = df·(E[underlier] − K) holds per-sample after MEAN
+    normalization, so the GRADIENT difference equals the parity term's
+    gradient exactly (same paths, fp32 tolerance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectralmc_tpu.ops.gbm import expected_underlier_mean
+
+    sim = _sim()
+    contract = make_contract()
+    put = mc_greeks(sim, contract, option=OptionSide.PUT)
+    call = mc_greeks(sim, contract, option=OptionSide.CALL)
+
+    def parity_term(arr: jax.Array) -> jax.Array:
+        df = jnp.exp(-arr[3] * arr[2])
+        mean = expected_underlier_mean(
+            arr, timesteps=sim.timesteps, payoff=sim.payoff, dtype=jnp.float64
+        )
+        return df * (mean - arr[1])
+
+    grad = jax.grad(parity_term)(contract.as_array(np.float64))
+    for i, field in enumerate(FIRST_ORDER_FIELDS):
+        diff = call.by_field[field] - put.by_field[field]
+        want = float(grad[i])
+        assert diff == pytest.approx(want, rel=1e-3, abs=2e-4), field
+
+
+def test_heston_delta_and_rho_vs_semianalytic() -> None:
+    """Heston pathwise delta/rho vs central FD of the Fourier-inversion
+    oracle (float64 host). Loose gate: full-truncation Euler carries
+    discretization bias the semi-analytic price does not."""
+    from spectralmc_tpu.ops.heston import HestonContract, heston_call_price
+    from spectralmc_tpu.ops.gbm import ModelKind
+
+    params = dict(
+        spot=100.0,
+        strike=100.0,
+        maturity=1.0,
+        rate=0.03,
+        div_yield=0.01,
+        v0=0.04,
+        kappa=1.5,
+        theta=0.04,
+        xi=0.5,
+        rho=-0.7,
+    )
+    contract = HestonContract(**params)
+    sim = _sim(timesteps=64, batches_per_mc_run=128, model=ModelKind.HESTON)
+    mc = mc_greeks(sim, contract, option=OptionSide.CALL)
+
+    h = 0.5
+    call_up, _ = heston_call_price(**{**params, "spot": params["spot"] + h})
+    call_dn, _ = heston_call_price(**{**params, "spot": params["spot"] - h})
+    delta_oracle = (call_up - call_dn) / (2 * h)
+    assert mc.by_field["spot"] == pytest.approx(delta_oracle, rel=0.06, abs=0.01)
+
+    hr = 5e-4
+    call_up, _ = heston_call_price(**{**params, "rate": params["rate"] + hr})
+    call_dn, _ = heston_call_price(**{**params, "rate": params["rate"] - hr})
+    rho_oracle = (call_up - call_dn) / (2 * hr)
+    assert mc.by_field["rate"] == pytest.approx(rho_oracle, rel=0.06, abs=0.05)
+
+
+def test_mc_greeks_deterministic_and_engine_recorded() -> None:
+    """Same (sim, contract, draw) → identical Greeks; Pallas requests are
+    routed to the differentiable XLA engine and say so."""
+    from spectralmc_tpu.ops.gbm import SimImplementation
+
+    sim = _sim(implementation=SimImplementation.PALLAS)
+    contract = make_contract()
+    a = mc_greeks(sim, contract, option=OptionSide.CALL)
+    b = mc_greeks(sim, contract, option=OptionSide.CALL)
+    assert a.price == b.price
+    assert a.by_field == b.by_field
+    assert a.gamma == b.gamma
+    assert a.engine == SimImplementation.XLA
+
+
+def test_analytic_arithmetic_asian_rejected() -> None:
+    with pytest.raises(ValueError):
+        analytic_greeks(
+            make_contract(), payoff=PayoffKind.ASIAN_ARITHMETIC, timesteps=4
+        )
+
+
+def test_draw_index_defaults_to_sim_skip() -> None:
+    sim_at_3 = _sim(skip=3)
+    contract = make_contract()
+    implicit = mc_greeks(sim_at_3, contract, option=OptionSide.PUT)
+    explicit = mc_greeks(_sim(), contract, option=OptionSide.PUT, draw_index=3)
+    assert implicit.price == explicit.price
+    assert implicit.by_field == explicit.by_field
+
+
+# --------------------------------------------------------------------------
+# Greeks of the LEARNED pricer (trainer.predict_greeks)
+# --------------------------------------------------------------------------
+
+
+def _tiny_pricer():
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.training.trainer import GbmCVNNPricer, GbmCVNNPricerConfig
+    from tests.helpers.factories import CONTRACT_BOUNDS
+    from tests.helpers.result_utils import expect_success
+
+    sim = make_simulation_params(
+        timesteps=2, network_size=16, batches_per_mc_run=4, precision=Precision.float32
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)],
+            seed=3,
+            precision=Precision.float32,
+        )
+    )
+    cfg = GbmCVNNPricerConfig(sim=sim, bounds=CONTRACT_BOUNDS, cvnn=cvnn)
+    return expect_success(GbmCVNNPricer.create(cfg))
+
+
+def test_predict_greeks_shapes_finite_deterministic() -> None:
+    pricer = _tiny_pricer()
+    contracts = [make_contract(), make_contract(spot=110.0, vol=0.3)]
+    g1 = pricer.predict_greeks(contracts)
+    g2 = pricer.predict_greeks(contracts)
+    n, d = 2, 6
+    assert g1.fields == ("spot", "strike", "maturity", "rate", "div_yield", "vol")
+    assert g1.put.shape == (n,) and g1.call.shape == (n,)
+    assert g1.put_jacobian.shape == (n, d) and g1.call_jacobian.shape == (n, d)
+    assert g1.put_gamma.shape == (n,) and g1.call_gamma.shape == (n,)
+    for arr in (g1.put, g1.call, g1.put_jacobian, g1.call_jacobian, g1.put_gamma):
+        assert np.all(np.isfinite(arr))
+    np.testing.assert_array_equal(g1.put_jacobian, g2.put_jacobian)
+    np.testing.assert_array_equal(g1.call_gamma, g2.call_gamma)
+
+
+def test_predict_greeks_parity_identity() -> None:
+    """call − put = df·(E − K) exactly in the surrogate too, so the Jacobian
+    difference equals the parity term's gradient to fp32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectralmc_tpu.ops.gbm import expected_underlier_mean
+
+    pricer = _tiny_pricer()
+    contracts = [make_contract(maturity=0.8, rate=0.05)]
+    g = pricer.predict_greeks(contracts)
+
+    def parity_term(arr: jax.Array) -> jax.Array:
+        df = jnp.exp(-arr[3] * arr[2])
+        mean = expected_underlier_mean(
+            arr, timesteps=2, payoff=PayoffKind.TERMINAL, dtype=jnp.float32
+        )
+        return df * (mean - arr[1])
+
+    grad = np.asarray(jax.grad(parity_term)(contracts[0].as_array(np.float32)))
+    diff = g.call_jacobian[0] - g.put_jacobian[0]
+    np.testing.assert_allclose(diff, grad, rtol=1e-4, atol=1e-5)
+    # the parity term is linear in spot => gammas match exactly
+    assert g.call_gamma[0] == pytest.approx(g.put_gamma[0], abs=1e-6)
+
+
+def test_predict_greeks_prices_match_predict_price() -> None:
+    pricer = _tiny_pricer()
+    contracts = [make_contract(), make_contract(strike=90.0)]
+    greeks = pricer.predict_greeks(contracts)
+    prices = pricer.predict_price(contracts)
+    np.testing.assert_allclose(greeks.put, prices.put, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(greeks.call, prices.call, rtol=1e-5, atol=1e-6)

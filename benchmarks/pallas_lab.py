@@ -132,6 +132,129 @@ def make_kernel(variant: str, timesteps: int, shape):
                 )
                 return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
             n_iters = timesteps // 2
+        elif variant in ("polybm_fastlog", "polybm_fastlog_s"):
+            # polybm + bit-extraction ln: x = 2^e * m with m in [sqrt2/2, sqrt2)
+            # (sqrt2-centered so u near 1 lands at w near 0, where the series
+            # error VANISHES — no cancellation against e*ln2). ln m via
+            # Taylor deg-9 in w = m-1 (no divide) or the atanh s-form
+            # (one divide, error ~s^9).
+            _SQRT2_MANT = 0x3504F3  # mantissa bits of sqrt(2)
+            _LN2 = 0.6931471805599453
+
+            def fast_ln(x):
+                b = pltpu.bitcast(x, jnp.uint32)
+                mant = b & jnp.uint32(0x007FFFFF)
+                adj = (mant > jnp.uint32(_SQRT2_MANT)).astype(jnp.int32)
+                e = (
+                    pltpu.bitcast(b >> jnp.uint32(23), jnp.int32)
+                    - jnp.int32(127)
+                    + adj
+                )
+                m = pltpu.bitcast(mant | jnp.uint32(0x3F800000), jnp.float32)
+                m = jnp.where(adj, m * jnp.float32(0.5), m)
+                if variant == "polybm_fastlog_s":
+                    s = (m - jnp.float32(1.0)) / (m + jnp.float32(1.0))
+                    y = s * s
+                    p = jnp.float32(2.0 / 7.0)
+                    p = p * y + jnp.float32(2.0 / 5.0)
+                    p = p * y + jnp.float32(2.0 / 3.0)
+                    p = p * y + jnp.float32(2.0)
+                    ln_m = s * p
+                else:
+                    w = m - jnp.float32(1.0)
+                    p = jnp.float32(1.0 / 9.0)
+                    p = p * w + jnp.float32(-1.0 / 8.0)
+                    p = p * w + jnp.float32(1.0 / 7.0)
+                    p = p * w + jnp.float32(-1.0 / 6.0)
+                    p = p * w + jnp.float32(1.0 / 5.0)
+                    p = p * w + jnp.float32(-0.25)
+                    p = p * w + jnp.float32(1.0 / 3.0)
+                    p = p * w + jnp.float32(-0.5)
+                    p = p * w + jnp.float32(1.0)
+                    ln_m = w * p
+                return e.astype(jnp.float32) * jnp.float32(_LN2) + ln_m
+
+            def sin_folded3(t):
+                qf = jnp.round(jnp.float32(2.0) * t)
+                x = jnp.float32(_TWO_PI) * (t - jnp.float32(0.5) * qf)
+                sign = jnp.where(qf.astype(jnp.int32) & 1, jnp.float32(-1.0), jnp.float32(1.0))
+                y = x * x
+                p = jnp.float32(2.7557319e-6)
+                p = p * y + jnp.float32(-1.9841270e-4)
+                p = p * y + jnp.float32(8.3333333e-3)
+                p = p * y + jnp.float32(-1.6666667e-1)
+                p = p * y + jnp.float32(1.0)
+                return sign * x * p
+
+            def step(t, logx):
+                u1 = _uniform(shape) + jnp.float32(_HALF_ULP)
+                u2 = _uniform(shape)
+                radius = jnp.sqrt(jnp.float32(-2.0) * fast_ln(u1))
+                z_sum = radius * jnp.float32(math.sqrt(2.0)) * sin_folded3(
+                    u2 + jnp.float32(0.125)
+                )
+                return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+            n_iters = timesteps // 2
+        elif variant in ("polybm_rsqrt", "polybm_unroll4", "polybm_rsqrt_unroll4"):
+            # rsqrt: radius = x * rsqrt(x) — hardware reciprocal-sqrt path if
+            # Mosaic has one. unroll4: 4 pair-steps per fori iteration for ILP.
+            def sin_folded4(t):
+                qf = jnp.round(jnp.float32(2.0) * t)
+                x = jnp.float32(_TWO_PI) * (t - jnp.float32(0.5) * qf)
+                sign = jnp.where(qf.astype(jnp.int32) & 1, jnp.float32(-1.0), jnp.float32(1.0))
+                y = x * x
+                p = jnp.float32(2.7557319e-6)
+                p = p * y + jnp.float32(-1.9841270e-4)
+                p = p * y + jnp.float32(8.3333333e-3)
+                p = p * y + jnp.float32(-1.6666667e-1)
+                p = p * y + jnp.float32(1.0)
+                return sign * x * p
+
+            use_rsqrt = "rsqrt" in variant
+            unroll = 4 if "unroll4" in variant else 1
+
+            def pair(logx):
+                u1 = _uniform(shape) + jnp.float32(_HALF_ULP)
+                u2 = _uniform(shape)
+                x = jnp.float32(-2.0) * jnp.log(u1)
+                if use_rsqrt:
+                    radius = x * jax.lax.rsqrt(x)
+                else:
+                    radius = jnp.sqrt(x)
+                z_sum = radius * jnp.float32(math.sqrt(2.0)) * sin_folded4(
+                    u2 + jnp.float32(0.125)
+                )
+                return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+
+            def step(t, logx):
+                for _ in range(unroll):
+                    logx = pair(logx)
+                return logx
+            n_iters = timesteps // (2 * unroll)
+        elif variant == "polybm_rsqrt_unrollarg":
+            # same as polybm_rsqrt_unroll4 but via fori_loop's unroll kwarg
+            def sin_folded5(t):
+                qf = jnp.round(jnp.float32(2.0) * t)
+                x = jnp.float32(_TWO_PI) * (t - jnp.float32(0.5) * qf)
+                sign = jnp.where(qf.astype(jnp.int32) & 1, jnp.float32(-1.0), jnp.float32(1.0))
+                y = x * x
+                p = jnp.float32(2.7557319e-6)
+                p = p * y + jnp.float32(-1.9841270e-4)
+                p = p * y + jnp.float32(8.3333333e-3)
+                p = p * y + jnp.float32(-1.6666667e-1)
+                p = p * y + jnp.float32(1.0)
+                return sign * x * p
+
+            def step(t, logx):
+                u1 = _uniform(shape) + jnp.float32(_HALF_ULP)
+                u2 = _uniform(shape)
+                x = jnp.float32(-2.0) * jnp.log(u1)
+                radius = x * jax.lax.rsqrt(x)
+                z_sum = radius * jnp.float32(math.sqrt(2.0)) * sin_folded5(
+                    u2 + jnp.float32(0.125)
+                )
+                return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+            n_iters = ("unroll4", timesteps // 2)
         elif variant == "polybm":
             # Pair-step Box-Muller with ONE polynomial sine:
             # z1+z2 = r*(cos+sin)(theta) = r*sqrt(2)*sin(theta + pi/4).
@@ -163,7 +286,11 @@ def make_kernel(variant: str, timesteps: int, shape):
             raise ValueError(variant)
 
         log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
-        logx = jax.lax.fori_loop(0, n_iters, step, log0)
+        if isinstance(n_iters, tuple):
+            # Mosaic fori_loop supports only unroll=1 or full unroll
+            logx = jax.lax.fori_loop(0, n_iters[1], step, log0, unroll=n_iters[1])
+        else:
+            logx = jax.lax.fori_loop(0, n_iters, step, log0)
         out_ref[:, :] = jnp.exp(logx)
 
     return kernel
@@ -202,10 +329,28 @@ def run_variant(key, contract, *, variant, timesteps, rows, cols, br, bc, reps):
 
 
 def main():
-    timesteps, rows, cols, reps = 64, 8192, 256, 20
+    # reps scanned inside one jit + HOST materialization (float(...)) per
+    # timed call: block_until_ready alone under-reports through the axon
+    # tunnel (docs/performance.md methodology note). Best-of-3 rejects
+    # scheduler noise.
+    timesteps, rows, cols, reps = 64, 8192, 256, 200
     key = jax.random.PRNGKey(0)
     contract = jnp.array([100.0, 100.0, 1.0, 0.03, 0.01, 0.25], jnp.float32)
-    variants = ["baseline", "rng_only", "log_only", "sincos_only", "sqrtlog", "erfinv", "clt8"]
+    variants = [
+        "baseline",
+        "rng_only",
+        "log_only",
+        "sincos_only",
+        "sqrtlog",
+        "erfinv",
+        "clt8",
+        "polybm",
+        "polybm_fastlog",
+        "polybm_fastlog_s",
+        "polybm_rsqrt",
+        "polybm_unroll4",
+        "polybm_rsqrt_unroll4",
+    ]
     blocks = [(256, 256), (512, 256), (1024, 256), (2048, 256), (512, 128), (8192, 256)]
     print(f"shape: {rows}x{cols}, t={timesteps}, reps={reps}; device={jax.devices()[0].device_kind}")
     for v in variants:
@@ -213,12 +358,14 @@ def main():
             try:
                 f = lambda k: run_variant(k, contract, variant=v, timesteps=timesteps,
                                           rows=rows, cols=cols, br=br, bc=bc, reps=reps)
-                f(key).block_until_ready()
-                t0 = time.perf_counter()
-                f(jax.random.fold_in(key, 1)).block_until_ready()
-                el = time.perf_counter() - t0
+                float(f(key))  # warm up + compile
+                el = math.inf
+                for n in range(1, 4):
+                    t0 = time.perf_counter()
+                    float(f(jax.random.fold_in(key, n)))
+                    el = min(el, time.perf_counter() - t0)
                 ps = rows * cols * timesteps * reps / el
-                print(f"{v:12s} block=({br:5d},{bc:4d})  {el*1000:8.1f} ms  {ps:.3e} path-steps/s")
+                print(f"{v:16s} block=({br:5d},{bc:4d})  {el*1000:8.1f} ms  {ps:.3e} path-steps/s")
             except Exception as e:  # noqa: BLE001
                 print(f"{v:12s} block=({br:5d},{bc:4d})  FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 

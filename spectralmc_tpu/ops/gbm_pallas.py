@@ -146,6 +146,48 @@ def _sincos_turns(t: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 
+def _bm_radius(u1: jax.Array) -> jax.Array:
+    """Box-Muller radius sqrt(-2 ln u) as ``x * rsqrt(x)``.
+
+    Bit-identical to ``jnp.sqrt(x)`` on Mosaic (verified exhaustively over the
+    radius domain incl. subnormal-adjacent and power-of-two inputs) but
+    schedules measurably better inside the unrolled loop (pallas_lab.py:
+    polybm 1.63e11 → polybm_rsqrt_unroll4 1.75e11 path-steps/s with the
+    unroll below). No stream-version bump: the emitted bits are unchanged.
+
+    The half-ulp offset makes u1 round to exactly 1.0 once per ~2^24 draws
+    (1 − 2^-25 is halfway between fp32 neighbours; ties-to-even lands on 1),
+    where x = 0 and ``x * rsqrt(x)`` is 0·inf = NaN. Flooring the rsqrt
+    argument at 1e-30 pins that lane to sqrt's 0 (0 · rsqrt(1e-30) = 0) and
+    changes no other lane: the smallest nonzero x is −2·ln(1 − 2⁻²⁴) ≈
+    1.19e-7, far above the floor.
+    """
+    x = jnp.float32(-2.0) * jnp.log(u1)
+    return x * jax.lax.rsqrt(jnp.maximum(x, jnp.float32(1e-30)))
+
+
+def _fori_unrolled(n: int, body, init, unroll: int = 4):
+    """fori_loop over ``body(carry)`` in groups of ``unroll`` + remainder.
+
+    Mosaic's fori_loop supports only unroll=1 or full unroll; grouping by 4
+    gives the full unroll's ILP win (+8%, pallas_lab.py) with bounded code
+    size at large timesteps. Execution order — hence the stateful PRNG's bit
+    stream — is exactly the sequential loop's.
+    """
+
+    def grouped(_t: jax.Array, carry):
+        for _ in range(unroll):
+            carry = body(carry)
+        return carry
+
+    carry = init
+    if n >= unroll:
+        carry = jax.lax.fori_loop(0, n // unroll, grouped, carry)
+    for _ in range(n % unroll):
+        carry = body(carry)
+    return carry
+
+
 def _gbm_block_kernel(
     params_ref,  # SMEM (1, 6): spot, strike, maturity, rate, div, vol
     seeds_ref,  # SMEM (1, 3) int32: threefry key words + row-block offset
@@ -187,14 +229,13 @@ def _gbm_block_kernel(
         # One Box-Muller output: z = r*cos(2*pi*u2) = r*sin(2*pi*(u2 + 1/4)).
         u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
         u2 = _uniform_24bit(shape)
-        radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
-        return radius * _sin_turns(u2 + jnp.float32(0.25))
+        return _bm_radius(u1) * _sin_turns(u2 + jnp.float32(0.25))
 
     inv_n = jnp.float32(1.0 / timesteps)
     if scheme == PathScheme.LOG_EULER:
         drift = (rate - div_yield - jnp.float32(0.5) * vol * vol) * dt
 
-        def step_single(t: jax.Array, logx: jax.Array) -> jax.Array:
+        def step_single(logx: jax.Array) -> jax.Array:
             return logx + drift + vol_sdt * normals()
 
         log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
@@ -202,18 +243,17 @@ def _gbm_block_kernel(
             # Log-Euler increments are additive, so both Box–Muller outputs
             # advance two timesteps per draw; their sum needs only ONE sine:
             # z1 + z2 = r*(cos+sin)(theta) = r*sqrt(2)*sin(theta + pi/4).
-            def step_pair(t: jax.Array, logx: jax.Array) -> jax.Array:
+            def step_pair(logx: jax.Array) -> jax.Array:
                 u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
                 u2 = _uniform_24bit(shape)
-                radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
-                z_sum = radius * jnp.float32(math.sqrt(2.0)) * _sin_turns(
+                z_sum = _bm_radius(u1) * jnp.float32(math.sqrt(2.0)) * _sin_turns(
                     u2 + jnp.float32(0.125)
                 )
                 return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
 
-            logx = jax.lax.fori_loop(0, timesteps // 2, step_pair, log0)
+            logx = _fori_unrolled(timesteps // 2, step_pair, log0)
             if timesteps % 2:
-                logx = step_single(0, logx)
+                logx = step_single(logx)
             out_ref[:, :] = jnp.exp(logx)
         else:
             # Path-dependent: every intermediate state feeds the running
@@ -221,39 +261,39 @@ def _gbm_block_kernel(
             geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
 
             def step_acc(
-                t: jax.Array, carry: tuple[jax.Array, jax.Array]
+                carry: tuple[jax.Array, jax.Array]
             ) -> tuple[jax.Array, jax.Array]:
                 logx, acc = carry
-                logx = step_single(t, logx)
+                logx = step_single(logx)
                 acc = acc + (logx if geometric else jnp.exp(logx))
                 return (logx, acc)
 
-            _, acc = jax.lax.fori_loop(
-                0, timesteps, step_acc, (log0, jnp.zeros(shape, jnp.float32))
+            _, acc = _fori_unrolled(
+                timesteps, step_acc, (log0, jnp.zeros(shape, jnp.float32))
             )
             out_ref[:, :] = jnp.exp(acc * inv_n) if geometric else acc * inv_n
     else:
         growth = jnp.float32(1.0) + (rate - div_yield) * dt
 
-        def step_euler(t: jax.Array, x: jax.Array) -> jax.Array:
+        def step_euler(x: jax.Array) -> jax.Array:
             return jnp.abs(x * (growth + vol_sdt * normals()))
 
         x0 = jnp.full(shape, 1.0, jnp.float32) * spot
         if payoff == PayoffKind.TERMINAL:
-            out_ref[:, :] = jax.lax.fori_loop(0, timesteps, step_euler, x0)
+            out_ref[:, :] = _fori_unrolled(timesteps, step_euler, x0)
         else:
             geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
 
             def step_euler_acc(
-                t: jax.Array, carry: tuple[jax.Array, jax.Array]
+                carry: tuple[jax.Array, jax.Array]
             ) -> tuple[jax.Array, jax.Array]:
                 x, acc = carry
-                x = step_euler(t, x)
+                x = step_euler(x)
                 acc = acc + (jnp.log(x) if geometric else x)
                 return (x, acc)
 
-            _, acc = jax.lax.fori_loop(
-                0, timesteps, step_euler_acc, (x0, jnp.zeros(shape, jnp.float32))
+            _, acc = _fori_unrolled(
+                timesteps, step_euler_acc, (x0, jnp.zeros(shape, jnp.float32))
             )
             out_ref[:, :] = jnp.exp(acc * inv_n) if geometric else acc * inv_n
 
@@ -504,7 +544,7 @@ def _heston_block_kernel(
     inv_n = jnp.float32(1.0 / timesteps)
 
     def step(
-        t: jax.Array, carry: tuple[jax.Array, jax.Array, jax.Array]
+        carry: tuple[jax.Array, jax.Array, jax.Array]
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         logx, v, acc = carry
         # ONE Box-Muller pair per step: r*cos and r*sin are independent
@@ -513,7 +553,7 @@ def _heston_block_kernel(
         # +21% end-to-end vs two separate sine evaluations (heston_lab.py).
         u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
         u2 = _uniform_24bit(shape)
-        radius = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u1))
+        radius = _bm_radius(u1)
         sin_t, cos_t = _sincos_turns(u2)
         z_v = radius * cos_t
         z_s = rho * z_v + rho_bar * (radius * sin_t)
@@ -528,8 +568,8 @@ def _heston_block_kernel(
 
     log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
     vinit = jnp.full(shape, 1.0, jnp.float32) * v0
-    logx, _, acc = jax.lax.fori_loop(
-        0, timesteps, step, (log0, vinit, jnp.zeros(shape, jnp.float32))
+    logx, _, acc = _fori_unrolled(
+        timesteps, step, (log0, vinit, jnp.zeros(shape, jnp.float32))
     )
     if payoff == PayoffKind.TERMINAL:
         out_ref[:, :] = jnp.exp(logx)

@@ -33,6 +33,9 @@ _EXPORTS = {
     "ModelKind": "spectralmc_tpu.ops.gbm",
     "SimImplementation": "spectralmc_tpu.ops.gbm",
     "HestonContract": "spectralmc_tpu.ops.heston",
+    "BasketSpec": "spectralmc_tpu.ops.basket",
+    "build_basket_spec": "spectralmc_tpu.ops.basket",
+    "BasketCombine": "spectralmc_tpu.ops.basket",
     "mc_greeks": "spectralmc_tpu.ops.greeks",
     "analytic_greeks": "spectralmc_tpu.ops.greeks",
     "OptionSide": "spectralmc_tpu.ops.greeks",

@@ -149,8 +149,9 @@ class MonteCarloInterpreter:
                     MonteCarloError(effect_kind=effect.kind, reason=f"bad enum value: {exc}")
                 )
             if model != ModelKind.GBM:
-                # Heston contracts carry 10 fields the effect's 6-field market
-                # record cannot express; describe those runs via TrainSegment.
+                # Heston contracts carry 10 fields and baskets a static spec
+                # that the effect's 6-field market record cannot express;
+                # describe those runs via TrainSegment.
                 return Failure(
                     MonteCarloError(
                         effect_kind=effect.kind,

@@ -61,6 +61,65 @@ def black_scholes_price(
     )
 
 
+def lognormal_black_price(
+    mu: Any, s2: Any, strike: Any, rate: Any, maturity: Any
+) -> AnalyticPrices:
+    """Black-type put/call on a lognormal underlier ln U ~ N(mu, s2).
+
+    The shared engine behind the geometric-Asian and geometric-basket
+    oracles: call = df·(E[U]·N(d1) − K·N(d2)) with d1 = (mu − lnK + s2)/s.
+    """
+    df = jnp.exp(-rate * maturity)
+    s = jnp.sqrt(s2)
+    mean_u = jnp.exp(mu + 0.5 * s2)
+    d1 = (mu - jnp.log(strike) + s2) / s
+    d2 = d1 - s
+    call = df * (mean_u * _norm_cdf(d1) - strike * _norm_cdf(d2))
+    put = call - df * (mean_u - strike)  # parity on the lognormal mean
+    call_intr = df * jnp.maximum(mean_u - strike, 0.0)
+    put_intr = df * jnp.maximum(strike - mean_u, 0.0)
+    return AnalyticPrices(
+        put=put,
+        call=call,
+        put_intrinsic=put_intr,
+        call_intrinsic=call_intr,
+        put_convexity=put - put_intr,
+        call_convexity=call - call_intr,
+    )
+
+
+def geometric_basket_price(
+    spot: Any,
+    strike: Any,
+    maturity: Any,
+    rate: Any,
+    div_yield: Any,
+    vol: Any,
+    *,
+    spec: Any,
+) -> AnalyticPrices:
+    """European put/call on the geometric basket Π Sᵢ^wᵢ, closed form.
+
+    ln B_T ~ N(ln G₀ + μ̄T, s̄²T) with (μ̄, s̄²) from
+    ``ops/basket.py::basket_log_moments`` — exact under the log-Euler
+    discretization, so the basket MC estimator converges with zero
+    discretization bias (the multi-asset analogue of the geometric-Asian
+    oracle).
+    """
+    import jax
+
+    from spectralmc_tpu.ops.basket import basket_g0, basket_log_moments
+
+    default = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    dtype = getattr(spot, "dtype", default)
+    contract = jnp.stack(
+        [jnp.asarray(v, dtype) for v in (spot, strike, maturity, rate, div_yield, vol)]
+    )
+    mu_bar, s2_bar = basket_log_moments(contract, spec, dtype=dtype)
+    mu = jnp.log(basket_g0(contract, spec, dtype=dtype)) + mu_bar * maturity
+    return lognormal_black_price(mu, s2_bar * maturity, strike, rate, maturity)
+
+
 def geometric_asian_price(
     spot: Any,
     strike: Any,

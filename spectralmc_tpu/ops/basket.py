@@ -1,0 +1,304 @@
+"""Multi-asset correlated-GBM basket family — extension beyond the reference.
+
+The reference simulates exactly one asset (gbm.py:224-257). This module adds
+baskets: ``A`` correlated GBMs driven by Cholesky-mixed normals, with the
+option written on the weighted arithmetic basket ``Σ wᵢ Sᵢ`` (the traded
+instrument) or the geometric basket ``Π Sᵢ^wᵢ`` (whose European price has an
+exact closed form under log-Euler — ``ops/analytic.py::geometric_basket_price``
+— making it the sharp oracle, the same role the geometric Asian plays for the
+path-dependent axis).
+
+TPU-first: the per-step asset mixing is one ``[A, A] @ [A, rows·cols]``
+contraction — einsum on the MXU — and the asset axis stays leading so each
+asset's state block is a contiguous VPU-shaped ``[rows, cols]`` tile.
+
+Determinism: the same key discipline as GBM/Heston — normals addressed by
+(contract_key, global row, timestep, asset), so resume is a counter and a
+mesh shard reproduces exactly the rows it owns (``row_offset``).
+
+Contract domain: the Sobol-sampled contract keeps the 6 Black-Scholes fields;
+the basket structure (weights, per-asset spot/vol multipliers, correlation)
+is a static, checkpointed ``BasketSpec`` on ``SimulationParams`` — per-asset
+values are ``S0ᵢ = spot·spot_multipliersᵢ``, ``σᵢ = vol·vol_multipliersᵢ``.
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel, ConfigDict
+
+from spectralmc_tpu.core.errors.gbm import GBMError, InvalidSimulationParams
+from spectralmc_tpu.core.result import Failure, Result, Success
+
+
+class BasketCombine(enum.Enum):
+    ARITHMETIC = "arithmetic"  # Σ wᵢ Sᵢ — the traded basket
+    GEOMETRIC = "geometric"  # Π Sᵢ^wᵢ — lognormal, exact closed form
+
+
+class BasketSpec(BaseModel):
+    """Static basket structure (part of the checkpoint via SimulationParams)."""
+
+    model_config = ConfigDict(frozen=True)
+
+    weights: tuple[float, ...]
+    spot_multipliers: tuple[float, ...]
+    vol_multipliers: tuple[float, ...]
+    correlation: tuple[tuple[float, ...], ...]
+    combine: BasketCombine = BasketCombine.ARITHMETIC
+
+    @property
+    def n_assets(self) -> int:
+        return len(self.weights)
+
+
+def build_basket_spec(
+    *,
+    weights: tuple[float, ...] | list[float],
+    correlation: tuple[tuple[float, ...], ...] | list[list[float]],
+    spot_multipliers: tuple[float, ...] | list[float] | None = None,
+    vol_multipliers: tuple[float, ...] | list[float] | None = None,
+    combine: BasketCombine | str = BasketCombine.ARITHMETIC,
+) -> Result[BasketSpec, GBMError]:
+    """Validated constructor: weights sum to 1, correlation symmetric PSD with
+    unit diagonal, multiplier lengths match (default 1.0)."""
+    w = tuple(float(x) for x in weights)
+    n = len(w)
+    if n < 1:
+        return Failure(
+            InvalidSimulationParams(field="weights", value=w, reason="need >= 1 asset")
+        )
+    if any(x <= 0 for x in w):
+        return Failure(
+            InvalidSimulationParams(field="weights", value=w, reason="must be positive")
+        )
+    if abs(sum(w) - 1.0) > 1e-9:
+        return Failure(
+            InvalidSimulationParams(field="weights", value=w, reason="must sum to 1")
+        )
+    sm = tuple(float(x) for x in (spot_multipliers or (1.0,) * n))
+    vm = tuple(float(x) for x in (vol_multipliers or (1.0,) * n))
+    for name, t in (("spot_multipliers", sm), ("vol_multipliers", vm)):
+        if len(t) != n:
+            return Failure(
+                InvalidSimulationParams(field=name, value=t, reason=f"length must be {n}")
+            )
+        if any(x <= 0 for x in t):
+            return Failure(
+                InvalidSimulationParams(field=name, value=t, reason="must be positive")
+            )
+    corr = tuple(tuple(float(x) for x in row) for row in correlation)
+    if len(corr) != n or any(len(r) != n for r in corr):
+        return Failure(
+            InvalidSimulationParams(field="correlation", value=corr, reason=f"must be {n}x{n}")
+        )
+    c = np.asarray(corr, dtype=np.float64)
+    if not np.allclose(c, c.T, atol=1e-12):
+        return Failure(
+            InvalidSimulationParams(field="correlation", value=corr, reason="must be symmetric")
+        )
+    if not np.allclose(np.diag(c), 1.0, atol=1e-12):
+        return Failure(
+            InvalidSimulationParams(
+                field="correlation", value=corr, reason="diagonal must be 1"
+            )
+        )
+    try:
+        np.linalg.cholesky(c)
+    except np.linalg.LinAlgError:
+        return Failure(
+            InvalidSimulationParams(
+                field="correlation", value=corr, reason="must be positive definite"
+            )
+        )
+    if isinstance(combine, str):
+        try:
+            combine = BasketCombine(combine)
+        except ValueError:
+            return Failure(
+                InvalidSimulationParams(
+                    field="combine", value=combine, reason="arithmetic|geometric"
+                )
+            )
+    return Success(
+        BasketSpec(
+            weights=w,
+            spot_multipliers=sm,
+            vol_multipliers=vm,
+            correlation=corr,
+            combine=combine,
+        )
+    )
+
+
+@lru_cache(maxsize=64)
+def basket_cholesky(spec: BasketSpec) -> np.ndarray:
+    """Lower Cholesky factor of the correlation (float64, computed once)."""
+    return np.linalg.cholesky(np.asarray(spec.correlation, dtype=np.float64))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "timesteps", "rows", "cols", "dtype", "payoff"),
+)
+def simulate_basket_underlier_rows(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    spec: BasketSpec,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    payoff: "object",
+    row_offset: jax.Array | int = 0,
+) -> jax.Array:
+    """``[rows, cols]`` basket-payoff underliers under log-Euler dynamics.
+
+    ``contract`` is the 6-vector of ``BlackScholesContract.as_array``; asset
+    ``a`` starts at ``spot·spot_multipliers[a]`` with vol
+    ``vol·vol_multipliers[a]``; normals keyed by
+    (contract_key, global row, timestep, asset) then Cholesky-mixed along the
+    asset axis (one MXU contraction per step).
+    """
+    from spectralmc_tpu.ops.gbm import PayoffKind
+
+    a_n = spec.n_assets
+    spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
+    n = jnp.asarray(timesteps, dtype)
+    dt = maturity / n
+    sqrt_dt = jnp.sqrt(dt)
+    weights = jnp.asarray(spec.weights, dtype)  # [A]
+    sigmas = vol * jnp.asarray(spec.vol_multipliers, dtype)  # [A]
+    spots = spot * jnp.asarray(spec.spot_multipliers, dtype)  # [A]
+    chol = jnp.asarray(basket_cholesky(spec), dtype)  # [A, A]
+    drift = (rate - div_yield - 0.5 * sigmas * sigmas) * dt  # [A]
+
+    row_idx = jnp.asarray(row_offset, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
+    row_keys = jax.vmap(lambda r: jax.random.fold_in(contract_key, r))(row_idx)
+
+    def normals(t: jax.Array) -> jax.Array:
+        # [A, rows, cols] iid, keyed (key, row, t, asset)
+        def per_row(k: jax.Array) -> jax.Array:
+            kt = jax.random.fold_in(k, t)
+            return jax.vmap(
+                lambda a: jax.random.normal(jax.random.fold_in(kt, a), (cols,), dtype)
+            )(jnp.arange(a_n, dtype=jnp.uint32))
+
+        return jnp.transpose(jax.vmap(per_row)(row_keys), (1, 0, 2))
+
+    geometric_time = payoff == PayoffKind.ASIAN_GEOMETRIC
+    terminal = payoff == PayoffKind.TERMINAL
+
+    def basket_value(logx: jax.Array) -> jax.Array:
+        # combine along the asset axis -> [rows, cols]
+        if spec.combine == BasketCombine.GEOMETRIC:
+            return jnp.exp(jnp.einsum("a,arc->rc", weights, logx))
+        return jnp.einsum("a,arc->rc", weights, jnp.exp(logx))
+
+    def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+        logx, acc = carry
+        z = jnp.einsum("ab,brc->arc", chol, normals(t))
+        logx = logx + drift[:, None, None] + (sigmas * sqrt_dt)[:, None, None] * z
+        if not terminal:
+            value = basket_value(logx)
+            acc = acc + (jnp.log(value) if geometric_time else value)
+        return (logx, acc), None
+
+    log0 = jnp.zeros((a_n, rows, cols), dtype) + jnp.log(spots)[:, None, None]
+    (logx, acc), _ = jax.lax.scan(
+        body, (log0, jnp.zeros((rows, cols), dtype)), jnp.arange(timesteps)
+    )
+    if terminal:
+        return basket_value(logx)
+    mean = acc / n
+    return jnp.exp(mean) if geometric_time else mean
+
+
+def basket_log_moments(
+    contract: jax.Array, spec: BasketSpec, *, dtype: jnp.dtype
+) -> tuple[jax.Array, jax.Array]:
+    """(μ̄, s̄²): per-unit-time drift and variance of ln(geometric basket).
+
+    ln B_t = Σ wᵢ ln Sᵢ(t) is Gaussian with mean ln G₀ + μ̄·t and variance
+    s̄²·t where μ̄ = (r−q) − Σwᵢσᵢ²/2 and s̄² = wᵀΣw (Σᵢⱼ = σᵢσⱼρᵢⱼ) —
+    exact under log-Euler on the discrete grid.
+    """
+    _, _, _, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
+    w = jnp.asarray(spec.weights, dtype)
+    sig = vol * jnp.asarray(spec.vol_multipliers, dtype)
+    corr = jnp.asarray(spec.correlation, dtype)
+    mu_bar = (rate - div_yield) - 0.5 * jnp.sum(w * sig * sig)
+    cov = corr * sig[:, None] * sig[None, :]
+    s2_bar = w @ cov @ w
+    return mu_bar, s2_bar
+
+
+def basket_g0(contract: jax.Array, spec: BasketSpec, *, dtype: jnp.dtype) -> jax.Array:
+    """Π (S0ᵢ)^{wᵢ} — the geometric basket's initial level."""
+    spot = contract[0].astype(dtype)
+    w = jnp.asarray(spec.weights, dtype)
+    spots = spot * jnp.asarray(spec.spot_multipliers, dtype)
+    return jnp.exp(jnp.sum(w * jnp.log(spots)))
+
+
+def expected_basket_underlier_mean(
+    contract: jax.Array,
+    spec: BasketSpec,
+    *,
+    timesteps: int,
+    payoff: "object",
+    dtype: jnp.dtype,
+) -> jax.Array | None:
+    """Analytic E[underlier] for MEAN normalization, or None if no closed form.
+
+    Arithmetic combine: E[Σ wᵢ Sᵢ(t)] = (Σ wᵢ S0ᵢ)·e^{(r−q)t} — the GBM
+    formulas scaled by the weighted spot (common rate/yield). Its geometric
+    time-average has no closed form (None). Geometric combine: B_t is
+    lognormal, so all three payoff kinds have closed forms (the geometric
+    time-average reuses the Asian (N+1)(2N+1)/(6N) variance).
+    """
+    from spectralmc_tpu.ops.gbm import PayoffKind
+
+    spot, _, maturity, rate, div_yield, _ = (contract[i].astype(dtype) for i in range(6))
+    n = jnp.asarray(timesteps, dtype)
+    dt = maturity / n
+    if spec.combine == BasketCombine.ARITHMETIC:
+        w = jnp.asarray(spec.weights, dtype)
+        s0 = jnp.sum(w * (spot * jnp.asarray(spec.spot_multipliers, dtype)))
+        if payoff == PayoffKind.TERMINAL:
+            return s0 * jnp.exp((rate - div_yield) * maturity)
+        if payoff == PayoffKind.ASIAN_ARITHMETIC:
+            g = jnp.exp((rate - div_yield) * dt)
+            series = jnp.where(jnp.abs(g - 1.0) < 1e-12, n, g * (g**n - 1.0) / (g - 1.0))
+            return s0 * series / n
+        return None  # geometric time-average of an arithmetic basket
+    mu_bar, s2_bar = basket_log_moments(contract, spec, dtype=dtype)
+    g0 = basket_g0(contract, spec, dtype=dtype)
+    if payoff == PayoffKind.TERMINAL:
+        return g0 * jnp.exp((mu_bar + 0.5 * s2_bar) * maturity)
+    if payoff == PayoffKind.ASIAN_ARITHMETIC:
+        g = jnp.exp((mu_bar + 0.5 * s2_bar) * dt)
+        series = jnp.where(jnp.abs(g - 1.0) < 1e-12, n, g * (g**n - 1.0) / (g - 1.0))
+        return g0 * series / n
+    # geometric time-average of the geometric basket: exactly lognormal
+    mu = jnp.log(g0) + mu_bar * dt * (n + 1.0) / 2.0
+    s2 = s2_bar * dt * (n + 1.0) * (2.0 * n + 1.0) / (6.0 * n)
+    return jnp.exp(mu + 0.5 * s2)
+
+
+__all__ = [
+    "BasketCombine",
+    "BasketSpec",
+    "basket_cholesky",
+    "basket_g0",
+    "basket_log_moments",
+    "build_basket_spec",
+    "expected_basket_underlier_mean",
+    "simulate_basket_underlier_rows",
+]

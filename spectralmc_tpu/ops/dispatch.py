@@ -52,6 +52,29 @@ def make_underlier_simulator(
     row_offset shard-stability holds regardless of the branch taken.
     """
     dtype = sim.precision.to_jnp()
+    if sim.model == ModelKind.BASKET_GBM:
+        from spectralmc_tpu.ops.basket import simulate_basket_underlier_rows
+
+        spec = sim.basket
+        assert spec is not None  # enforced by build_simulation_params
+
+        def simulate(
+            key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
+        ) -> jax.Array:
+            return simulate_basket_underlier_rows(
+                key,
+                contract,
+                spec=spec,
+                timesteps=sim.timesteps,
+                rows=rows,
+                cols=sim.network_size,
+                dtype=dtype,
+                payoff=sim.payoff,
+                row_offset=row_offset,
+            )
+
+        return simulate
+
     if sim.model == ModelKind.HESTON:
         if sim.implementation == SimImplementation.PALLAS:
             from spectralmc_tpu.ops.gbm_pallas import (
@@ -108,6 +131,19 @@ def make_mean_target(
 ) -> Callable[[jax.Array], jax.Array | None]:
     """contract -> analytic E[underlier] (None where no closed form exists)."""
     dtype = sim.precision.to_jnp()
+    if sim.model == ModelKind.BASKET_GBM:
+        from spectralmc_tpu.ops.basket import expected_basket_underlier_mean
+
+        spec = sim.basket
+        assert spec is not None
+
+        def basket_mean(contract: jax.Array) -> jax.Array | None:
+            return expected_basket_underlier_mean(
+                contract, spec, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
+            )
+
+        return basket_mean
+
     if sim.model == ModelKind.HESTON:
         from spectralmc_tpu.ops.heston import heston_expected_underlier_mean as _mean
     else:

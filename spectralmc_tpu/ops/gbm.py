@@ -42,6 +42,7 @@ from spectralmc_tpu.core.errors.gbm import (
     InvalidSimulationParams,
     MemoryLimitExceeded,
 )
+from spectralmc_tpu.ops.basket import BasketCombine, BasketSpec
 from spectralmc_tpu.core.precision import Precision
 from spectralmc_tpu.core.result import Failure, Result, Success
 
@@ -81,10 +82,13 @@ class ModelKind(enum.Enum):
     """Which dynamics the MC engine simulates (the model-family axis).
 
     GBM reproduces the reference (its only dynamics); HESTON is the
-    stochastic-volatility extension (ops/heston.py)."""
+    stochastic-volatility extension (ops/heston.py); BASKET_GBM is the
+    multi-asset correlated extension (ops/basket.py, requires
+    ``SimulationParams.basket``)."""
 
     GBM = "gbm"
     HESTON = "heston"
+    BASKET_GBM = "basket_gbm"
 
 
 class SimImplementation(enum.Enum):
@@ -146,6 +150,8 @@ class SimulationParams(BaseModel):
     implementation: SimImplementation = SimImplementation.XLA
     payoff: PayoffKind = PayoffKind.TERMINAL
     model: ModelKind = ModelKind.GBM
+    # static basket structure; required iff model == BASKET_GBM
+    basket: "BasketSpec | None" = None
 
     @property
     def total_paths(self) -> int:
@@ -196,9 +202,34 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                 field="precision", value=params.precision.value, reason=checked.error.reason
             )
         )
+    if params.model == ModelKind.BASKET_GBM:
+        if params.basket is None:
+            return Failure(
+                InvalidSimulationParams(
+                    field="basket", value=None, reason="model='basket_gbm' requires a BasketSpec"
+                )
+            )
+        if params.scheme != PathScheme.LOG_EULER:
+            return Failure(
+                InvalidSimulationParams(
+                    field="scheme",
+                    value=params.scheme.value,
+                    reason="basket dynamics are log-Euler only",
+                )
+            )
+    elif params.basket is not None:
+        return Failure(
+            InvalidSimulationParams(
+                field="basket",
+                value=params.basket,
+                reason=f"model={params.model.value!r} takes no BasketSpec",
+            )
+        )
     if (
         params.normalization == ForwardNormalization.MEAN
-        and not has_closed_form_mean(params.model, params.payoff)
+        and not has_closed_form_mean(
+            params.model, params.payoff, combine=params.basket.combine if params.basket else None
+        )
     ):
         return Failure(
             InvalidSimulationParams(
@@ -211,17 +242,25 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
     return Success(params)
 
 
-def has_closed_form_mean(model: ModelKind, payoff: PayoffKind) -> bool:
+def has_closed_form_mean(
+    model: ModelKind, payoff: PayoffKind, *, combine: BasketCombine | None = None
+) -> bool:
     """Whether analytic E[underlier] exists for this (dynamics, payoff) pair.
 
     A property of the config, not of runtime data: GBM has closed forms for
     all payoff kinds (``expected_underlier_mean``); Heston's discounted spot
     is a martingale so TERMINAL/ASIAN_ARITHMETIC reuse them, but the
     geometric average's mean has no usable closed form
-    (``heston_expected_underlier_mean`` returns None there). Gates MEAN
-    normalization at build time and call-via-parity at predict time.
+    (``heston_expected_underlier_mean`` returns None there). Baskets: the
+    geometric combine is lognormal (all payoffs closed-form); the arithmetic
+    combine loses only its geometric time-average. Gates MEAN normalization
+    at build time and call-via-parity at predict time.
     """
-    return not (model == ModelKind.HESTON and payoff == PayoffKind.ASIAN_GEOMETRIC)
+    if model == ModelKind.HESTON:
+        return payoff != PayoffKind.ASIAN_GEOMETRIC
+    if model == ModelKind.BASKET_GBM and combine == BasketCombine.ARITHMETIC:
+        return payoff != PayoffKind.ASIAN_GEOMETRIC
+    return True
 
 
 def resolve_implementation(params: SimulationParams, *, rows: int | None = None) -> SimImplementation:
@@ -237,6 +276,11 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
     """
     if params.implementation != SimImplementation.PALLAS:
         return params.implementation
+    if params.model == ModelKind.BASKET_GBM:
+        # no basket Pallas kernel (the asset-mixing contraction already rides
+        # the MXU on the XLA path); requesting PALLAS resolves to XLA loudly
+        # through the same recording machinery as shape/backend fallbacks
+        return SimImplementation.XLA
     from spectralmc_tpu.ops.gbm_pallas import pallas_supported
 
     effective_rows = params.batches_per_mc_run if rows is None else rows
@@ -540,8 +584,8 @@ class BlackScholes:
         if params.model != ModelKind.GBM:
             raise ValueError(
                 f"BlackScholes simulates GBM only; params.model={params.model.value!r}. "
-                "Heston pricing goes through ops/heston.py simulators or the trainer "
-                "(training/step.py dispatches on ModelKind)."
+                "Heston/basket pricing goes through ops/heston.py / ops/basket.py "
+                "simulators or the trainer (ops/dispatch.py selects on ModelKind)."
             )
         self._params = params
         self._key = jax.random.PRNGKey(params.mc_seed)

@@ -150,8 +150,46 @@ def tensor_map_from_proto(
 # --------------------------------------------------------------------------
 
 
+def basket_spec_to_proto(spec: "object") -> simulation_pb2.BasketSpecProto:
+    n = len(spec.weights)
+    flat_corr = [spec.correlation[i][j] for i in range(n) for j in range(n)]
+    return simulation_pb2.BasketSpecProto(
+        weights=list(spec.weights),
+        spot_multipliers=list(spec.spot_multipliers),
+        vol_multipliers=list(spec.vol_multipliers),
+        correlation=flat_corr,
+        combine=spec.combine.value,
+    )
+
+
+def basket_spec_from_proto(
+    proto: simulation_pb2.BasketSpecProto,
+) -> Result["object", SerializationError]:
+    from spectralmc_tpu.ops.basket import build_basket_spec
+
+    n = len(proto.weights)
+    if len(proto.correlation) != n * n:
+        return Failure(
+            DecodeError(
+                what="basket.correlation",
+                reason=f"expected {n * n} row-major entries, got {len(proto.correlation)}",
+            )
+        )
+    corr = tuple(tuple(proto.correlation[i * n + j] for j in range(n)) for i in range(n))
+    built = build_basket_spec(
+        weights=tuple(proto.weights),
+        correlation=corr,
+        spot_multipliers=tuple(proto.spot_multipliers) or None,
+        vol_multipliers=tuple(proto.vol_multipliers) or None,
+        combine=proto.combine or "arithmetic",
+    )
+    if isinstance(built, Failure):
+        return Failure(DecodeError(what="basket", reason=repr(built.error)))
+    return Success(built.value)
+
+
 def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParamsProto:
-    return simulation_pb2.SimulationParamsProto(
+    proto = simulation_pb2.SimulationParamsProto(
         timesteps=sim.timesteps,
         network_size=sim.network_size,
         batches_per_mc_run=sim.batches_per_mc_run,
@@ -164,11 +202,20 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         payoff=sim.payoff.value,
         model=sim.model.value,
     )
+    if sim.basket is not None:
+        proto.basket.CopyFrom(basket_spec_to_proto(sim.basket))
+    return proto
 
 
 def sim_params_from_proto(
     proto: simulation_pb2.SimulationParamsProto,
 ) -> Result[SimulationParams, SerializationError]:
+    basket = None
+    if proto.HasField("basket"):
+        decoded = basket_spec_from_proto(proto.basket)
+        if isinstance(decoded, Failure):
+            return Failure(decoded.error)
+        basket = decoded.value
     try:
         return Success(
             SimulationParams(
@@ -183,6 +230,7 @@ def sim_params_from_proto(
                 implementation=SimImplementation(proto.implementation or "xla"),
                 payoff=PayoffKind(proto.payoff or "terminal"),
                 model=ModelKind(proto.model or "gbm"),
+                basket=basket,
             )
         )
     except (KeyError, ValueError) as exc:

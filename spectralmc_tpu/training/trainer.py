@@ -925,7 +925,11 @@ class GbmCVNNPricer:
         if cached is not None:
             return cached
         model = self._model
-        parity = has_closed_form_mean(self._sim.model, self._sim.payoff)
+        parity = has_closed_form_mean(
+            self._sim.model,
+            self._sim.payoff,
+            combine=self._sim.basket.combine if self._sim.basket else None,
+        )
         from spectralmc_tpu.training.step import make_input_normalizer, make_mean_target
 
         mean_target = make_mean_target(self._sim) if parity else None
@@ -976,7 +980,11 @@ class GbmCVNNPricer:
         # (Heston geometric average) the call has no parity route — NaN +
         # warning rather than a silently wrong forward-parity number.
         put_np = np.asarray(put)
-        if not has_closed_form_mean(self._sim.model, self._sim.payoff):
+        if not has_closed_form_mean(
+            self._sim.model,
+            self._sim.payoff,
+            combine=self._sim.basket.combine if self._sim.basket else None,
+        ):
             import logging
 
             logging.getLogger(__name__).warning(
@@ -1005,7 +1013,11 @@ class GbmCVNNPricer:
         if cached is not None:
             return cached
         model = self._model
-        parity = has_closed_form_mean(self._sim.model, self._sim.payoff)
+        parity = has_closed_form_mean(
+            self._sim.model,
+            self._sim.payoff,
+            combine=self._sim.basket.combine if self._sim.basket else None,
+        )
         from spectralmc_tpu.training.step import make_input_normalizer, make_mean_target
 
         mean_target = make_mean_target(self._sim) if parity else None
@@ -1064,7 +1076,11 @@ class GbmCVNNPricer:
         """
         dtype = self._sim.precision.to_jnp()
         arr = jnp.stack([c.as_array(dtype) for c in contracts])
-        if not has_closed_form_mean(self._sim.model, self._sim.payoff):
+        if not has_closed_form_mean(
+            self._sim.model,
+            self._sim.payoff,
+            combine=self._sim.basket.combine if self._sim.basket else None,
+        ):
             import logging
 
             logging.getLogger(__name__).warning(

@@ -144,7 +144,7 @@ def basket_cholesky(spec: BasketSpec) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "timesteps", "rows", "cols", "dtype", "payoff"),
+    static_argnames=("spec", "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel"),
 )
 def simulate_basket_underlier_rows(
     contract_key: jax.Array,
@@ -157,6 +157,7 @@ def simulate_basket_underlier_rows(
     dtype: jnp.dtype,
     payoff: "object",
     row_offset: jax.Array | int = 0,
+    barrier_rel: float | None = None,
 ) -> jax.Array:
     """``[rows, cols]`` basket-payoff underliers under log-Euler dynamics.
 
@@ -192,8 +193,13 @@ def simulate_basket_underlier_rows(
 
         return jnp.transpose(jax.vmap(per_row)(row_keys), (1, 0, 2))
 
+    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
+
     geometric_time = payoff == PayoffKind.ASIAN_GEOMETRIC
     terminal = payoff == PayoffKind.TERMINAL
+    barrier = payoff in BARRIER_PAYOFFS
+    up = payoff == PayoffKind.BARRIER_UP_OUT
+    extreme_fn = jnp.maximum if up else jnp.minimum
 
     def basket_value(logx: jax.Array) -> jax.Array:
         # combine along the asset axis -> [rows, cols]
@@ -205,15 +211,23 @@ def simulate_basket_underlier_rows(
         logx, acc = carry
         z = jnp.einsum("ab,brc->arc", chol, normals(t))
         logx = logx + drift[:, None, None] + (sigmas * sqrt_dt)[:, None, None] * z
-        if not terminal:
+        if barrier:
+            # knockout monitors the BASKET value (standard basket-barrier)
+            acc = extreme_fn(acc, basket_value(logx))
+        elif not terminal:
             value = basket_value(logx)
             acc = acc + (jnp.log(value) if geometric_time else value)
         return (logx, acc), None
 
     log0 = jnp.zeros((a_n, rows, cols), dtype) + jnp.log(spots)[:, None, None]
-    (logx, acc), _ = jax.lax.scan(
-        body, (log0, jnp.zeros((rows, cols), dtype)), jnp.arange(timesteps)
-    )
+    acc0 = basket_value(log0) if barrier else jnp.zeros((rows, cols), dtype)
+    (logx, acc), _ = jax.lax.scan(body, (log0, acc0), jnp.arange(timesteps))
+    if barrier:
+        assert barrier_rel is not None
+        strike = contract[1].astype(dtype)
+        level = basket_value(log0)[0, 0] * jnp.asarray(barrier_rel, dtype)
+        knocked = acc >= level if up else acc <= level
+        return jnp.where(knocked, strike, basket_value(logx))
     if terminal:
         return basket_value(logx)
     mean = acc / n
@@ -263,8 +277,10 @@ def expected_basket_underlier_mean(
     lognormal, so all three payoff kinds have closed forms (the geometric
     time-average reuses the Asian (N+1)(2N+1)/(6N) variance).
     """
-    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS, PayoffKind
 
+    if payoff in BARRIER_PAYOFFS:
+        return None
     spot, _, maturity, rate, div_yield, _ = (contract[i].astype(dtype) for i in range(6))
     n = jnp.asarray(timesteps, dtype)
     dt = maturity / n

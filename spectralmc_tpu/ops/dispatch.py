@@ -71,6 +71,7 @@ def make_underlier_simulator(
                 dtype=dtype,
                 payoff=sim.payoff,
                 row_offset=row_offset,
+                barrier_rel=sim.barrier_rel,
             )
 
         return simulate
@@ -97,6 +98,7 @@ def make_underlier_simulator(
                 dtype=dtype,
                 payoff=sim.payoff,
                 row_offset=row_offset,
+                barrier_rel=sim.barrier_rel,
             )
 
         return simulate
@@ -121,6 +123,7 @@ def make_underlier_simulator(
             scheme=sim.scheme,
             payoff=sim.payoff,
             row_offset=row_offset,
+            barrier_rel=sim.barrier_rel,
         )
 
     return simulate

@@ -71,11 +71,28 @@ class PayoffKind(enum.Enum):
     for. ASIAN_GEOMETRIC has a closed form under the log-Euler scheme
     (ops/analytic.py::geometric_asian_price) and anchors the statistical
     gates; ASIAN_ARITHMETIC is the practically-traded variant.
+
+    The BARRIER kinds are knockouts monitored on the same discrete grid:
+    the path (the basket value, for baskets) crossing
+    ``barrier_rel × spot`` at any t_i kills the payoff. Knocked paths emit
+    underlier = strike, which zeroes BOTH vanilla payoffs in
+    ``terminal_to_prices`` — so the same payoff pipeline prices knockouts
+    (knock-ins follow by parity: in = vanilla − out). The oracle is
+    ``ops/analytic.py::discrete_barrier_price`` — backward induction with
+    exact per-step lognormal transitions, so it shares the simulator's
+    discrete monitoring (no continuity-correction slop). No closed-form
+    E[underlier]: MEAN normalization and call-via-parity are gated off
+    (barrier options have no put-call parity anyway).
     """
 
     TERMINAL = "terminal"
     ASIAN_ARITHMETIC = "asian_arithmetic"
     ASIAN_GEOMETRIC = "asian_geometric"
+    BARRIER_UP_OUT = "barrier_up_out"
+    BARRIER_DOWN_OUT = "barrier_down_out"
+
+
+BARRIER_PAYOFFS = frozenset({PayoffKind.BARRIER_UP_OUT, PayoffKind.BARRIER_DOWN_OUT})
 
 
 class ModelKind(enum.Enum):
@@ -152,6 +169,9 @@ class SimulationParams(BaseModel):
     model: ModelKind = ModelKind.GBM
     # static basket structure; required iff model == BASKET_GBM
     basket: "BasketSpec | None" = None
+    # knockout level as a multiple of spot; required iff payoff is a BARRIER
+    # kind (>1 for UP_OUT, in (0,1) for DOWN_OUT)
+    barrier_rel: float | None = None
 
     @property
     def total_paths(self) -> int:
@@ -225,6 +245,41 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                 reason=f"model={params.model.value!r} takes no BasketSpec",
             )
         )
+    if params.payoff in BARRIER_PAYOFFS:
+        if params.barrier_rel is None:
+            return Failure(
+                InvalidSimulationParams(
+                    field="barrier_rel",
+                    value=None,
+                    reason=f"payoff={params.payoff.value!r} requires barrier_rel",
+                )
+            )
+        if params.payoff == PayoffKind.BARRIER_UP_OUT and params.barrier_rel <= 1.0:
+            return Failure(
+                InvalidSimulationParams(
+                    field="barrier_rel",
+                    value=params.barrier_rel,
+                    reason="up-and-out barrier must be > 1x spot",
+                )
+            )
+        if params.payoff == PayoffKind.BARRIER_DOWN_OUT and not (
+            0.0 < params.barrier_rel < 1.0
+        ):
+            return Failure(
+                InvalidSimulationParams(
+                    field="barrier_rel",
+                    value=params.barrier_rel,
+                    reason="down-and-out barrier must be in (0, 1)x spot",
+                )
+            )
+    elif params.barrier_rel is not None:
+        return Failure(
+            InvalidSimulationParams(
+                field="barrier_rel",
+                value=params.barrier_rel,
+                reason=f"payoff={params.payoff.value!r} takes no barrier",
+            )
+        )
     if (
         params.normalization == ForwardNormalization.MEAN
         and not has_closed_form_mean(
@@ -256,6 +311,10 @@ def has_closed_form_mean(
     combine loses only its geometric time-average. Gates MEAN normalization
     at build time and call-via-parity at predict time.
     """
+    if payoff in BARRIER_PAYOFFS:
+        # the knocked-out underlier's mean has no closed form for any model,
+        # and barrier options have no put-call parity regardless
+        return False
     if model == ModelKind.HESTON:
         return payoff != PayoffKind.ASIAN_GEOMETRIC
     if model == ModelKind.BASKET_GBM and combine == BasketCombine.ARITHMETIC:
@@ -354,7 +413,7 @@ def simulate_terminal_rows(
 
 @partial(
     jax.jit,
-    static_argnames=("timesteps", "rows", "cols", "dtype", "scheme", "payoff"),
+    static_argnames=("timesteps", "rows", "cols", "dtype", "scheme", "payoff", "barrier_rel"),
 )
 def simulate_underlier_rows(
     contract_key: jax.Array,
@@ -367,12 +426,15 @@ def simulate_underlier_rows(
     scheme: PathScheme,
     payoff: PayoffKind,
     row_offset: jax.Array | int = 0,
+    barrier_rel: float | None = None,
 ) -> jax.Array:
-    """``[rows, cols]`` payoff underliers: terminal value or path average.
+    """``[rows, cols]`` payoff underliers: terminal value, path average, or
+    knockout-masked terminal (barrier kinds emit strike on knocked paths so
+    both vanilla payoffs zero out — see ``PayoffKind``).
 
     Uses the exact bit stream of ``simulate_terminal_rows`` — normals keyed
     by (contract_key, global row, timestep) — so TERMINAL is identical to it
-    and the Asian kinds are shard-stable the same way.
+    and the path-dependent kinds are shard-stable the same way.
     """
     if payoff == PayoffKind.TERMINAL:
         return simulate_terminal_rows(
@@ -397,6 +459,35 @@ def simulate_underlier_rows(
         return jax.vmap(
             lambda k: jax.random.normal(jax.random.fold_in(k, t), (cols,), dtype)
         )(row_keys)
+
+    if payoff in BARRIER_PAYOFFS:
+        assert barrier_rel is not None  # enforced by build_simulation_params
+        strike = contract[1].astype(dtype)
+        up = payoff == PayoffKind.BARRIER_UP_OUT
+        extreme_fn = jnp.maximum if up else jnp.minimum
+        if scheme == PathScheme.LOG_EULER:
+            level = jnp.log(spot * jnp.asarray(barrier_rel, dtype))
+
+            def body_b(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+                logx, ext = carry
+                logx = logx + drift + vol * sqrt_dt * normals(t)
+                return (logx, extreme_fn(ext, logx)), None
+
+            log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
+            (logx, ext), _ = jax.lax.scan(body_b, (log0, log0), jnp.arange(timesteps))
+            terminal = jnp.exp(logx)
+        else:
+            level = spot * jnp.asarray(barrier_rel, dtype)
+
+            def body_be(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+                x, ext = carry
+                x = jnp.abs(x * (1.0 + (rate - div_yield) * dt + vol * sqrt_dt * normals(t)))
+                return (x, extreme_fn(ext, x)), None
+
+            x0 = jnp.full((rows, cols), 1.0, dtype) * spot
+            (terminal, ext), _ = jax.lax.scan(body_be, (x0, x0), jnp.arange(timesteps))
+        knocked = ext >= level if up else ext <= level
+        return jnp.where(knocked, strike, terminal)
 
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     if scheme == PathScheme.LOG_EULER:
@@ -429,13 +520,16 @@ def simulate_underlier_rows(
 
 def expected_underlier_mean(
     contract: jax.Array, *, timesteps: int, payoff: PayoffKind, dtype: jnp.dtype
-) -> jax.Array:
+) -> jax.Array | None:
     """Analytic E[underlier] under the log-Euler discretization.
 
     The forward-normalization target (reference gbm.py:433-440 uses the
     terminal forward; the Asian kinds need the mean of their own average).
     Exact for LOG_EULER; for EULER it is the continuous-limit approximation.
+    None for barrier kinds (the knocked-out mean has no closed form).
     """
+    if payoff in BARRIER_PAYOFFS:
+        return None
     spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
     n = jnp.asarray(timesteps, dtype)
     dt = maturity / n
@@ -618,6 +712,7 @@ class BlackScholes:
             dtype=p.precision.to_jnp(),
             scheme=p.scheme,
             payoff=p.payoff,
+            barrier_rel=p.barrier_rel,
         ).reshape(p.batches_per_mc_run * p.network_size)
 
     def price(self, contract: BlackScholesContract) -> tuple[SimPrices, "BlackScholes"]:

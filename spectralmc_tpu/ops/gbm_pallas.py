@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spectralmc_tpu.ops.gbm import PathScheme, PayoffKind
+from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS, PathScheme, PayoffKind
 
 # Block shape: (8, 128) is the fp32 min tile; (256, 256) keeps a 256 KiB state
 # block resident in VMEM with room for the two random-bit buffers.
@@ -198,6 +198,7 @@ def _gbm_block_kernel(
     payoff: PayoffKind,
     rows_per_block: int,
     cols_per_block: int,
+    barrier_rel: float | None = None,
 ) -> None:
     # Global row-block index: a mesh shard owning rows [k, k+n) passes
     # row_block_offset = k // block_rows, so its blocks draw the same streams
@@ -255,9 +256,26 @@ def _gbm_block_kernel(
             if timesteps % 2:
                 logx = step_single(logx)
             out_ref[:, :] = jnp.exp(logx)
+        elif payoff in BARRIER_PAYOFFS:
+            # knockout: track the path's running log-extreme in VMEM, mask
+            # knocked paths to strike (zeroes both vanilla payoffs)
+            up = payoff == PayoffKind.BARRIER_UP_OUT
+            extreme_fn = jnp.maximum if up else jnp.minimum
+            level = jnp.log(spot * jnp.float32(barrier_rel))
+
+            def step_barrier(
+                carry: tuple[jax.Array, jax.Array]
+            ) -> tuple[jax.Array, jax.Array]:
+                logx, ext = carry
+                logx = step_single(logx)
+                return (logx, extreme_fn(ext, logx))
+
+            logx, ext = _fori_unrolled(timesteps, step_barrier, (log0, log0))
+            knocked = ext >= level if up else ext <= level
+            out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
         else:
-            # Path-dependent: every intermediate state feeds the running
-            # average, so the pair-step shortcut does not apply.
+            # Path-dependent average: every intermediate state feeds the
+            # running sum, so the pair-step shortcut does not apply.
             geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
 
             def step_acc(
@@ -281,6 +299,21 @@ def _gbm_block_kernel(
         x0 = jnp.full(shape, 1.0, jnp.float32) * spot
         if payoff == PayoffKind.TERMINAL:
             out_ref[:, :] = _fori_unrolled(timesteps, step_euler, x0)
+        elif payoff in BARRIER_PAYOFFS:
+            up = payoff == PayoffKind.BARRIER_UP_OUT
+            extreme_fn = jnp.maximum if up else jnp.minimum
+            level = spot * jnp.float32(barrier_rel)
+
+            def step_euler_barrier(
+                carry: tuple[jax.Array, jax.Array]
+            ) -> tuple[jax.Array, jax.Array]:
+                x, ext = carry
+                x = step_euler(x)
+                return (x, extreme_fn(ext, x))
+
+            x, ext = _fori_unrolled(timesteps, step_euler_barrier, (x0, x0))
+            knocked = ext >= level if up else ext <= level
+            out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], x)
         else:
             geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
 
@@ -300,7 +333,9 @@ def _gbm_block_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("timesteps", "rows", "cols", "scheme", "payoff", "interpret"),
+    static_argnames=(
+        "timesteps", "rows", "cols", "scheme", "payoff", "barrier_rel", "interpret"
+    ),
 )
 def _simulate_rows_pallas_f32(
     contract_key: jax.Array,
@@ -311,6 +346,7 @@ def _simulate_rows_pallas_f32(
     cols: int,
     scheme: PathScheme,
     payoff: PayoffKind = PayoffKind.TERMINAL,
+    barrier_rel: float | None = None,
     row_offset: jax.Array | int = 0,
     interpret: bool = False,
 ) -> jax.Array:
@@ -336,6 +372,7 @@ def _simulate_rows_pallas_f32(
         payoff=payoff,
         rows_per_block=block_rows,
         cols_per_block=block_cols,
+        barrier_rel=barrier_rel,
     )
     grid = (rows // block_rows, cols // block_cols)
     return pl.pallas_call(
@@ -441,15 +478,18 @@ def simulate_underlier_rows_pallas(
     scheme: PathScheme,
     payoff: PayoffKind,
     row_offset: jax.Array | int = 0,
+    barrier_rel: float | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Payoff underliers (terminal or path average) via the fused kernel.
+    """Payoff underliers (terminal, path average, or knockout-masked
+    terminal) via the fused kernel.
 
     Terminal payoffs route through ``simulate_terminal_rows_pallas``; Asian
-    kinds accumulate the running average in VMEM (one extra [rows, cols]
-    accumulator, one normal per timestep — the pair-step shortcut needs
-    increments only and does not apply). Falls back to the XLA
-    ``simulate_underlier_rows`` off-TPU or for unsupported shapes/dtypes.
+    kinds accumulate the running average and barrier kinds the running
+    extreme in VMEM (one extra [rows, cols] block, one normal per timestep —
+    the pair-step shortcut needs increments only and does not apply). Falls
+    back to the XLA ``simulate_underlier_rows`` off-TPU or for unsupported
+    shapes/dtypes.
     """
     if payoff == PayoffKind.TERMINAL:
         return simulate_terminal_rows_pallas(
@@ -482,6 +522,7 @@ def simulate_underlier_rows_pallas(
             scheme=scheme,
             payoff=payoff,
             row_offset=row_offset,
+            barrier_rel=barrier_rel,
         )
     return _simulate_rows_pallas_f32(
         contract_key,
@@ -491,6 +532,7 @@ def simulate_underlier_rows_pallas(
         cols=cols,
         scheme=scheme,
         payoff=payoff,
+        barrier_rel=barrier_rel,
         row_offset=row_offset,
         interpret=interpret,
     )
@@ -510,6 +552,7 @@ def _heston_block_kernel(
     payoff: PayoffKind,
     rows_per_block: int,
     cols_per_block: int,
+    barrier_rel: float | None = None,
 ) -> None:
     i = pl.program_id(0) + seeds_ref[0, 2]
     j = pl.program_id(1)
@@ -541,6 +584,9 @@ def _heston_block_kernel(
     shape = (rows_per_block, cols_per_block)
 
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
+    barrier = payoff in BARRIER_PAYOFFS
+    up = payoff == PayoffKind.BARRIER_UP_OUT
+    extreme_fn = jnp.maximum if up else jnp.minimum
     inv_n = jnp.float32(1.0 / timesteps)
 
     def step(
@@ -562,16 +608,22 @@ def _heston_block_kernel(
         sqrt_v_sdt = jnp.sqrt(v_plus * dt)
         logx = logx + rq_dt - jnp.float32(0.5) * v_plus * dt + sqrt_v_sdt * z_s
         v = v + ktheta_dt - kdt * v_plus + xi * sqrt_v_sdt * z_v
-        if payoff != PayoffKind.TERMINAL:
+        if barrier:
+            acc = extreme_fn(acc, logx)
+        elif payoff != PayoffKind.TERMINAL:
             acc = acc + (logx if geometric else jnp.exp(logx))
         return (logx, v, acc)
 
     log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
     vinit = jnp.full(shape, 1.0, jnp.float32) * v0
     logx, _, acc = _fori_unrolled(
-        timesteps, step, (log0, vinit, jnp.zeros(shape, jnp.float32))
+        timesteps, step, (log0, vinit, log0 if barrier else jnp.zeros(shape, jnp.float32))
     )
-    if payoff == PayoffKind.TERMINAL:
+    if barrier:
+        level = jnp.log(spot * jnp.float32(barrier_rel))
+        knocked = acc >= level if up else acc <= level
+        out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
+    elif payoff == PayoffKind.TERMINAL:
         out_ref[:, :] = jnp.exp(logx)
     elif geometric:
         out_ref[:, :] = jnp.exp(acc * inv_n)
@@ -580,7 +632,8 @@ def _heston_block_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("timesteps", "rows", "cols", "payoff", "interpret")
+    jax.jit,
+    static_argnames=("timesteps", "rows", "cols", "payoff", "barrier_rel", "interpret"),
 )
 def _simulate_heston_rows_pallas_f32(
     contract_key: jax.Array,
@@ -590,6 +643,7 @@ def _simulate_heston_rows_pallas_f32(
     rows: int,
     cols: int,
     payoff: PayoffKind,
+    barrier_rel: float | None = None,
     row_offset: jax.Array | int = 0,
     interpret: bool = False,
 ) -> jax.Array:
@@ -609,6 +663,7 @@ def _simulate_heston_rows_pallas_f32(
         payoff=payoff,
         rows_per_block=block_rows,
         cols_per_block=block_cols,
+        barrier_rel=barrier_rel,
     )
     grid = (rows // block_rows, cols // block_cols)
     return pl.pallas_call(
@@ -643,6 +698,7 @@ def simulate_heston_underlier_rows_pallas(
     dtype: jnp.dtype,
     payoff: PayoffKind,
     row_offset: jax.Array | int = 0,
+    barrier_rel: float | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused Heston kernel; falls back to the XLA scan when unsupported."""
@@ -664,6 +720,7 @@ def simulate_heston_underlier_rows_pallas(
             dtype=dtype,
             payoff=payoff,
             row_offset=row_offset,
+            barrier_rel=barrier_rel,
         )
     return _simulate_heston_rows_pallas_f32(
         contract_key,
@@ -672,6 +729,7 @@ def simulate_heston_underlier_rows_pallas(
         rows=rows,
         cols=cols,
         payoff=payoff,
+        barrier_rel=barrier_rel,
         row_offset=row_offset,
         interpret=interpret,
     )

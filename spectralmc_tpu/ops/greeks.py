@@ -110,7 +110,17 @@ def make_mc_price_fn(
     docstring) while preserving the (contract_key, row, timestep) stream.
     """
     from spectralmc_tpu.ops.dispatch import make_mean_target, make_underlier_simulator
+    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
 
+    if sim.payoff in BARRIER_PAYOFFS:
+        # IPA differentiates through the knockout indicator, whose pathwise
+        # derivative is zero a.e. — the estimator would silently drop the
+        # barrier's delta contribution. Refuse rather than mislead.
+        raise ValueError(
+            "pathwise (IPA) Greeks are invalid for knockout payoffs; "
+            "bump-and-reprice the MC price or differentiate the learned "
+            "pricer (predict_greeks) instead"
+        )
     xla_sim = sim.model_copy(update={"implementation": SimImplementation.XLA})
     dtype = xla_sim.precision.to_jnp()
     base_key = jax.random.PRNGKey(xla_sim.mc_seed)

@@ -89,7 +89,7 @@ def validate_heston_contract(c: HestonContract) -> Result[HestonContract, GBMErr
 
 @partial(
     jax.jit,
-    static_argnames=("timesteps", "rows", "cols", "dtype", "payoff"),
+    static_argnames=("timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel"),
 )
 def simulate_heston_underlier_rows(
     contract_key: jax.Array,
@@ -101,12 +101,15 @@ def simulate_heston_underlier_rows(
     dtype: jnp.dtype,
     payoff: PayoffKind,
     row_offset: jax.Array | int = 0,
+    barrier_rel: float | None = None,
 ) -> jax.Array:
     """``[rows, cols]`` payoff underliers under full-truncation Euler Heston.
 
     ``contract`` is the 10-vector of ``HestonContract.as_array``. Normals are
     keyed by (contract_key, global row, timestep, component) — component 0
-    drives the variance, 1 the orthogonal part of the spot.
+    drives the variance, 1 the orthogonal part of the spot. Barrier kinds
+    knock on the discrete spot grid and emit strike on knocked paths
+    (the shared masked-underlier convention, ops/gbm.py::PayoffKind).
     """
     (spot, _, maturity, rate, div_yield, v0, kappa, theta, xi, rho) = (
         contract[i].astype(dtype) for i in range(10)
@@ -126,7 +129,12 @@ def simulate_heston_underlier_rows(
             )
         )(row_keys)
 
+    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
+
+    barrier = payoff in BARRIER_PAYOFFS
+    up = payoff == PayoffKind.BARRIER_UP_OUT
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
+    extreme_fn = jnp.maximum if up else jnp.minimum
 
     def body(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
         logx, v, acc = carry
@@ -136,7 +144,9 @@ def simulate_heston_underlier_rows(
         z_s = rho * z_v + rho_bar * normals(t, 1)
         logx = logx + (rate - div_yield - 0.5 * v_plus) * dt + sqrt_v * sqrt_dt * z_s
         v = v + kappa * (theta - v_plus) * dt + xi * sqrt_v * sqrt_dt * z_v
-        if payoff != PayoffKind.TERMINAL:
+        if barrier:
+            acc = extreme_fn(acc, logx)
+        elif payoff != PayoffKind.TERMINAL:
             acc = acc + (logx if geometric else jnp.exp(logx))
         return (logx, v, acc), None
 
@@ -144,8 +154,15 @@ def simulate_heston_underlier_rows(
     log0 = jnp.full(shape, 0.0, dtype) + jnp.log(spot)
     vinit = jnp.full(shape, 1.0, dtype) * v0
     (logx, _, acc), _ = jax.lax.scan(
-        body, (log0, vinit, jnp.zeros(shape, dtype)), jnp.arange(timesteps)
+        body, (log0, vinit, log0 if barrier else jnp.zeros(shape, dtype)),
+        jnp.arange(timesteps),
     )
+    if barrier:
+        assert barrier_rel is not None
+        strike = contract[1].astype(dtype)
+        level = jnp.log(spot * jnp.asarray(barrier_rel, dtype))
+        knocked = acc >= level if up else acc <= level
+        return jnp.where(knocked, strike, jnp.exp(logx))
     if payoff == PayoffKind.TERMINAL:
         return jnp.exp(logx)
     mean = acc / n

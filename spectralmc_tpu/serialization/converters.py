@@ -201,6 +201,7 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         implementation=sim.implementation.value,
         payoff=sim.payoff.value,
         model=sim.model.value,
+        barrier_rel=sim.barrier_rel or 0.0,  # 0 encodes absent (invalid as a level)
     )
     if sim.basket is not None:
         proto.basket.CopyFrom(basket_spec_to_proto(sim.basket))
@@ -231,6 +232,7 @@ def sim_params_from_proto(
                 payoff=PayoffKind(proto.payoff or "terminal"),
                 model=ModelKind(proto.model or "gbm"),
                 basket=basket,
+                barrier_rel=proto.barrier_rel if proto.barrier_rel > 0.0 else None,
             )
         )
     except (KeyError, ValueError) as exc:

@@ -179,6 +179,7 @@ class MonteCarloInterpreter:
                 dtype=dtype,
                 scheme=scheme,
                 payoff=payoff,
+                antithetic_half=effect.batches // 2 if effect.antithetic else None,
             )
             prices = terminal_to_prices(
                 rows.reshape(-1),

@@ -103,6 +103,7 @@ class SimulatePaths:
     payoff: str = "terminal"  # PayoffKind value
     model: str = "gbm"  # ModelKind value
     precision: str = "float32"  # Precision value
+    antithetic: bool = False  # second half of rows mirrors the first's normals
     out_id: str = ""
 
 

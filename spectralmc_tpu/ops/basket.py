@@ -144,7 +144,10 @@ def basket_cholesky(spec: BasketSpec) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel"),
+    static_argnames=(
+        "spec", "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
+        "antithetic_half",
+    ),
 )
 def simulate_basket_underlier_rows(
     contract_key: jax.Array,
@@ -158,6 +161,7 @@ def simulate_basket_underlier_rows(
     payoff: "object",
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
+    antithetic_half: int | None = None,
 ) -> jax.Array:
     """``[rows, cols]`` basket-payoff underliers under log-Euler dynamics.
 
@@ -180,18 +184,27 @@ def simulate_basket_underlier_rows(
     chol = jnp.asarray(basket_cholesky(spec), dtype)  # [A, A]
     drift = (rate - div_yield - 0.5 * sigmas * sigmas) * dt  # [A]
 
-    row_idx = jnp.asarray(row_offset, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
-    row_keys = jax.vmap(lambda r: jax.random.fold_in(contract_key, r))(row_idx)
+    from spectralmc_tpu.ops.gbm import _row_streams
+
+    row_keys, sign = _row_streams(
+        contract_key,
+        rows=rows,
+        row_offset=row_offset,
+        antithetic_half=antithetic_half,
+        dtype=dtype,
+    )
 
     def normals(t: jax.Array) -> jax.Array:
-        # [A, rows, cols] iid, keyed (key, row, t, asset)
+        # [A, rows, cols] iid, keyed (key, row, t, asset); antithetic flips
+        # the whole A-dimensional Gaussian (valid pair, correlation intact)
         def per_row(k: jax.Array) -> jax.Array:
             kt = jax.random.fold_in(k, t)
             return jax.vmap(
                 lambda a: jax.random.normal(jax.random.fold_in(kt, a), (cols,), dtype)
             )(jnp.arange(a_n, dtype=jnp.uint32))
 
-        return jnp.transpose(jax.vmap(per_row)(row_keys), (1, 0, 2))
+        z = jnp.transpose(jax.vmap(per_row)(row_keys), (1, 0, 2))
+        return z if sign is None else sign[None, :, :] * z
 
     from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
 

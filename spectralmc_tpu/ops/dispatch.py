@@ -52,6 +52,9 @@ def make_underlier_simulator(
     row_offset shard-stability holds regardless of the branch taken.
     """
     dtype = sim.precision.to_jnp()
+    # global pairing half-count: a shard passes its rows + row_offset, but the
+    # antithetic partner is defined on GLOBAL row indices (gbm._row_streams)
+    anti_half = sim.batches_per_mc_run // 2 if sim.antithetic else None
     if sim.model == ModelKind.BASKET_GBM:
         from spectralmc_tpu.ops.basket import simulate_basket_underlier_rows
 
@@ -72,6 +75,7 @@ def make_underlier_simulator(
                 payoff=sim.payoff,
                 row_offset=row_offset,
                 barrier_rel=sim.barrier_rel,
+                antithetic_half=anti_half,
             )
 
         return simulate
@@ -99,6 +103,7 @@ def make_underlier_simulator(
                 payoff=sim.payoff,
                 row_offset=row_offset,
                 barrier_rel=sim.barrier_rel,
+                antithetic_half=anti_half,
             )
 
         return simulate
@@ -124,6 +129,7 @@ def make_underlier_simulator(
             payoff=sim.payoff,
             row_offset=row_offset,
             barrier_rel=sim.barrier_rel,
+            antithetic_half=anti_half,
         )
 
     return simulate
@@ -134,6 +140,9 @@ def make_mean_target(
 ) -> Callable[[jax.Array], jax.Array | None]:
     """contract -> analytic E[underlier] (None where no closed form exists)."""
     dtype = sim.precision.to_jnp()
+    # global pairing half-count: a shard passes its rows + row_offset, but the
+    # antithetic partner is defined on GLOBAL row indices (gbm._row_streams)
+    anti_half = sim.batches_per_mc_run // 2 if sim.antithetic else None
     if sim.model == ModelKind.BASKET_GBM:
         from spectralmc_tpu.ops.basket import expected_basket_underlier_mean
 

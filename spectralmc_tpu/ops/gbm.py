@@ -172,6 +172,11 @@ class SimulationParams(BaseModel):
     # knockout level as a multiple of spot; required iff payoff is a BARRIER
     # kind (>1 for UP_OUT, in (0,1) for DOWN_OUT)
     barrier_rel: float | None = None
+    # antithetic variates: the second half of the MC rows mirrors the first
+    # half's normals with flipped sign — unbiased, and variance-reducing for
+    # monotone payoffs. Checkpointed (changes the bit stream when on);
+    # requires an even batches_per_mc_run.
+    antithetic: bool = False
 
     @property
     def total_paths(self) -> int:
@@ -280,6 +285,14 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                 reason=f"payoff={params.payoff.value!r} takes no barrier",
             )
         )
+    if params.antithetic and params.batches_per_mc_run % 2:
+        return Failure(
+            InvalidSimulationParams(
+                field="antithetic",
+                value=params.batches_per_mc_run,
+                reason="antithetic pairing needs an even batches_per_mc_run",
+            )
+        )
     if (
         params.normalization == ForwardNormalization.MEAN
         and not has_closed_form_mean(
@@ -355,7 +368,36 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("timesteps", "rows", "cols", "dtype", "scheme"))
+def _row_streams(
+    contract_key: jax.Array,
+    *,
+    rows: int,
+    row_offset: jax.Array | int,
+    antithetic_half: int | None,
+    dtype: jnp.dtype,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Per-row stream keys + optional antithetic sign column.
+
+    With ``antithetic_half=H``, global row r >= H reuses row (r−H)'s key with
+    sign −1. The pairing is a pure function of the GLOBAL row index, so a
+    mesh shard reproduces exactly its rows even when a pair's partner lives
+    on another shard.
+    """
+    row_idx = jnp.asarray(row_offset, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
+    if antithetic_half is None:
+        base_idx, sign = row_idx, None
+    else:
+        h = jnp.uint32(antithetic_half)
+        base_idx = jnp.where(row_idx < h, row_idx, row_idx - h)
+        sign = jnp.where(row_idx < h, 1.0, -1.0).astype(dtype)[:, None]
+    keys = jax.vmap(lambda r: jax.random.fold_in(contract_key, r))(base_idx)
+    return keys, sign
+
+
+@partial(
+    jax.jit,
+    static_argnames=("timesteps", "rows", "cols", "dtype", "scheme", "antithetic_half"),
+)
 def simulate_terminal_rows(
     contract_key: jax.Array,
     contract: jax.Array,
@@ -366,6 +408,7 @@ def simulate_terminal_rows(
     dtype: jnp.dtype,
     scheme: PathScheme,
     row_offset: jax.Array | int = 0,
+    antithetic_half: int | None = None,
 ) -> jax.Array:
     """Terminal GBM values ``[rows, cols]`` for one contract.
 
@@ -385,13 +428,19 @@ def simulate_terminal_rows(
     drift = (rate - div_yield - 0.5 * vol * vol) * dt
     sqrt_dt = jnp.sqrt(dt)
 
-    row_idx = jnp.asarray(row_offset, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
-    row_keys = jax.vmap(lambda r: jax.random.fold_in(contract_key, r))(row_idx)
+    row_keys, sign = _row_streams(
+        contract_key,
+        rows=rows,
+        row_offset=row_offset,
+        antithetic_half=antithetic_half,
+        dtype=dtype,
+    )
 
     def normals(t: jax.Array) -> jax.Array:
-        return jax.vmap(
+        z = jax.vmap(
             lambda k: jax.random.normal(jax.random.fold_in(k, t), (cols,), dtype)
         )(row_keys)
+        return z if sign is None else sign * z
 
     if scheme == PathScheme.LOG_EULER:
 
@@ -413,7 +462,16 @@ def simulate_terminal_rows(
 
 @partial(
     jax.jit,
-    static_argnames=("timesteps", "rows", "cols", "dtype", "scheme", "payoff", "barrier_rel"),
+    static_argnames=(
+        "timesteps",
+        "rows",
+        "cols",
+        "dtype",
+        "scheme",
+        "payoff",
+        "barrier_rel",
+        "antithetic_half",
+    ),
 )
 def simulate_underlier_rows(
     contract_key: jax.Array,
@@ -427,6 +485,7 @@ def simulate_underlier_rows(
     payoff: PayoffKind,
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
+    antithetic_half: int | None = None,
 ) -> jax.Array:
     """``[rows, cols]`` payoff underliers: terminal value, path average, or
     knockout-masked terminal (barrier kinds emit strike on knocked paths so
@@ -446,19 +505,26 @@ def simulate_underlier_rows(
             dtype=dtype,
             scheme=scheme,
             row_offset=row_offset,
+            antithetic_half=antithetic_half,
         )
 
     spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
     dt = maturity / jnp.asarray(timesteps, dtype)
     drift = (rate - div_yield - 0.5 * vol * vol) * dt
     sqrt_dt = jnp.sqrt(dt)
-    row_idx = jnp.asarray(row_offset, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
-    row_keys = jax.vmap(lambda r: jax.random.fold_in(contract_key, r))(row_idx)
+    row_keys, sign = _row_streams(
+        contract_key,
+        rows=rows,
+        row_offset=row_offset,
+        antithetic_half=antithetic_half,
+        dtype=dtype,
+    )
 
     def normals(t: jax.Array) -> jax.Array:
-        return jax.vmap(
+        z = jax.vmap(
             lambda k: jax.random.normal(jax.random.fold_in(k, t), (cols,), dtype)
         )(row_keys)
+        return z if sign is None else sign * z
 
     if payoff in BARRIER_PAYOFFS:
         assert barrier_rel is not None  # enforced by build_simulation_params

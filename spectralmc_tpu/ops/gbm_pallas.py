@@ -199,6 +199,7 @@ def _gbm_block_kernel(
     rows_per_block: int,
     cols_per_block: int,
     barrier_rel: float | None = None,
+    antithetic: bool = False,
 ) -> None:
     # Global row-block index: a mesh shard owning rows [k, k+n) passes
     # row_block_offset = k // block_rows, so its blocks draw the same streams
@@ -226,11 +227,21 @@ def _gbm_block_kernel(
     vol_sdt = vol * sqrt_dt
     shape = (rows_per_block, cols_per_block)
 
+    # Antithetic: the kernel's pairing is IN-BLOCK — generate normals for the
+    # top half of the block and mirror them negated onto the bottom half
+    # (block-seeded PRNG streams cannot be shared across blocks). Engine
+    # pairings differ from the XLA path's global-half convention, which is
+    # fine: the engines' bit streams differ anyway and each is checkpointed.
+    gen_shape = (rows_per_block // 2, cols_per_block) if antithetic else shape
+
+    def _mirror(z: jax.Array) -> jax.Array:
+        return jnp.concatenate([z, -z], axis=0) if antithetic else z
+
     def normals() -> jax.Array:
         # One Box-Muller output: z = r*cos(2*pi*u2) = r*sin(2*pi*(u2 + 1/4)).
-        u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
-        u2 = _uniform_24bit(shape)
-        return _bm_radius(u1) * _sin_turns(u2 + jnp.float32(0.25))
+        u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(gen_shape)
+        return _mirror(_bm_radius(u1) * _sin_turns(u2 + jnp.float32(0.25)))
 
     inv_n = jnp.float32(1.0 / timesteps)
     if scheme == PathScheme.LOG_EULER:
@@ -245,10 +256,12 @@ def _gbm_block_kernel(
             # advance two timesteps per draw; their sum needs only ONE sine:
             # z1 + z2 = r*(cos+sin)(theta) = r*sqrt(2)*sin(theta + pi/4).
             def step_pair(logx: jax.Array) -> jax.Array:
-                u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
-                u2 = _uniform_24bit(shape)
-                z_sum = _bm_radius(u1) * jnp.float32(math.sqrt(2.0)) * _sin_turns(
-                    u2 + jnp.float32(0.125)
+                u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+                u2 = _uniform_24bit(gen_shape)
+                z_sum = _mirror(
+                    _bm_radius(u1)
+                    * jnp.float32(math.sqrt(2.0))
+                    * _sin_turns(u2 + jnp.float32(0.125))
                 )
                 return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
 
@@ -334,7 +347,8 @@ def _gbm_block_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "timesteps", "rows", "cols", "scheme", "payoff", "barrier_rel", "interpret"
+        "timesteps", "rows", "cols", "scheme", "payoff", "barrier_rel",
+        "antithetic", "interpret",
     ),
 )
 def _simulate_rows_pallas_f32(
@@ -347,6 +361,7 @@ def _simulate_rows_pallas_f32(
     scheme: PathScheme,
     payoff: PayoffKind = PayoffKind.TERMINAL,
     barrier_rel: float | None = None,
+    antithetic: bool = False,
     row_offset: jax.Array | int = 0,
     interpret: bool = False,
 ) -> jax.Array:
@@ -373,6 +388,7 @@ def _simulate_rows_pallas_f32(
         rows_per_block=block_rows,
         cols_per_block=block_cols,
         barrier_rel=barrier_rel,
+        antithetic=antithetic,
     )
     grid = (rows // block_rows, cols // block_cols)
     return pl.pallas_call(
@@ -409,6 +425,7 @@ def simulate_terminal_rows_pallas(
     dtype: jnp.dtype,
     scheme: PathScheme,
     row_offset: jax.Array | int = 0,
+    antithetic_half: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas-accelerated terminal rows; falls back to XLA when unsupported."""
@@ -430,6 +447,7 @@ def simulate_terminal_rows_pallas(
             dtype=dtype,
             scheme=scheme,
             row_offset=row_offset,
+            antithetic_half=antithetic_half,
         )
     return _simulate_rows_pallas_f32(
         contract_key,
@@ -438,6 +456,7 @@ def simulate_terminal_rows_pallas(
         rows=rows,
         cols=cols,
         scheme=scheme,
+        antithetic=antithetic_half is not None,
         row_offset=row_offset,
         interpret=interpret,
     )
@@ -479,6 +498,7 @@ def simulate_underlier_rows_pallas(
     payoff: PayoffKind,
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
+    antithetic_half: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Payoff underliers (terminal, path average, or knockout-masked
@@ -501,6 +521,7 @@ def simulate_underlier_rows_pallas(
             dtype=dtype,
             scheme=scheme,
             row_offset=row_offset,
+            antithetic_half=antithetic_half,
             interpret=interpret,
         )
     interpretable = (
@@ -523,6 +544,7 @@ def simulate_underlier_rows_pallas(
             payoff=payoff,
             row_offset=row_offset,
             barrier_rel=barrier_rel,
+            antithetic_half=antithetic_half,
         )
     return _simulate_rows_pallas_f32(
         contract_key,
@@ -533,6 +555,7 @@ def simulate_underlier_rows_pallas(
         scheme=scheme,
         payoff=payoff,
         barrier_rel=barrier_rel,
+        antithetic=antithetic_half is not None,
         row_offset=row_offset,
         interpret=interpret,
     )
@@ -553,6 +576,7 @@ def _heston_block_kernel(
     rows_per_block: int,
     cols_per_block: int,
     barrier_rel: float | None = None,
+    antithetic: bool = False,
 ) -> None:
     i = pl.program_id(0) + seeds_ref[0, 2]
     j = pl.program_id(1)
@@ -588,6 +612,12 @@ def _heston_block_kernel(
     up = payoff == PayoffKind.BARRIER_UP_OUT
     extreme_fn = jnp.maximum if up else jnp.minimum
     inv_n = jnp.float32(1.0 / timesteps)
+    # in-block antithetic pairing (see _gbm_block_kernel): negating the 2D
+    # Gaussian pair preserves the spot-variance correlation
+    gen_shape = (rows_per_block // 2, cols_per_block) if antithetic else shape
+
+    def _mirror(z: jax.Array) -> jax.Array:
+        return jnp.concatenate([z, -z], axis=0) if antithetic else z
 
     def step(
         carry: tuple[jax.Array, jax.Array, jax.Array]
@@ -597,12 +627,12 @@ def _heston_block_kernel(
         # normals — z_v drives the variance, z_w the orthogonal spot part.
         # sin+cos come from one fold with shared powers (_sincos_turns):
         # +21% end-to-end vs two separate sine evaluations (heston_lab.py).
-        u1 = _uniform_24bit(shape) + jnp.float32(_HALF_ULP)
-        u2 = _uniform_24bit(shape)
+        u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(gen_shape)
         radius = _bm_radius(u1)
         sin_t, cos_t = _sincos_turns(u2)
-        z_v = radius * cos_t
-        z_s = rho * z_v + rho_bar * (radius * sin_t)
+        z_v = _mirror(radius * cos_t)
+        z_s = rho * z_v + rho_bar * _mirror(radius * sin_t)
         v_plus = jnp.maximum(v, jnp.float32(0.0))
         # sqrt(v)*sqrt(dt) fused into one sqrt; recursion uses hoisted scalars
         sqrt_v_sdt = jnp.sqrt(v_plus * dt)
@@ -633,7 +663,9 @@ def _heston_block_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("timesteps", "rows", "cols", "payoff", "barrier_rel", "interpret"),
+    static_argnames=(
+        "timesteps", "rows", "cols", "payoff", "barrier_rel", "antithetic", "interpret"
+    ),
 )
 def _simulate_heston_rows_pallas_f32(
     contract_key: jax.Array,
@@ -644,6 +676,7 @@ def _simulate_heston_rows_pallas_f32(
     cols: int,
     payoff: PayoffKind,
     barrier_rel: float | None = None,
+    antithetic: bool = False,
     row_offset: jax.Array | int = 0,
     interpret: bool = False,
 ) -> jax.Array:
@@ -664,6 +697,7 @@ def _simulate_heston_rows_pallas_f32(
         rows_per_block=block_rows,
         cols_per_block=block_cols,
         barrier_rel=barrier_rel,
+        antithetic=antithetic,
     )
     grid = (rows // block_rows, cols // block_cols)
     return pl.pallas_call(
@@ -699,6 +733,7 @@ def simulate_heston_underlier_rows_pallas(
     payoff: PayoffKind,
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
+    antithetic_half: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused Heston kernel; falls back to the XLA scan when unsupported."""
@@ -721,6 +756,7 @@ def simulate_heston_underlier_rows_pallas(
             payoff=payoff,
             row_offset=row_offset,
             barrier_rel=barrier_rel,
+            antithetic_half=antithetic_half,
         )
     return _simulate_heston_rows_pallas_f32(
         contract_key,
@@ -730,6 +766,7 @@ def simulate_heston_underlier_rows_pallas(
         cols=cols,
         payoff=payoff,
         barrier_rel=barrier_rel,
+        antithetic=antithetic_half is not None,
         row_offset=row_offset,
         interpret=interpret,
     )

@@ -89,7 +89,9 @@ def validate_heston_contract(c: HestonContract) -> Result[HestonContract, GBMErr
 
 @partial(
     jax.jit,
-    static_argnames=("timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel"),
+    static_argnames=(
+        "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel", "antithetic_half"
+    ),
 )
 def simulate_heston_underlier_rows(
     contract_key: jax.Array,
@@ -102,6 +104,7 @@ def simulate_heston_underlier_rows(
     payoff: PayoffKind,
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
+    antithetic_half: int | None = None,
 ) -> jax.Array:
     """``[rows, cols]`` payoff underliers under full-truncation Euler Heston.
 
@@ -119,15 +122,25 @@ def simulate_heston_underlier_rows(
     sqrt_dt = jnp.sqrt(dt)
     rho_bar = jnp.sqrt(1.0 - rho * rho)
 
-    row_idx = jnp.asarray(row_offset, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
-    row_keys = jax.vmap(lambda r: jax.random.fold_in(contract_key, r))(row_idx)
+    from spectralmc_tpu.ops.gbm import _row_streams
+
+    row_keys, sign = _row_streams(
+        contract_key,
+        rows=rows,
+        row_offset=row_offset,
+        antithetic_half=antithetic_half,
+        dtype=dtype,
+    )
 
     def normals(t: jax.Array, comp: int) -> jax.Array:
-        return jax.vmap(
+        # antithetic flips BOTH components: negating a 2D Gaussian is a
+        # valid antithetic pair and preserves the spot-variance correlation
+        z = jax.vmap(
             lambda k: jax.random.normal(
                 jax.random.fold_in(jax.random.fold_in(k, t), comp), (cols,), dtype
             )
         )(row_keys)
+        return z if sign is None else sign * z
 
     from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
 

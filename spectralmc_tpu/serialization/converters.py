@@ -202,6 +202,7 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         payoff=sim.payoff.value,
         model=sim.model.value,
         barrier_rel=sim.barrier_rel or 0.0,  # 0 encodes absent (invalid as a level)
+        antithetic=sim.antithetic,
     )
     if sim.basket is not None:
         proto.basket.CopyFrom(basket_spec_to_proto(sim.basket))
@@ -233,6 +234,7 @@ def sim_params_from_proto(
                 model=ModelKind(proto.model or "gbm"),
                 basket=basket,
                 barrier_rel=proto.barrier_rel if proto.barrier_rel > 0.0 else None,
+                antithetic=proto.antithetic,
             )
         )
     except (KeyError, ValueError) as exc:

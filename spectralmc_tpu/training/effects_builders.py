@@ -49,6 +49,7 @@ def build_simulation_effects(
                 payoff=sim.payoff.value,
                 model=sim.model.value,
                 precision=sim.precision.value,
+                antithetic=sim.antithetic,
                 out_id=out_id,
             ),
             ComputeFFT(

@@ -340,10 +340,20 @@ def main() -> None:
             dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
         )
 
+    def pallas_antithetic_fn(key, contract):
+        return simulate_terminal_rows_pallas(
+            key, contract, timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"],
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            antithetic_half=mc["rows"] // 2,
+        )
+
     kw = dict(timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"], reps=mc["reps"])
     headline_fn = pallas_fn if on_tpu else xla_fn  # pallas needs real TPU hardware
     path_steps_per_sec = bench_mc(headline_fn, **kw)
     xla_ps = bench_mc(xla_fn, **kw)
+    # antithetic mode: half the RNG/Box-Muller work per path-step, plus the
+    # statistical variance reduction (docs/performance.md)
+    antithetic_ps = bench_mc(pallas_antithetic_fn, **kw) if on_tpu else 0.0
     steps_per_sec = bench_train_step(**tr, implementation="pallas" if on_tpu else "xla")
 
     # secondary: Heston family throughput (same engine policy)
@@ -374,6 +384,7 @@ def main() -> None:
         f"[bench] device={jax.devices()[0].device_kind} engine={engine} "
         f"xla_path_steps_per_sec={xla_ps:.3e} "
         f"heston_path_steps_per_sec={heston_ps:.3e} "
+        f"gbm_antithetic_path_steps_per_sec={antithetic_ps:.3e} "
         f"train_steps_per_sec={steps_per_sec:.3f} "
         f"(B={tr['batch_size']} contracts x {tr['batches'] * tr['network']} paths x "
         f"{tr['timesteps']} steps each) "
@@ -394,6 +405,7 @@ def main() -> None:
                 "extras": {
                     "xla_path_steps_per_sec": xla_ps,
                     "heston_path_steps_per_sec": heston_ps,
+                    "gbm_antithetic_path_steps_per_sec": antithetic_ps,
                     "train_steps_per_sec": steps_per_sec,
                     # BASELINE config 3: 8192 contracts x 1.05M paths, 512-pt
                     # FFT, deep CVNN — chunk-streamed (contract_chunk=256);

@@ -121,3 +121,37 @@ def test_find_corruption_detects_tamper(tmp_path: Path) -> None:
 def test_usage_error_exit_code(chain_root: Path) -> None:
     out = _cli(chain_root, "no-such-command")
     assert out.returncode == 2
+
+
+def test_tensorboard_log_writes_event_files(chain_root: Path, tmp_path: Path) -> None:
+    """`tensorboard-log` walks the chain and leaves TB event files in logdir
+    (exit 0 even though the payloads are not checkpoint protos — garbage
+    tolerance is part of the writer's contract, tests/test_tensorboard.py)."""
+    logdir = tmp_path / "tb"
+    out = _cli(chain_root, "tensorboard-log", "--logdir", str(logdir))
+    assert out.returncode == 0, out.stdout + out.stderr
+    events = list(logdir.rglob("events.out.tfevents.*"))
+    assert events, f"no event files under {logdir}"
+    assert "logged" in out.stdout
+
+
+def test_gc_run_without_yes_refuses(tmp_path: Path) -> None:
+    """gc-run without --yes must not delete anything (preview-only safety)."""
+    _make_chain(tmp_path, n=5)
+    before = len(list(tmp_path.glob(f"{BUCKET}/versions/*")))
+    out = _cli(tmp_path, "gc-run", "--keep", "1")
+    assert out.returncode == 2, out.stdout + out.stderr
+    assert len(list(tmp_path.glob(f"{BUCKET}/versions/*"))) == before
+
+
+def test_verify_detects_broken_merkle_link(tmp_path: Path) -> None:
+    """Rewriting a middle version's parent_hash must fail verify with exit 1
+    and name the Merkle corruption."""
+    _make_chain(tmp_path, n=3)
+    metas = sorted(tmp_path.glob(f"{BUCKET}/versions/*/metadata.json"))
+    doc = json.loads(metas[1].read_text())
+    doc["parent_hash"] = "0" * 64
+    metas[1].write_text(json.dumps(doc))
+    out = _cli(tmp_path, "verify")
+    assert out.returncode == 1, out.stdout + out.stderr
+    assert "CORRUPTED" in out.stdout

@@ -170,3 +170,47 @@ def test_sharded_contract_chunking_is_bit_transparent() -> None:
     sa, sb = plain.snapshot(), chunked.snapshot()
     for key in sa.model_state:
         np.testing.assert_array_equal(sa.model_state[key], sb.model_state[key])
+
+
+def test_sharded_matches_single_device_new_families() -> None:
+    """The round-2 extension families run through the SAME sharded segment:
+    basket dynamics, barrier payoffs and antithetic pairing must all match
+    single-device training to float tolerance over a (2, 4) mesh — pairing
+    and knockout state are per-row, so paths-axis sharding crosses both."""
+    from spectralmc_tpu.ops.basket import build_basket_spec
+    from spectralmc_tpu.ops.gbm import ForwardNormalization, ModelKind, PayoffKind
+
+    spec = expect_success(build_mesh_spec(batch_shards=2, paths_shards=4))
+    cases = {
+        "basket": dict(
+            model=ModelKind.BASKET_GBM,
+            basket=expect_success(
+                build_basket_spec(
+                    weights=(0.6, 0.4), correlation=((1.0, 0.3), (0.3, 1.0))
+                )
+            ),
+        ),
+        "barrier": dict(
+            payoff=PayoffKind.BARRIER_UP_OUT,
+            barrier_rel=1.3,
+            normalization=ForwardNormalization.NONE,
+        ),
+        "antithetic": dict(antithetic=True),
+    }
+    for name, sim_kwargs in cases.items():
+        sim = make_simulation_params(
+            timesteps=2, network_size=16, batches_per_mc_run=8, **sim_kwargs
+        )
+        cvnn = expect_success(
+            build_cvnn_config(
+                layers=[LinearCfg(width=24, activation=Activation.MODRELU)], seed=5
+            )
+        )
+        cfg = GbmCVNNPricerConfig(sim=sim, bounds=CONTRACT_BOUNDS, cvnn=cvnn)
+        single = expect_success(GbmCVNNPricer.create(cfg))
+        sharded = expect_success(GbmCVNNPricer.create(cfg, mesh_spec=spec))
+        r_single = train_losses(single, num_batches=4)
+        r_sharded = train_losses(sharded, num_batches=4)
+        np.testing.assert_allclose(
+            r_sharded.losses, r_single.losses, rtol=3e-4, err_msg=name
+        )

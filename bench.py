@@ -282,8 +282,21 @@ def bench_charfn_quality(*, tiny: bool) -> tuple[float, float]:
     pricer = GbmCVNNPricer.create(
         GbmCVNNPricerConfig(sim=sim, bounds=bounds, cvnn=cvnn, normalize_inputs=True)
     ).expect("pricer")
+    # warmup-cosine at a high peak: 3.5x better MAE than the constant rate
+    # across seeds (docs/performance.md quality section)
+    from spectralmc_tpu.training.step import LRScheduleConfig
+
+    n_batches = 60 if tiny else 3000
     tc = build_training_config(
-        num_batches=60 if tiny else 3000, batch_size=32, learning_rate=2e-3
+        num_batches=n_batches,
+        batch_size=32,
+        learning_rate=2e-3,
+        lr_schedule=LRScheduleConfig(
+            peak=1.6e-2,
+            warmup_steps=max(4, n_batches // 12),
+            decay_steps=n_batches,
+            end_value=1e-5,
+        ),
     ).expect("tc")
     pricer.train(tc).expect("train")
 

@@ -38,6 +38,7 @@ from spectralmc_tpu.ops.spectrum import local_spectrum_sum
 from spectralmc_tpu.parallel.mesh import MeshSpec
 from spectralmc_tpu.training.step import (
     Carry,
+    LRScheduleConfig,
     SobolTable,
     grad_inf_norm,
     make_input_normalizer,
@@ -57,6 +58,7 @@ def make_sharded_batch(
     spec: MeshSpec,
     normalize_inputs: bool = False,
     contract_chunk: int | None = None,
+    lr_schedule: LRScheduleConfig | None = None,
 ) -> Callable[[Carry, None], tuple[Carry, tuple[jax.Array, jax.Array]]]:
     """Per-device body of one fused batch; call under ``shard_map``.
 
@@ -84,7 +86,7 @@ def make_sharded_batch(
     dtype = sim.precision.to_jnp()
     normalize = sim.normalization == ForwardNormalization.MEAN
     base_key = jax.random.PRNGKey(sim.mc_seed)
-    optimizer = make_optimizer(learning_rate)
+    optimizer = make_optimizer(learning_rate, lr_schedule)
     lower = table.lower.astype(dtype)
     upper = table.upper.astype(dtype)
     dp_axis, mc_axis = spec.batch_axis, spec.paths_axis
@@ -177,6 +179,7 @@ def make_sharded_segment(
     length: int,
     normalize_inputs: bool = False,
     contract_chunk: int | None = None,
+    lr_schedule: LRScheduleConfig | None = None,
 ) -> Callable[[Carry], tuple[Carry, tuple[jax.Array, jax.Array]]]:
     """Jitted ``shard_map``-wrapped scan over ``length`` sharded batches.
 
@@ -193,6 +196,7 @@ def make_sharded_segment(
         spec=spec,
         normalize_inputs=normalize_inputs,
         contract_chunk=contract_chunk,
+        lr_schedule=lr_schedule,
     )
 
     def scanned(carry: Carry) -> tuple[Carry, tuple[jax.Array, jax.Array]]:

@@ -340,24 +340,44 @@ def cvnn_config_from_proto(
 
 
 def training_config_to_proto(cfg: "TrainingConfig") -> training_pb2.TrainingConfigProto:
-    return training_pb2.TrainingConfigProto(
+    proto = training_pb2.TrainingConfigProto(
         num_batches=cfg.num_batches,
         batch_size=cfg.batch_size,
         learning_rate=cfg.learning_rate,
         contract_chunk=cfg.contract_chunk or 0,
     )
+    if cfg.lr_schedule is not None:
+        proto.lr_schedule.CopyFrom(
+            training_pb2.LRScheduleProto(
+                peak=cfg.lr_schedule.peak,
+                decay_steps=cfg.lr_schedule.decay_steps,
+                warmup_steps=cfg.lr_schedule.warmup_steps,
+                end_value=cfg.lr_schedule.end_value,
+            )
+        )
+    return proto
 
 
 def training_config_from_proto(
     proto: training_pb2.TrainingConfigProto,
 ) -> Result["TrainingConfig", SerializationError]:
+    from spectralmc_tpu.training.step import LRScheduleConfig
     from spectralmc_tpu.training.trainer import build_training_config
 
+    schedule = None
+    if proto.HasField("lr_schedule"):
+        schedule = LRScheduleConfig(
+            peak=proto.lr_schedule.peak,
+            decay_steps=proto.lr_schedule.decay_steps,
+            warmup_steps=proto.lr_schedule.warmup_steps,
+            end_value=proto.lr_schedule.end_value,
+        )
     res = build_training_config(
         num_batches=proto.num_batches,
         batch_size=proto.batch_size,
         learning_rate=proto.learning_rate,
         contract_chunk=proto.contract_chunk or None,
+        lr_schedule=schedule,
     )
     if isinstance(res, Failure):
         return Failure(DecodeError(what="training_config", reason=repr(res.error)))

@@ -125,7 +125,21 @@ def restore_into_optax(fresh_opt_state: Any, snapshot: AdamStateSnapshot) -> Any
         mu=_unflatten_like_params(cell.mu, snapshot.mu),
         nu=_unflatten_like_params(cell.nu, snapshot.nu),
     )
-    return tuple(restored if i == index else el for i, el in enumerate(fresh_opt_state))
+
+    def _rebuild(i: int, el: Any) -> Any:
+        if i == index:
+            return restored
+        # lr schedules (optax.ScaleByScheduleState) track their position with
+        # their own count, which steps in lockstep with Adam's — re-sync it
+        # from the same snapshot count so resume ≡ continuous needs no extra
+        # checkpoint state (training/step.py::LRScheduleConfig).
+        if isinstance(el, optax.ScaleByScheduleState):
+            return el._replace(
+                count=jnp.asarray(snapshot.count, dtype=np.asarray(el.count).dtype)
+            )
+        return el
+
+    return tuple(_rebuild(i, el) for i, el in enumerate(fresh_opt_state))
 
 
 def migrate_legacy_flat(flat: Mapping[str, np.ndarray]) -> AdamStateSnapshot:

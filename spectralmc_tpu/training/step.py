@@ -19,6 +19,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import optax
+from pydantic import BaseModel, ConfigDict
 
 from spectralmc_tpu.models.factory import CVNN
 from spectralmc_tpu.ops.dispatch import (  # noqa: F401 — re-exported seam
@@ -43,9 +44,42 @@ Carry = dict[str, Any]
 BatchFn = Callable[[Carry, None], tuple[Carry, tuple[jax.Array, jax.Array]]]
 
 
-def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
-    """The reference's Adam settings (gbm_trainer.py:1513-1528)."""
-    return optax.adam(learning_rate, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS)
+class LRScheduleConfig(BaseModel):
+    """Warmup + cosine-decay learning-rate schedule (checkpoint-transparent).
+
+    No reference counterpart (it trains at a fixed Adam lr,
+    gbm_trainer.py:1513-1528); measured on the bench quality workload a
+    high-peak warmup-cosine more than halves the char-fn pricing MAE
+    (docs/performance.md). The schedule position is the optimizer step
+    count, which already lives in the typed Adam snapshot — on resume,
+    ``restore_into_optax`` re-syncs the schedule cell from the same count,
+    so resume ≡ continuous holds with no new checkpoint state.
+    """
+
+    model_config = ConfigDict(frozen=True)
+
+    peak: float
+    decay_steps: int
+    warmup_steps: int = 0
+    end_value: float = 0.0
+
+
+def make_optimizer(
+    learning_rate: float, lr_schedule: LRScheduleConfig | None = None
+) -> optax.GradientTransformation:
+    """The reference's Adam settings (gbm_trainer.py:1513-1528), with an
+    optional warmup-cosine schedule replacing the constant rate."""
+    if lr_schedule is not None:
+        rate: Any = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=lr_schedule.peak,
+            warmup_steps=lr_schedule.warmup_steps,
+            decay_steps=lr_schedule.decay_steps,
+            end_value=lr_schedule.end_value,
+        )
+    else:
+        rate = learning_rate
+    return optax.adam(rate, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS)
 
 
 @dataclass(frozen=True)
@@ -127,6 +161,7 @@ def make_fused_batch(
     learning_rate: float,
     contract_chunk: int | None = None,
     normalize_inputs: bool = False,
+    lr_schedule: LRScheduleConfig | None = None,
 ) -> BatchFn:
     """Build the single-device fused batch function.
 
@@ -143,7 +178,7 @@ def make_fused_batch(
     """
     dtype = sim.precision.to_jnp()
     mc_spectrum = make_mc_spectrum(sim)
-    optimizer = make_optimizer(learning_rate)
+    optimizer = make_optimizer(learning_rate, lr_schedule)
     lower = table.lower.astype(dtype)
     upper = table.upper.astype(dtype)
     normalize_fn = make_input_normalizer(table, enabled=normalize_inputs, dtype=dtype)

@@ -63,6 +63,7 @@ from spectralmc_tpu.training.adam_state import (
     snapshot_from_optax,
 )
 from spectralmc_tpu.training.step import (
+    LRScheduleConfig,
     SobolTable,
     contract_class,
     contract_dim,
@@ -88,6 +89,9 @@ class TrainingConfig(BaseModel):
     # contracts at a time (lax.map) instead of one big vmap. Bit-transparent;
     # required for production batches whose rows exceed HBM (BASELINE cfg 3).
     contract_chunk: int | None = None
+    # optional warmup-cosine lr schedule (replaces the constant rate; the
+    # schedule position rides the Adam count, so resume needs nothing extra)
+    lr_schedule: LRScheduleConfig | None = None
 
 
 def build_training_config(
@@ -96,6 +100,7 @@ def build_training_config(
     batch_size: int,
     learning_rate: float,
     contract_chunk: int | None = None,
+    lr_schedule: LRScheduleConfig | None = None,
 ) -> Result[TrainingConfig, TrainerError]:
     if num_batches <= 0:
         return Failure(
@@ -121,12 +126,28 @@ def build_training_config(
                 reason="must be > 0 and divide batch_size",
             )
         )
+    if lr_schedule is not None:
+        if lr_schedule.peak <= 0.0 or lr_schedule.end_value < 0.0:
+            return Failure(
+                InvalidTrainingConfig(
+                    field="lr_schedule", value=lr_schedule.peak, reason="peak must be > 0"
+                )
+            )
+        if not (0 <= lr_schedule.warmup_steps < lr_schedule.decay_steps):
+            return Failure(
+                InvalidTrainingConfig(
+                    field="lr_schedule",
+                    value=lr_schedule.warmup_steps,
+                    reason="need 0 <= warmup_steps < decay_steps",
+                )
+            )
     return Success(
         TrainingConfig(
             num_batches=num_batches,
             batch_size=batch_size,
             learning_rate=learning_rate,
             contract_chunk=contract_chunk,
+            lr_schedule=lr_schedule,
         )
     )
 
@@ -571,7 +592,12 @@ class GbmCVNNPricer:
         )
 
     def _make_segment(
-        self, lr: float, batch_size: int, length: int, contract_chunk: int | None = None
+        self,
+        lr: float,
+        batch_size: int,
+        length: int,
+        contract_chunk: int | None = None,
+        lr_schedule: LRScheduleConfig | None = None,
     ) -> Callable[..., Any]:
         """Build (and cache) a jitted ``lax.scan`` over ``length`` fused batches.
 
@@ -579,7 +605,7 @@ class GbmCVNNPricer:
         ``make_fused_batch``); on a mesh it bounds each SHARD's working set
         (the divisor check applies to the per-shard contract slice).
         """
-        cache_key = (lr, batch_size, length, contract_chunk)
+        cache_key = (lr, batch_size, length, contract_chunk, lr_schedule)
         cached = self._segment_cache.get(cache_key)
         if cached is not None:
             return cached
@@ -597,6 +623,7 @@ class GbmCVNNPricer:
                 length=length,
                 normalize_inputs=self._normalize_inputs,
                 contract_chunk=contract_chunk,
+                lr_schedule=lr_schedule,
             )
         else:
             one_batch = make_fused_batch(
@@ -607,6 +634,7 @@ class GbmCVNNPricer:
                 learning_rate=lr,
                 contract_chunk=contract_chunk,
                 normalize_inputs=self._normalize_inputs,
+                lr_schedule=lr_schedule,
             )
 
             @jax.jit
@@ -630,8 +658,10 @@ class GbmCVNNPricer:
             )
         return None
 
-    def _init_opt_state(self, lr: float) -> Any:
-        opt_state = make_optimizer(lr).init(self._params)
+    def _init_opt_state(
+        self, lr: float, lr_schedule: LRScheduleConfig | None = None
+    ) -> Any:
+        opt_state = make_optimizer(lr, lr_schedule).init(self._params)
         if self._opt_snapshot is not None:
             # Reattach checkpointed Adam moments (reference gbm_trainer.py:1513-1528)
             opt_state = restore_into_optax(opt_state, self._opt_snapshot)
@@ -673,7 +703,7 @@ class GbmCVNNPricer:
         carry = {
             "params": self._params,
             "bn_state": self._bn_state,
-            "opt_state": self._init_opt_state(config.learning_rate),
+            "opt_state": self._init_opt_state(config.learning_rate, config.lr_schedule),
             "sobol_skip": jnp.uint32(self._sobol_skip),
             "mc_skip": jnp.uint32(self._sim.skip),
         }
@@ -697,7 +727,11 @@ class GbmCVNNPricer:
             stack.enter_context(trace_ctx)
             for seg_index, seg_len in enumerate(segments):
                 run = self._make_segment(
-                    config.learning_rate, config.batch_size, seg_len, config.contract_chunk
+                    config.learning_rate,
+                    config.batch_size,
+                    seg_len,
+                    config.contract_chunk,
+                    config.lr_schedule,
                 )
                 with jax.profiler.StepTraceAnnotation("train_segment", step_num=seg_index):
                     carry, (seg_losses, seg_gnorms) = run(carry)
@@ -799,7 +833,7 @@ class GbmCVNNPricer:
         carry = {
             "params": self._params,
             "bn_state": self._bn_state,
-            "opt_state": self._init_opt_state(config.learning_rate),
+            "opt_state": self._init_opt_state(config.learning_rate, config.lr_schedule),
             "sobol_skip": jnp.uint32(self._sobol_skip),
             "mc_skip": jnp.uint32(self._sim.skip),
         }
@@ -813,7 +847,11 @@ class GbmCVNNPricer:
 
         def run_train_segment(effect: TrainSegment) -> int:
             run = self._make_segment(
-                effect.learning_rate, effect.batch_size, effect.length, config.contract_chunk
+                effect.learning_rate,
+                effect.batch_size,
+                effect.length,
+                config.contract_chunk,
+                config.lr_schedule,
             )
             new_carry, (seg_losses, seg_gnorms) = run(progress["carry"])
             seg_losses = np.asarray(seg_losses)

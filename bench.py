@@ -272,10 +272,12 @@ def bench_charfn_quality(*, tiny: bool) -> tuple[float, float]:
     sim = build_simulation_params(
         timesteps=8, network_size=32, batches_per_mc_run=64, mc_seed=7
     ).expect("sim")
+    # 256-wide head: the MXU absorbs it (whole 3000-batch run ~5 s of chip
+    # compute) and it is ~2.6x more accurate than 64-wide at this workload
     cvnn = build_cvnn_config(
         layers=[
-            LinearCfg(width=64, activation=Activation.MODRELU),
-            LinearCfg(width=64, activation=Activation.ZRELU),
+            LinearCfg(width=256, activation=Activation.MODRELU),
+            LinearCfg(width=256, activation=Activation.ZRELU),
         ],
         seed=5,
     ).expect("cvnn")

@@ -240,6 +240,59 @@ def bench_wide_spectrum(*, tiny: bool, implementation: str) -> float:
     return reps / (time.perf_counter() - start)
 
 
+def bench_inference(*, tiny: bool) -> float:
+    """Serving throughput: predict_price contracts/sec through the jitted
+    IFFT∘CVNN program (one compile per batch shape, then steady-state)."""
+    import time as _time
+
+    import numpy as np
+
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.ops.gbm import BlackScholesContract, build_simulation_params
+    from spectralmc_tpu.ops.sobol import BoundSpec
+    from spectralmc_tpu.training.trainer import GbmCVNNPricer, GbmCVNNPricerConfig
+
+    bounds = {
+        "spot": BoundSpec(lower=95.0, upper=105.0),
+        "strike": BoundSpec(lower=95.0, upper=105.0),
+        "maturity": BoundSpec(lower=0.5, upper=1.5),
+        "rate": BoundSpec(lower=0.01, upper=0.05),
+        "div_yield": BoundSpec(lower=0.0, upper=0.02),
+        "vol": BoundSpec(lower=0.2, upper=0.3),
+    }
+    sim = build_simulation_params(
+        timesteps=8, network_size=32, batches_per_mc_run=64, mc_seed=7
+    ).expect("sim")
+    cvnn = build_cvnn_config(
+        layers=[
+            LinearCfg(width=256, activation=Activation.MODRELU),
+            LinearCfg(width=256, activation=Activation.ZRELU),
+        ],
+        seed=5,
+    ).expect("cvnn")
+    pricer = GbmCVNNPricer.create(
+        GbmCVNNPricerConfig(sim=sim, bounds=bounds, cvnn=cvnn, normalize_inputs=True)
+    ).expect("pricer")
+    n = 128 if tiny else 4096
+    rng = np.random.RandomState(0)
+    contracts = [
+        BlackScholesContract(
+            spot=float(rng.uniform(95, 105)), strike=float(rng.uniform(95, 105)),
+            maturity=float(rng.uniform(0.5, 1.5)), rate=float(rng.uniform(0.01, 0.05)),
+            div_yield=float(rng.uniform(0.0, 0.02)), vol=float(rng.uniform(0.2, 0.3)),
+        )
+        for _ in range(n)
+    ]
+    pricer.predict_price(contracts)  # compile + warmup
+    calls = 5
+    best = float("inf")
+    for _ in range(calls):
+        start = _time.perf_counter()
+        pricer.predict_price(contracts)
+        best = min(best, _time.perf_counter() - start)
+    return n / best
+
+
 def bench_charfn_quality(*, tiny: bool) -> tuple[float, float]:
     """BASELINE quality metric: characteristic-function pricing MAE vs
     analytic Black-Scholes.
@@ -394,6 +447,7 @@ def main() -> None:
     prod_ps, prod_steps = bench_production_batch(tiny=tiny, implementation=engine)
     wide_steps = bench_wide_spectrum(tiny=tiny, implementation=engine)
     charfn_mae, charfn_rel_mae = bench_charfn_quality(tiny=tiny)
+    inference_cps = bench_inference(tiny=tiny)
 
     print(
         f"[bench] device={jax.devices()[0].device_kind} engine={engine} "
@@ -406,7 +460,8 @@ def main() -> None:
         f"production_path_steps_per_sec={prod_ps:.3e} "
         f"production_8k_batch_steps_per_sec={prod_steps:.4f} "
         f"wide_spectrum_train_steps_per_sec={wide_steps:.3f} "
-        f"charfn_price_mae={charfn_mae:.4f} charfn_price_rel_mae={charfn_rel_mae:.4f}",
+        f"charfn_price_mae={charfn_mae:.4f} charfn_price_rel_mae={charfn_rel_mae:.4f} "
+        f"inference_contracts_per_sec={inference_cps:.3e}",
         file=sys.stderr,
     )
     vs = path_steps_per_sec / (BASELINE_MULTIPLIER * A100_REFERENCE_PATH_STEPS_PER_SEC)
@@ -435,6 +490,7 @@ def main() -> None:
                     # after the 600-batch online workload
                     "charfn_price_mae": charfn_mae,
                     "charfn_price_rel_mae": charfn_rel_mae,
+                    "inference_contracts_per_sec": inference_cps,
                 },
             }
         )

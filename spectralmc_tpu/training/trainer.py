@@ -313,6 +313,23 @@ class GreeksPrediction:
     fields: tuple[str, ...]
 
 
+def _contracts_to_device(
+    contracts: Sequence[Any], contract_cls: type, dtype: Any
+) -> jax.Array:
+    """[N, D] contract matrix in ONE host->device transfer.
+
+    Serving-path hot spot: per-contract ``as_array`` creates one device
+    array (= one transfer) per contract — measured 7 s for a 4096-contract
+    predict through the dev tunnel. Marshalling the batch in numpy first
+    collapses that to a single put.
+    """
+    fields = tuple(contract_cls.model_fields.keys())
+    host = np.asarray(
+        [[getattr(c, f) for f in fields] for c in contracts], dtype=dtype
+    )
+    return jnp.asarray(host)
+
+
 # --------------------------------------------------------------------------
 # Pytree <-> flat-numpy round trip (checkpoint payload format)
 # --------------------------------------------------------------------------
@@ -1000,7 +1017,7 @@ class GbmCVNNPricer:
         self, contracts: Sequence["BlackScholesContract | Any"]
     ) -> PricePrediction:
         dtype = self._sim.precision.to_jnp()
-        arr = jnp.stack([c.as_array(dtype) for c in contracts])  # [N, 6]
+        arr = _contracts_to_device(contracts, contract_class(self._sim), dtype)
         put, residue_dev, expected = self._predict_program()(
             self._params, self._bn_state, arr
         )
@@ -1113,7 +1130,7 @@ class GbmCVNNPricer:
         (same parity rule as ``predict_price``), with the same warning.
         """
         dtype = self._sim.precision.to_jnp()
-        arr = jnp.stack([c.as_array(dtype) for c in contracts])
+        arr = _contracts_to_device(contracts, contract_class(self._sim), dtype)
         if not has_closed_form_mean(
             self._sim.model,
             self._sim.payoff,

@@ -36,6 +36,8 @@ _EXPORTS = {
     "BasketSpec": "spectralmc_tpu.ops.basket",
     "build_basket_spec": "spectralmc_tpu.ops.basket",
     "BasketCombine": "spectralmc_tpu.ops.basket",
+    "lsmc_price": "spectralmc_tpu.ops.american",
+    "bermudan_tree_price": "spectralmc_tpu.ops.american",
     "mc_greeks": "spectralmc_tpu.ops.greeks",
     "analytic_greeks": "spectralmc_tpu.ops.greeks",
     "OptionSide": "spectralmc_tpu.ops.greeks",

@@ -169,6 +169,15 @@ class MonteCarloInterpreter:
                 ],
                 dtype=dtype,
             )
+            from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
+
+            if payoff in BARRIER_PAYOFFS and effect.barrier_rel <= 0.0:
+                return Failure(
+                    MonteCarloError(
+                        effect_kind=effect.kind,
+                        reason=f"payoff={payoff.value!r} requires barrier_rel > 0",
+                    )
+                )
             normalize = effect.normalization == "mean"
             rows = simulate_underlier_rows(
                 key,
@@ -180,6 +189,7 @@ class MonteCarloInterpreter:
                 scheme=scheme,
                 payoff=payoff,
                 antithetic_half=effect.batches // 2 if effect.antithetic else None,
+                barrier_rel=effect.barrier_rel if effect.barrier_rel > 0.0 else None,
             )
             prices = terminal_to_prices(
                 rows.reshape(-1),

@@ -104,6 +104,7 @@ class SimulatePaths:
     model: str = "gbm"  # ModelKind value
     precision: str = "float32"  # Precision value
     antithetic: bool = False  # second half of rows mirrors the first's normals
+    barrier_rel: float = 0.0  # knockout level x spot; 0 = not a barrier payoff
     out_id: str = ""
 
 

@@ -48,8 +48,12 @@ def lsmc_cashflows(
     dtype: jnp.dtype,
     option: OptionSide = OptionSide.PUT,
     basis_degree: int = 5,
-) -> jax.Array:
-    """Pathwise discounted Bermudan cashflows ``[paths]`` (mean = price).
+) -> tuple[jax.Array, jax.Array]:
+    """(discounted Bermudan cashflows, terminal values), both ``[paths]``.
+
+    The terminal row rides along so callers can price the same-path European
+    control leg without re-simulating the whole path matrix (it is the
+    dominant cost at production path counts).
 
     Exercise opportunities at every grid date t_1..t_N (t_N = maturity).
     The regression estimates continuation value on in-the-money paths with a
@@ -106,7 +110,7 @@ def lsmc_cashflows(
 
     # walk t_{N-1} .. t_1 (rows n-2 .. 0)
     cf_1, _ = jax.lax.scan(backward, cf_terminal, s[: n - 1][::-1])
-    return disc * cf_1  # discount the final step back to t = 0
+    return disc * cf_1, s[n - 1]  # cashflows discounted to t = 0
 
 
 @dataclass(frozen=True)
@@ -134,7 +138,7 @@ def lsmc_price(
     premium is a low-variance difference.
     """
     arr = contract.as_array(dtype)
-    cf = lsmc_cashflows(
+    cf, terminal = lsmc_cashflows(
         sim_key,
         arr,
         timesteps=timesteps,
@@ -143,15 +147,8 @@ def lsmc_price(
         option=option,
         basis_degree=basis_degree,
     )
-    from spectralmc_tpu.ops.gbm import PathScheme, simulate_paths
-
-    s = simulate_paths(
-        sim_key, arr, timesteps=timesteps, paths=paths, dtype=dtype,
-        scheme=PathScheme.LOG_EULER, normalize=False,
-    )
     strike, maturity, rate = (arr[i].astype(dtype) for i in (1, 2, 3))
     df = jnp.exp(-rate * maturity)
-    terminal = s[timesteps - 1]
     if option == OptionSide.PUT:
         euro = df * jnp.maximum(strike - terminal, 0.0)
     else:

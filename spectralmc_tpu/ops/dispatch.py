@@ -140,9 +140,6 @@ def make_mean_target(
 ) -> Callable[[jax.Array], jax.Array | None]:
     """contract -> analytic E[underlier] (None where no closed form exists)."""
     dtype = sim.precision.to_jnp()
-    # global pairing half-count: a shard passes its rows + row_offset, but the
-    # antithetic partner is defined on GLOBAL row indices (gbm._row_streams)
-    anti_half = sim.batches_per_mc_run // 2 if sim.antithetic else None
     if sim.model == ModelKind.BASKET_GBM:
         from spectralmc_tpu.ops.basket import expected_basket_underlier_mean
 

@@ -779,6 +779,7 @@ class BlackScholes:
             scheme=p.scheme,
             payoff=p.payoff,
             barrier_rel=p.barrier_rel,
+            antithetic_half=p.batches_per_mc_run // 2 if p.antithetic else None,
         ).reshape(p.batches_per_mc_run * p.network_size)
 
     def price(self, contract: BlackScholesContract) -> tuple[SimPrices, "BlackScholes"]:

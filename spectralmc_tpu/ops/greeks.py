@@ -179,7 +179,8 @@ def mc_greeks(
     draw_index: int | None = None,
     gamma_rel_bump: float = 1e-2,
 ) -> MCGreeks:
-    """Pathwise MC Greeks for one contract (GBM or Heston, any payoff kind).
+    """Pathwise MC Greeks for one contract (any ModelKind; any NON-BARRIER
+    payoff kind — knockouts are refused, see ``make_mc_price_fn``).
 
     ``contract`` is a ``BlackScholesContract`` / ``HestonContract`` (anything
     with ``as_array`` + the sim's field set). ``draw_index`` defaults to the

@@ -75,7 +75,10 @@ def initialize_distributed(
     Auto mode (TPU pods): pass ``auto=True`` and everything detects from the
     pod environment. A call with neither is a pure query — it returns the
     current runtime WITHOUT latching, so a later explicit call still works.
-    Single-process use never needs this function at all.
+    Before initialization the query reports single-process placeholders with
+    device counts 0 and does NOT touch the backend (``jax.devices()`` et al.
+    would initialize it, making a later ``jax.distributed.initialize``
+    illegal). Single-process use never needs this function at all.
     """
     global _initialized
     explicit = (
@@ -106,6 +109,16 @@ def initialize_distributed(
                 )
             )
         _initialized = True
+    if not explicit and not _initialized:
+        # pre-init pure query: report without initializing the backend
+        return Success(
+            DistributedRuntime(
+                process_index=0,
+                process_count=1,
+                local_device_count=0,
+                global_device_count=0,
+            )
+        )
     return Success(current_runtime())
 
 

@@ -50,6 +50,7 @@ def build_simulation_effects(
                 model=sim.model.value,
                 precision=sim.precision.value,
                 antithetic=sim.antithetic,
+                barrier_rel=sim.barrier_rel or 0.0,
                 out_id=out_id,
             ),
             ComputeFFT(

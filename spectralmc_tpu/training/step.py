@@ -64,6 +64,28 @@ class LRScheduleConfig(BaseModel):
     end_value: float = 0.0
 
 
+def schedule_rates(
+    lr_schedule: LRScheduleConfig, start_count: int, length: int
+) -> "Any":
+    """The ACTUAL per-step learning rates for metrics/TensorBoard.
+
+    Evaluates the same optax schedule the optimizer applies at counts
+    ``start_count .. start_count+length-1`` (the optimizer count equals the
+    trainer's global step by construction), so logged curves show the real
+    warmup/decay instead of the constant config rate.
+    """
+    import numpy as np
+
+    fn = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=lr_schedule.peak,
+        warmup_steps=lr_schedule.warmup_steps,
+        decay_steps=lr_schedule.decay_steps,
+        end_value=lr_schedule.end_value,
+    )
+    return np.asarray(fn(jnp.arange(start_count, start_count + length)))
+
+
 def make_optimizer(
     learning_rate: float, lr_schedule: LRScheduleConfig | None = None
 ) -> optax.GradientTransformation:

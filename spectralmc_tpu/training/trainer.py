@@ -556,15 +556,28 @@ class GbmCVNNPricer:
         self._segment_callback = cb
 
     def _emit_metrics(
-        self, base_step: int, seg_losses: np.ndarray, seg_gnorms: np.ndarray, lr: float
+        self,
+        base_step: int,
+        seg_losses: np.ndarray,
+        seg_gnorms: np.ndarray,
+        lr: float,
+        lr_schedule: "LRScheduleConfig | None" = None,
     ) -> None:
+        if lr_schedule is not None:
+            # report the rates the optimizer ACTUALLY applied this segment
+            # (the optimizer count equals the global step by construction)
+            from spectralmc_tpu.training.step import schedule_rates
+
+            rates = schedule_rates(lr_schedule, base_step, len(seg_losses))
+        else:
+            rates = np.full(len(seg_losses), lr)
         if self._segment_callback is not None:
             self._segment_callback(
                 SegmentMetrics(
                     start_step=base_step + 1,
                     losses=seg_losses,
                     grad_norms=seg_gnorms,
-                    learning_rate=lr,
+                    learning_rate=float(rates[-1]),
                 )
             )
         if self._step_callback is not None:
@@ -574,7 +587,7 @@ class GbmCVNNPricer:
                         step=base_step + i + 1,
                         loss=float(seg_losses[i]),
                         grad_norm=float(seg_gnorms[i]),
-                        learning_rate=lr,
+                        learning_rate=float(rates[i]),
                     )
                 )
 
@@ -772,6 +785,7 @@ class GbmCVNNPricer:
                     seg_losses,
                     seg_gnorms,
                     config.learning_rate,
+                    config.lr_schedule,
                 )
                 self._absorb(carry, start_step + batches_done)
                 # Commit at every full-interval boundary; when the final boundary
@@ -889,6 +903,7 @@ class GbmCVNNPricer:
                 seg_losses,
                 seg_gnorms,
                 effect.learning_rate,
+                config.lr_schedule,
             )
             self._absorb(progress["carry"], start_step + progress["batches_done"])
             return progress["batches_done"]

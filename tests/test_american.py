@@ -95,11 +95,13 @@ def test_cashflows_deterministic_and_bounded() -> None:
     c = make_contract(strike=105.0)
     arr = c.as_array(jnp.float32)
     kwargs = dict(timesteps=8, paths=4096, dtype=jnp.float32, option=OptionSide.PUT)
-    a = np.asarray(lsmc_cashflows(jax.random.PRNGKey(1), arr, **kwargs))
-    b = np.asarray(lsmc_cashflows(jax.random.PRNGKey(1), arr, **kwargs))
+    a, term_a = lsmc_cashflows(jax.random.PRNGKey(1), arr, **kwargs)
+    b, _ = lsmc_cashflows(jax.random.PRNGKey(1), arr, **kwargs)
+    a, b = np.asarray(a), np.asarray(b)
     np.testing.assert_array_equal(a, b)
     assert (a >= 0.0).all()
     assert a.max() <= c.strike  # a put never pays more than K
+    assert np.asarray(term_a).shape == (4096,)
 
 
 def test_tree_oracle_converges_to_black_for_european_grid() -> None:

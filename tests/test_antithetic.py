@@ -248,3 +248,24 @@ def test_greeks_flow_through_antithetic() -> None:
     oracle = analytic_greeks(contract, option=OptionSide.CALL)
     assert mc.delta == pytest.approx(oracle.delta, rel=0.03, abs=0.004)
     assert mc.vega == pytest.approx(oracle.vega, rel=0.03)
+
+
+def test_blackscholes_engine_honors_antithetic() -> None:
+    """Regression: the direct BlackScholes engine used to drop the flag.
+    Its terminal stream must equal simulate_underlier_rows with the global
+    pairing half — the same bits every other driver produces."""
+    from spectralmc_tpu.ops.gbm import BlackScholes
+
+    sim = make_simulation_params(
+        timesteps=3, network_size=64, batches_per_mc_run=8, antithetic=True
+    )
+    engine = BlackScholes(sim)
+    c = make_contract()
+    got = engine.simulate_terminal(c.as_array(jnp.float32), sim.skip)
+    want = simulate_underlier_rows(
+        engine.contract_key(sim.skip), c.as_array(jnp.float32),
+        timesteps=3, rows=8, cols=64, dtype=jnp.float32,
+        scheme=PathScheme.LOG_EULER, payoff=PayoffKind.TERMINAL,
+        antithetic_half=4,
+    ).reshape(-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

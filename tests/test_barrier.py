@@ -358,3 +358,46 @@ def test_barrier_pricer_trains_resumes_and_prices() -> None:
     pred = resumed.predict_price([make_contract()])
     assert np.isfinite(pred.put).all()
     assert np.isnan(pred.call).all()  # no put-call parity for knockouts
+
+
+def test_effects_path_carries_barrier_and_matches_direct() -> None:
+    """SimulatePaths→ComputeFFT with a barrier payoff interpreted == the
+    direct fused-spectrum math (regression: the effect record used to drop
+    barrier_rel and crash the interpreter on a valid config); a barrier
+    payoff without a level is a typed MonteCarloError, not an assert."""
+    import asyncio
+
+    from spectralmc_tpu.core.result import Failure
+    from spectralmc_tpu.effects.composition import sequence_effects
+    from spectralmc_tpu.effects.interpreter import SpectralMCInterpreter
+    from spectralmc_tpu.effects.types import ComputeFFT, SimulatePaths
+    from spectralmc_tpu.ops.gbm import ForwardNormalization
+    from spectralmc_tpu.training.effects_builders import build_simulation_effects
+    from spectralmc_tpu.training.step import make_mc_spectrum
+
+    sim = make_simulation_params(
+        timesteps=3, network_size=16, batches_per_mc_run=8, mc_seed=11, skip=4,
+        payoff=PayoffKind.BARRIER_UP_OUT, barrier_rel=1.2,
+        normalization=ForwardNormalization.NONE,
+    )
+    c = make_contract()
+    direct = make_mc_spectrum(sim)(jnp.uint32(4), c.as_array(jnp.float32))
+
+    seq = build_simulation_effects(sim, c, out_id="prices")
+    fft = ComputeFFT(in_id="prices", batches=8, network_size=16, out_id="spec")
+    interp = SpectralMCInterpreter.create()
+    res = asyncio.run(interp.interpret_sequence(sequence_effects([*seq.effects, fft])))
+    assert not isinstance(res, Failure), res
+    spec = interp.registry.get_array("spec").expect("spec")
+    np.testing.assert_array_equal(np.asarray(spec), np.asarray(direct))
+
+    # missing level -> typed failure
+    bad = SimulatePaths(
+        spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+        div_yield=c.div_yield, vol=c.vol, timesteps=3, batches=8, network_size=16,
+        seed=11, counter=4, scheme="log_euler", normalization="none",
+        payoff="barrier_up_out", model="gbm", precision="float32", out_id="x",
+    )
+    out = asyncio.run(interp.interpret(bad))
+    assert isinstance(out, Failure)
+    assert "barrier_rel" in out.error.reason

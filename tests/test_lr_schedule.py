@@ -147,3 +147,18 @@ def test_effects_path_matches_imperative_with_schedule() -> None:
     r_imperative = expect_success(a.train(cfg(10)))
     r_effects = expect_success(b.train_via_effects(cfg(10)))
     np.testing.assert_array_equal(r_effects.losses, r_imperative.losses)
+
+
+def test_metrics_report_actual_schedule_rates() -> None:
+    """Regression: StepMetrics.learning_rate used to log the constant config
+    rate while the optimizer swept the schedule; it must report the real
+    per-step rates (warmup rising from ~0, never equal to the flat rate)."""
+    from spectralmc_tpu.training.step import schedule_rates
+
+    pricer = make_pricer()
+    seen: list[float] = []
+    pricer.set_step_callback(lambda m: seen.append(m.learning_rate))
+    expect_success(pricer.train(cfg(10)))
+    expected = schedule_rates(SCHEDULE, 0, 10)
+    np.testing.assert_allclose(np.array(seen), expected, rtol=1e-6)
+    assert seen[0] < seen[3] < max(seen)  # warmup actually visible

@@ -184,3 +184,64 @@ def test_serving_path_tracking_client_hot_swap_to_prediction(tmp_path) -> None:
             assert not np.array_equal(pred_v0.put, pred_v1.put)
 
     asyncio.run(serve())
+
+
+def test_extension_families_commit_reload_serve(tmp_path) -> None:
+    """Round-2 families through the FULL production shell: a basket pricer
+    (with barrier knockout payoff, antithetic pairing and an lr schedule —
+    every checkpointed round-2 knob at once) trains, commits to the chain,
+    reloads through a pinned InferenceClient, and the served config
+    reproduces the live trainer's predictions bit-for-bit."""
+    from spectralmc_tpu.ops.basket import build_basket_spec
+    from spectralmc_tpu.ops.gbm import ForwardNormalization, ModelKind, PayoffKind
+    from spectralmc_tpu.storage.inference import InferenceClient, PinnedMode
+    from spectralmc_tpu.training.step import LRScheduleConfig
+    from spectralmc_tpu.training.trainer import FinalCommit
+
+    spec = expect_success(
+        build_basket_spec(weights=(0.6, 0.4), correlation=((1.0, 0.3), (0.3, 1.0)))
+    )
+    sim = expect_success(
+        build_simulation_params(
+            mc_seed=11, timesteps=4, network_size=32, batches_per_mc_run=4,
+            model=ModelKind.BASKET_GBM, basket=spec,
+            payoff=PayoffKind.BARRIER_UP_OUT, barrier_rel=1.4,
+            normalization=ForwardNormalization.NONE, antithetic=True,
+        )
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)], seed=9
+        )
+    )
+    cfg = GbmCVNNPricerConfig(sim=sim, bounds=BOUNDS, cvnn=cvnn, normalize_inputs=True)
+    store = AsyncBlockchainModelStore(FileSystemObjectStore(str(tmp_path), "ext"))
+    trainer = expect_success(GbmCVNNPricer.create(cfg))
+    tc = expect_success(
+        build_training_config(
+            num_batches=6, batch_size=4, learning_rate=2e-3,
+            lr_schedule=LRScheduleConfig(peak=5e-3, decay_steps=6, warmup_steps=1),
+        )
+    )
+    expect_success(
+        trainer.train(tc, commit_plan=FinalCommit(), commit_fn=make_commit_fn(store))
+    )
+    contracts = [make_contract(strike=95.0), make_contract(strike=105.0)]
+    live = trainer.predict_price(contracts)
+
+    async def serve() -> None:
+        async with InferenceClient(store, PinnedMode(counter=0)) as client:
+            loaded = client.get_model()
+            assert loaded is not None
+            served_cfg = loaded.config
+            # every round-2 knob survived the chain round trip
+            assert served_cfg.sim.basket == spec
+            assert served_cfg.sim.barrier_rel == 1.4
+            assert served_cfg.sim.antithetic
+            served = expect_success(GbmCVNNPricer.create(served_cfg))
+            pred = served.predict_price(contracts)
+            np.testing.assert_array_equal(pred.put, live.put)
+            assert np.isnan(pred.call).all()  # knockouts have no parity call
+            assert np.isnan(live.call).all()
+
+    asyncio.run(serve())

@@ -169,15 +169,28 @@ class MonteCarloInterpreter:
                 ],
                 dtype=dtype,
             )
-            from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
+            from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS, PayoffKind
 
-            if payoff in BARRIER_PAYOFFS and effect.barrier_rel <= 0.0:
-                return Failure(
-                    MonteCarloError(
-                        effect_kind=effect.kind,
-                        reason=f"payoff={payoff.value!r} requires barrier_rel > 0",
+            if payoff in BARRIER_PAYOFFS:
+                # mirror build_simulation_params' direction bounds: an up-out
+                # level <= spot (or a down-out level >= spot) knocks every
+                # path at step 1 and silently prices everything to zero
+                if payoff == PayoffKind.BARRIER_UP_OUT and effect.barrier_rel <= 1.0:
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="up-and-out barrier must be > 1x spot",
+                        )
                     )
-                )
+                if payoff == PayoffKind.BARRIER_DOWN_OUT and not (
+                    0.0 < effect.barrier_rel < 1.0
+                ):
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="down-and-out barrier must be in (0, 1)x spot",
+                        )
+                    )
             normalize = effect.normalization == "mean"
             rows = simulate_underlier_rows(
                 key,

@@ -35,6 +35,158 @@ from spectralmc_tpu.ops.gbm import PathScheme
 from spectralmc_tpu.ops.greeks import OptionSide
 
 
+def _lsmc_backward(
+    log_rows: jax.Array,  # [timesteps, ...path dims...] log-prices
+    *,
+    strike: jax.Array,
+    disc: jax.Array,  # one-step discount e^{-r dt}
+    dtype: jnp.dtype,
+    put: bool,
+    basis_degree: int,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Longstaff–Schwartz backward induction → cashflows discounted to t=0.
+
+    ONE ``lax.scan`` over reversed time carrying the pathwise cashflow vector.
+    The in-the-money regression solves ridge-stabilized normal equations
+    ``(ΦᵀWΦ/N + λI) β = ΦᵀWy/N`` — both moment sums are additive over paths,
+    so under a mesh ``paths`` axis they are ``psum``-reduced (``axis_name``)
+    before the tiny k×k solve: every shard solves the identical system and
+    the sharded policy equals the unsharded one up to reduction order (the
+    same contract as the sharded spectrum, parallel/trainer.py docstring).
+
+    Basis: powers of (S/K − 1). Centered moneyness keeps the Gram matrix
+    well-conditioned in float32 (ITM region maps into (−1, 1)-ish), unlike
+    raw m^j whose degree-10+ cross moments overflow the mantissa.
+    """
+    k = basis_degree + 1
+    n = log_rows.shape[0]
+
+    def immediate(s: jax.Array) -> jax.Array:
+        return jnp.maximum(strike - s, 0.0) if put else jnp.maximum(s - strike, 0.0)
+
+    def basis(s: jax.Array) -> jax.Array:  # [..., k]
+        x = s / strike - 1.0
+        return jnp.stack([x**j for j in range(k)], axis=-1)
+
+    # local path count; the global count folds in the mesh axis size
+    n_local = 1
+    for d in log_rows.shape[1:]:
+        n_local *= d
+    inv_n = jnp.asarray(1.0 / n_local, dtype)
+    if axis_name is not None:
+        inv_n = inv_n / jax.lax.psum(jnp.asarray(1.0, dtype), axis_name)
+
+    cf_terminal = immediate(jnp.exp(log_rows[n - 1]))
+
+    def backward(cf_next: jax.Array, log_s: jax.Array) -> tuple[jax.Array, None]:
+        s_t = jnp.exp(log_s)
+        y = disc * cf_next  # continuation cashflow valued at THIS date
+        exercise_now = immediate(s_t)
+        itm = (exercise_now > 0.0).astype(dtype)
+        phi = basis(s_t) * itm[..., None]  # [..., k]
+        flat_phi = phi.reshape(-1, k)
+        flat_y = (y * itm).reshape(-1)
+        gram = (flat_phi.T @ flat_phi) * inv_n
+        rhs = (flat_phi.T @ flat_y) * inv_n
+        if axis_name is not None:
+            gram = jax.lax.psum(gram, axis_name)
+            rhs = jax.lax.psum(rhs, axis_name)
+        gram = gram + jnp.asarray(1e-6, dtype) * jnp.eye(k, dtype=dtype)
+        beta = jnp.linalg.solve(gram, rhs)
+        continuation = basis(s_t) @ beta
+        take = (itm > 0.0) & (exercise_now > continuation)
+        return jnp.where(take, exercise_now, y), None
+
+    # walk t_{N-1} .. t_1 (rows n-2 .. 0)
+    cf_1, _ = jax.lax.scan(backward, cf_terminal, log_rows[: n - 1][::-1])
+    return disc * cf_1  # discounted to t = 0
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "timesteps",
+        "rows",
+        "cols",
+        "dtype",
+        "option",
+        "basis_degree",
+        "antithetic_half",
+        "axis_name",
+    ),
+)
+def simulate_american_underlier_rows(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    option: OptionSide,
+    basis_degree: int = 5,
+    row_offset: jax.Array | int = 0,
+    antithetic_half: int | None = None,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """``[rows, cols]`` SYNTHETIC underliers for the AMERICAN payoff kinds.
+
+    The per-path Bermudan cashflow cf (discounted to t=0, exercise on the
+    timestep grid) is re-encoded as ``u = strike − cf/df`` so the framework's
+    put-payoff pipeline ``df·max(strike − u, 0)`` reproduces cf exactly for
+    both option sides (``PayoffKind`` docstring in ops/gbm.py) — the
+    spectrum/train/predict machinery runs unchanged.
+
+    Stream discipline: normals are keyed by (contract_key, global row,
+    timestep) exactly like ``gbm.simulate_terminal_rows`` — ``row_offset``
+    makes a mesh shard reproduce its global rows bit-for-bit. The regression,
+    which couples ALL paths, stays shard-consistent by ``psum``-ing its
+    moment sums over ``axis_name`` (see ``_lsmc_backward``).
+    """
+    from spectralmc_tpu.ops.gbm import _row_streams
+
+    spot, strike, maturity, rate, _, vol = (contract[i].astype(dtype) for i in range(6))
+    div_yield = contract[4].astype(dtype)
+    dt = maturity / jnp.asarray(timesteps, dtype)
+    drift = (rate - div_yield - 0.5 * vol * vol) * dt
+    sqrt_dt = jnp.sqrt(dt)
+    disc = jnp.exp(-rate * dt)
+
+    row_keys, sign = _row_streams(
+        contract_key,
+        rows=rows,
+        row_offset=row_offset,
+        antithetic_half=antithetic_half,
+        dtype=dtype,
+    )
+
+    def normals(t: jax.Array) -> jax.Array:
+        z = jax.vmap(
+            lambda rk: jax.random.normal(jax.random.fold_in(rk, t), (cols,), dtype)
+        )(row_keys)
+        return z if sign is None else sign * z
+
+    def fwd(logx: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array]:
+        nxt = logx + drift + vol * sqrt_dt * normals(t)
+        return nxt, nxt
+
+    log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
+    _, log_rows = jax.lax.scan(fwd, log0, jnp.arange(timesteps))
+
+    cf = _lsmc_backward(
+        log_rows,
+        strike=strike,
+        disc=disc,
+        dtype=dtype,
+        put=option == OptionSide.PUT,
+        basis_degree=basis_degree,
+        axis_name=axis_name,
+    )
+    df = jnp.exp(-rate * maturity)
+    return strike - cf / df
+
+
 @partial(
     jax.jit,
     static_argnames=("timesteps", "paths", "dtype", "option", "basis_degree"),
@@ -211,4 +363,5 @@ __all__ = [
     "bermudan_tree_price",
     "lsmc_cashflows",
     "lsmc_price",
+    "simulate_american_underlier_rows",
 ]

@@ -15,9 +15,11 @@ from typing import Callable
 import jax
 
 from spectralmc_tpu.ops.gbm import (
+    AMERICAN_PAYOFFS,
     CONTRACT_DIM,
     BlackScholesContract,
     ModelKind,
+    PayoffKind,
     SimImplementation,
     SimulationParams,
     expected_underlier_mean,
@@ -43,18 +45,51 @@ def contract_dim(sim: SimulationParams) -> int:
 
 
 def make_underlier_simulator(
-    sim: SimulationParams, *, rows: int
+    sim: SimulationParams, *, rows: int, axis_name: str | None = None
 ) -> Callable[[jax.Array, jax.Array, jax.Array | int], jax.Array]:
     """(key, contract, row_offset) -> [rows, network_size] underliers.
 
-    Selection: (ModelKind x SimImplementation); every simulator shares the
-    (contract_key, global row, timestep[, component]) key discipline, so
-    row_offset shard-stability holds regardless of the branch taken.
+    Selection: (PayoffKind family x ModelKind x SimImplementation); every
+    simulator shares the (contract_key, global row, timestep[, component])
+    key discipline, so row_offset shard-stability holds regardless of the
+    branch taken. ``axis_name`` is the mesh ``paths`` axis when the caller
+    runs this simulator under ``shard_map`` — only the AMERICAN kinds use it
+    (their cross-path LSMC regression ``psum``s its moment sums so every
+    shard applies the identical exercise policy); the pathwise-independent
+    simulators ignore it.
     """
     dtype = sim.precision.to_jnp()
     # global pairing half-count: a shard passes its rows + row_offset, but the
     # antithetic partner is defined on GLOBAL row indices (gbm._row_streams)
     anti_half = sim.batches_per_mc_run // 2 if sim.antithetic else None
+    if sim.payoff in AMERICAN_PAYOFFS:
+        from spectralmc_tpu.ops.american import simulate_american_underlier_rows
+        from spectralmc_tpu.ops.greeks import OptionSide
+
+        side = (
+            OptionSide.PUT if sim.payoff == PayoffKind.AMERICAN_PUT else OptionSide.CALL
+        )
+        degree = sim.lsmc_basis_degree
+
+        def simulate_american(
+            key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
+        ) -> jax.Array:
+            return simulate_american_underlier_rows(
+                key,
+                contract,
+                timesteps=sim.timesteps,
+                rows=rows,
+                cols=sim.network_size,
+                dtype=dtype,
+                option=side,
+                basis_degree=degree,
+                row_offset=row_offset,
+                antithetic_half=anti_half,
+                axis_name=axis_name,
+            )
+
+        return simulate_american
+
     if sim.model == ModelKind.BASKET_GBM:
         from spectralmc_tpu.ops.basket import simulate_basket_underlier_rows
 

@@ -90,9 +90,23 @@ class PayoffKind(enum.Enum):
     ASIAN_GEOMETRIC = "asian_geometric"
     BARRIER_UP_OUT = "barrier_up_out"
     BARRIER_DOWN_OUT = "barrier_down_out"
+    # Early exercise on the timestep grid (Bermudan → American as the grid
+    # refines) via Longstaff–Schwartz regression MC (ops/american.py). The
+    # per-path discounted cashflow cf is re-encoded as a SYNTHETIC underlier
+    #     u = strike − cf / df          (df = e^{−r·maturity})
+    # so the standard put-payoff pipeline df·max(strike − u, 0) reproduces cf
+    # exactly for BOTH sides — the spectrum, the fused/sharded train steps and
+    # the IFFT predictor all work unchanged. The learned channel is the
+    # configured side's American price; the other side has no parity route
+    # (early exercise breaks put-call parity), so it reports NaN.
+    # GBM dynamics + log-Euler only; no closed-form E[underlier] (MEAN
+    # normalization gated off). Oracle: ops/american.py::bermudan_tree_price.
+    AMERICAN_PUT = "american_put"
+    AMERICAN_CALL = "american_call"
 
 
 BARRIER_PAYOFFS = frozenset({PayoffKind.BARRIER_UP_OUT, PayoffKind.BARRIER_DOWN_OUT})
+AMERICAN_PAYOFFS = frozenset({PayoffKind.AMERICAN_PUT, PayoffKind.AMERICAN_CALL})
 
 
 class ModelKind(enum.Enum):
@@ -177,6 +191,10 @@ class SimulationParams(BaseModel):
     # monotone payoffs. Checkpointed (changes the bit stream when on);
     # requires an even batches_per_mc_run.
     antithetic: bool = False
+    # Longstaff–Schwartz regression basis degree (polynomial in moneyness
+    # S/K); meaningful only for the AMERICAN payoff kinds. Checkpointed: it
+    # changes the exercise policy, hence the learned target distribution.
+    lsmc_basis_degree: int = 5
 
     @property
     def total_paths(self) -> int:
@@ -285,6 +303,39 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                 reason=f"payoff={params.payoff.value!r} takes no barrier",
             )
         )
+    if params.payoff in AMERICAN_PAYOFFS:
+        if params.model != ModelKind.GBM:
+            return Failure(
+                InvalidSimulationParams(
+                    field="payoff",
+                    value=params.payoff.value,
+                    reason="LSMC early exercise is implemented for GBM dynamics only",
+                )
+            )
+        if params.scheme != PathScheme.LOG_EULER:
+            return Failure(
+                InvalidSimulationParams(
+                    field="scheme",
+                    value=params.scheme.value,
+                    reason="LSMC early exercise is log-Euler only",
+                )
+            )
+        if not (1 <= params.lsmc_basis_degree <= 8):
+            return Failure(
+                InvalidSimulationParams(
+                    field="lsmc_basis_degree",
+                    value=params.lsmc_basis_degree,
+                    reason="must be in [1, 8]",
+                )
+            )
+        if params.timesteps < 2:
+            return Failure(
+                InvalidSimulationParams(
+                    field="timesteps",
+                    value=params.timesteps,
+                    reason="early exercise needs >= 2 monitor dates",
+                )
+            )
     if params.antithetic and params.batches_per_mc_run % 2:
         return Failure(
             InvalidSimulationParams(
@@ -328,6 +379,10 @@ def has_closed_form_mean(
         # the knocked-out underlier's mean has no closed form for any model,
         # and barrier options have no put-call parity regardless
         return False
+    if payoff in AMERICAN_PAYOFFS:
+        # the synthetic LSMC underlier's mean is strike − price/df — exactly
+        # the unknown being estimated; and early exercise breaks parity anyway
+        return False
     if model == ModelKind.HESTON:
         return payoff != PayoffKind.ASIAN_GEOMETRIC
     if model == ModelKind.BASKET_GBM and combine == BasketCombine.ARITHMETIC:
@@ -352,6 +407,12 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
         # no basket Pallas kernel (the asset-mixing contraction already rides
         # the MXU on the XLA path); requesting PALLAS resolves to XLA loudly
         # through the same recording machinery as shape/backend fallbacks
+        return SimImplementation.XLA
+    if params.payoff in AMERICAN_PAYOFFS:
+        # LSMC needs the full [timesteps, rows, cols] path matrix plus a
+        # cross-path regression per exercise date — the backward induction is
+        # matmul/solve-shaped (MXU work), not a VPU streaming loop, so the
+        # XLA path is the native engine for this payoff
         return SimImplementation.XLA
     from spectralmc_tpu.ops.gbm_pallas import pallas_supported
 
@@ -471,6 +532,7 @@ def simulate_terminal_rows(
         "payoff",
         "barrier_rel",
         "antithetic_half",
+        "lsmc_basis_degree",
     ),
 )
 def simulate_underlier_rows(
@@ -486,15 +548,33 @@ def simulate_underlier_rows(
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
+    lsmc_basis_degree: int = 5,
 ) -> jax.Array:
-    """``[rows, cols]`` payoff underliers: terminal value, path average, or
+    """``[rows, cols]`` payoff underliers: terminal value, path average,
     knockout-masked terminal (barrier kinds emit strike on knocked paths so
-    both vanilla payoffs zero out — see ``PayoffKind``).
+    both vanilla payoffs zero out), or the American kinds' synthetic
+    ``strike − cashflow/df`` encoding (see ``PayoffKind``).
 
     Uses the exact bit stream of ``simulate_terminal_rows`` — normals keyed
     by (contract_key, global row, timestep) — so TERMINAL is identical to it
     and the path-dependent kinds are shard-stable the same way.
     """
+    if payoff in AMERICAN_PAYOFFS:
+        from spectralmc_tpu.ops.american import simulate_american_underlier_rows
+        from spectralmc_tpu.ops.greeks import OptionSide
+
+        return simulate_american_underlier_rows(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            option=OptionSide.PUT if payoff == PayoffKind.AMERICAN_PUT else OptionSide.CALL,
+            basis_degree=lsmc_basis_degree,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+        )
     if payoff == PayoffKind.TERMINAL:
         return simulate_terminal_rows(
             contract_key,
@@ -592,9 +672,10 @@ def expected_underlier_mean(
     The forward-normalization target (reference gbm.py:433-440 uses the
     terminal forward; the Asian kinds need the mean of their own average).
     Exact for LOG_EULER; for EULER it is the continuous-limit approximation.
-    None for barrier kinds (the knocked-out mean has no closed form).
+    None for barrier kinds (the knocked-out mean has no closed form) and the
+    American kinds (the synthetic underlier's mean IS the unknown price).
     """
-    if payoff in BARRIER_PAYOFFS:
+    if payoff in BARRIER_PAYOFFS or payoff in AMERICAN_PAYOFFS:
         return None
     spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
     n = jnp.asarray(timesteps, dtype)
@@ -763,12 +844,16 @@ class BlackScholes:
 
     def simulate_terminal(self, contract: jax.Array, draw_index: int | jax.Array) -> jax.Array:
         p = self._params
-        if p.implementation == SimImplementation.PALLAS:
+        kwargs: dict[str, Any] = {}
+        # resolve_implementation routes AMERICAN to XLA (no Pallas LSMC)
+        if resolve_implementation(p) == SimImplementation.PALLAS:
             from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
 
             simulate = simulate_underlier_rows_pallas
         else:
             simulate = simulate_underlier_rows
+            if p.payoff in AMERICAN_PAYOFFS:
+                kwargs["lsmc_basis_degree"] = p.lsmc_basis_degree
         return simulate(
             self.contract_key(draw_index),
             contract,
@@ -780,6 +865,7 @@ class BlackScholes:
             payoff=p.payoff,
             barrier_rel=p.barrier_rel,
             antithetic_half=p.batches_per_mc_run // 2 if p.antithetic else None,
+            **kwargs,
         ).reshape(p.batches_per_mc_run * p.network_size)
 
     def price(self, contract: BlackScholesContract) -> tuple[SimPrices, "BlackScholes"]:

@@ -52,10 +52,18 @@ _HALF_ULP = float(2.0**-25)
 # change to the in-kernel RNG/transcendental evaluation order changes the
 # stream, and a mid-stream checkpoint must not silently continue on a
 # different one (the same contract as engine recording). History:
-#   gbm v1    — round 1 (pair-step + folded deg-9 sine); unchanged since.
+#   gbm v1    — round 1 (pair-step + folded deg-9 sine + jnp.sqrt radius).
+#   gbm v2    — round 2's x*rsqrt(x) radius, versioned defensively in round
+#               3: the sqrt ≡ x*rsqrt(x) identity is backend-dependent (it
+#               FAILS on the CPU backend for ~40% of the radius domain at
+#               one ulp), so it must not be assumed stable across TPU
+#               generations/compiler versions. test_gbm_pallas.py carries a
+#               TPU-gated exhaustive bit-identity check documenting the
+#               current backend's behavior.
 #   heston v1 — round 1 (two _sin_turns per step).
-#   heston v2 — round 2 (fused _sincos_turns + hoisted variance scalars).
-PALLAS_STREAM_VERSIONS: dict[str, int] = {"gbm": 1, "heston": 2}
+#   heston v2 — round 2 (fused _sincos_turns + hoisted variance scalars);
+#               shares the v2 radius, same defensive bump rationale.
+PALLAS_STREAM_VERSIONS: dict[str, int] = {"gbm": 2, "heston": 3}
 
 
 def pallas_stream_version(model: "object") -> int:
@@ -149,11 +157,15 @@ def _sincos_turns(t: jax.Array) -> tuple[jax.Array, jax.Array]:
 def _bm_radius(u1: jax.Array) -> jax.Array:
     """Box-Muller radius sqrt(-2 ln u) as ``x * rsqrt(x)``.
 
-    Bit-identical to ``jnp.sqrt(x)`` on Mosaic (verified exhaustively over the
-    radius domain incl. subnormal-adjacent and power-of-two inputs) but
-    schedules measurably better inside the unrolled loop (pallas_lab.py:
-    polybm 1.63e11 → polybm_rsqrt_unroll4 1.75e11 path-steps/s with the
-    unroll below). No stream-version bump: the emitted bits are unchanged.
+    Schedules measurably better than ``jnp.sqrt`` inside the unrolled loop
+    (pallas_lab.py: polybm 1.63e11 → polybm_rsqrt_unroll4 1.75e11
+    path-steps/s with the unroll below). The substitution IS a stream change
+    — sqrt(x) ≡ x*rsqrt(x) holds bit-exactly on the Mosaic backend it was
+    verified on, but the identity is backend-dependent (on the CPU backend
+    ~40% of the radius domain differs by one ulp), so the kernels carry
+    stream version v2 (PALLAS_STREAM_VERSIONS) rather than assuming the
+    identity across TPU generations. test_gbm_pallas.py's TPU-gated
+    exhaustive check documents the current backend's status.
 
     The half-ulp offset makes u1 round to exactly 1.0 once per ~2^24 draws
     (1 − 2^-25 is halfway between fp32 neighbours; ties-to-even lands on 1),

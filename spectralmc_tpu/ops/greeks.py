@@ -110,17 +110,51 @@ def make_mc_price_fn(
     docstring) while preserving the (contract_key, row, timestep) stream.
     """
     from spectralmc_tpu.ops.dispatch import make_mean_target, make_underlier_simulator
-    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
+    from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, BARRIER_PAYOFFS, PayoffKind
 
     if sim.payoff in BARRIER_PAYOFFS:
         # IPA differentiates through the knockout indicator, whose pathwise
         # derivative is zero a.e. — the estimator would silently drop the
-        # barrier's delta contribution. Refuse rather than mislead.
+        # barrier's delta contribution. Refuse rather than mislead (the
+        # bump-and-reprice estimator lives at ``bump_greeks``).
         raise ValueError(
-            "pathwise (IPA) Greeks are invalid for knockout payoffs; "
-            "bump-and-reprice the MC price or differentiate the learned "
-            "pricer (predict_greeks) instead"
+            "pathwise (IPA) Greeks are invalid for knockout payoffs; use "
+            "bump_greeks (bump-and-reprice under common random numbers) or "
+            "differentiate the learned pricer (predict_greeks) instead"
         )
+    if sim.payoff in AMERICAN_PAYOFFS:
+        # The synthetic underlier encodes ONE side's LSMC cashflow through
+        # the put channel (PayoffKind docstring); the opposite channel is
+        # identically zero, so its "Greeks" would be silently zero too.
+        configured = (
+            OptionSide.PUT
+            if sim.payoff == PayoffKind.AMERICAN_PUT
+            else OptionSide.CALL
+        )
+        if option != configured:
+            raise ValueError(
+                f"sim.payoff={sim.payoff.value!r} prices the "
+                f"{configured.value} side only; early exercise has no parity "
+                "route to the other side — configure the other AMERICAN kind"
+            )
+        # NOTE: jax.grad through the LSMC program is the standard
+        # fixed-policy pathwise estimator (the regression solve IS
+        # differentiated, but the exercise indicator is treated as locally
+        # constant). First-order Greeks are consistent by the envelope
+        # argument; gamma uses the same mixed estimator as the vanillas.
+        option = OptionSide.PUT  # the put channel carries the configured side
+    return _make_raw_price_fn(sim, option=option)
+
+
+def _make_raw_price_fn(
+    sim: SimulationParams, *, option: OptionSide
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """The Sobol→simulate→normalize→discount mean-payoff program, no estimator
+    gating — shared by the IPA path (``make_mc_price_fn``) and the
+    bump-and-reprice path (``bump_greeks``), so both differentiate/ bump the
+    exact pipeline the pricer runs."""
+    from spectralmc_tpu.ops.dispatch import make_mean_target, make_underlier_simulator
+
     xla_sim = sim.model_copy(update={"implementation": SimImplementation.XLA})
     dtype = xla_sim.precision.to_jnp()
     base_key = jax.random.PRNGKey(xla_sim.mc_seed)
@@ -204,6 +238,92 @@ def mc_greeks(
 
 
 # --------------------------------------------------------------------------
+# Bump-and-reprice Greeks — the estimator for kinked/indicator payoffs
+# --------------------------------------------------------------------------
+
+
+def make_bump_greeks_fn(
+    sim: SimulationParams,
+    *,
+    option: OptionSide,
+    rel_bump: float = 1e-2,
+) -> Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array, jax.Array]]:
+    """(draw_index, contract) → (price, grad_vector, gamma) by central finite
+    differences of the MC price under COMMON RANDOM NUMBERS — all 2D+1
+    evaluations share one ``draw_index``, so the noise cancels to first
+    order and only the policy/indicator response remains.
+
+    This is the estimator for payoffs whose pathwise derivative is invalid
+    (knockout indicators — the refusal in ``make_mc_price_fn`` points here).
+    It works for every (ModelKind, PayoffKind) the engines support. The
+    2D+1 bumped contracts run as ONE vmapped program (a single dispatch).
+
+    Bump sizing: h_i = rel_bump · max(|x_i|, 1e-3) per field. For barriers,
+    bias near the knockout level is O(h) in the crossing probability — the
+    classic FD/indicator tradeoff; shrink ``rel_bump`` with the path count.
+    """
+    price_fn = _make_raw_price_fn(sim, option=option)
+    floor = 1e-3
+
+    @jax.jit
+    def run(draw_index: jax.Array, contract: jax.Array):
+        d = contract.shape[0]
+        h = rel_bump * jnp.maximum(jnp.abs(contract), floor)  # [D]
+        bumps = jnp.eye(d, dtype=contract.dtype) * h[:, None]  # [D, D]
+        grid = jnp.concatenate(
+            [contract[None, :], contract[None, :] + bumps, contract[None, :] - bumps],
+            axis=0,
+        )  # [2D+1, D]
+        prices = jax.vmap(lambda c: price_fn(draw_index, c))(grid)
+        base = prices[0]
+        up, dn = prices[1 : d + 1], prices[d + 1 :]
+        grad = (up - dn) / (2.0 * h)
+        gamma = (up[0] - 2.0 * base + dn[0]) / (h[0] * h[0])
+        return base, grad, gamma
+
+    return run
+
+
+def bump_greeks(
+    sim: SimulationParams,
+    contract: Any,
+    *,
+    option: OptionSide = OptionSide.CALL,
+    draw_index: int | None = None,
+    rel_bump: float = 1e-2,
+) -> MCGreeks:
+    """Bump-and-reprice MC Greeks for one contract — valid for EVERY payoff
+    kind, including the knockouts the IPA estimator refuses
+    (``make_mc_price_fn``). Same conventions as ``mc_greeks``.
+    """
+    from spectralmc_tpu.ops.dispatch import contract_class
+    from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, PayoffKind
+
+    if sim.payoff in AMERICAN_PAYOFFS:
+        configured = (
+            OptionSide.PUT if sim.payoff == PayoffKind.AMERICAN_PUT else OptionSide.CALL
+        )
+        if option != configured:
+            raise ValueError(
+                f"sim.payoff={sim.payoff.value!r} prices the {configured.value} "
+                "side only — configure the other AMERICAN kind"
+            )
+        option = OptionSide.PUT  # the put channel carries the configured side
+    fields = tuple(contract_class(sim).model_fields.keys())
+    dtype = sim.precision.to_jnp()
+    arr = contract.as_array(dtype)
+    idx = sim.skip if draw_index is None else draw_index
+    run = make_bump_greeks_fn(sim, option=option, rel_bump=rel_bump)
+    price, grad, gamma = run(jnp.asarray(idx, jnp.uint32), arr)
+    return MCGreeks(
+        price=float(price),
+        by_field=dict(zip(fields, (float(g) for g in grad))),
+        gamma=float(gamma),
+        engine=SimImplementation.XLA,
+    )
+
+
+# --------------------------------------------------------------------------
 # Analytic oracle Greeks — autodiff of the closed forms
 # --------------------------------------------------------------------------
 
@@ -261,7 +381,9 @@ __all__ = [
     "MCGreeks",
     "OptionSide",
     "analytic_greeks",
+    "bump_greeks",
     "make_analytic_price_fn",
+    "make_bump_greeks_fn",
     "make_mc_greeks_fn",
     "make_mc_price_fn",
     "mc_greeks",

@@ -91,7 +91,10 @@ def make_sharded_batch(
     upper = table.upper.astype(dtype)
     dp_axis, mc_axis = spec.batch_axis, spec.paths_axis
 
-    simulate = make_underlier_simulator(sim, rows=local_rows)
+    # the paths axis rides into the simulator: the AMERICAN kinds psum their
+    # LSMC regression moments over it so every shard applies the identical
+    # exercise policy (pathwise-independent simulators ignore it)
+    simulate = make_underlier_simulator(sim, rows=local_rows, axis_name=mc_axis)
     mean_target_contract = make_mean_target(sim)
     normalize_fn = make_input_normalizer(table, enabled=normalize_inputs, dtype=dtype)
 

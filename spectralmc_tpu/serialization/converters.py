@@ -203,6 +203,7 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         model=sim.model.value,
         barrier_rel=sim.barrier_rel or 0.0,  # 0 encodes absent (invalid as a level)
         antithetic=sim.antithetic,
+        lsmc_basis_degree=sim.lsmc_basis_degree,
     )
     if sim.basket is not None:
         proto.basket.CopyFrom(basket_spec_to_proto(sim.basket))
@@ -235,6 +236,8 @@ def sim_params_from_proto(
                 basket=basket,
                 barrier_rel=proto.barrier_rel if proto.barrier_rel > 0.0 else None,
                 antithetic=proto.antithetic,
+                # 0 = absent (pre-round-3 checkpoint) -> the default degree
+                lsmc_basis_degree=proto.lsmc_basis_degree or 5,
             )
         )
     except (KeyError, ValueError) as exc:

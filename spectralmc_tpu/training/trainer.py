@@ -127,10 +127,18 @@ def build_training_config(
             )
         )
     if lr_schedule is not None:
-        if lr_schedule.peak <= 0.0 or lr_schedule.end_value < 0.0:
+        if lr_schedule.peak <= 0.0:
             return Failure(
                 InvalidTrainingConfig(
-                    field="lr_schedule", value=lr_schedule.peak, reason="peak must be > 0"
+                    field="lr_schedule.peak", value=lr_schedule.peak, reason="must be > 0"
+                )
+            )
+        if lr_schedule.end_value < 0.0:
+            return Failure(
+                InvalidTrainingConfig(
+                    field="lr_schedule.end_value",
+                    value=lr_schedule.end_value,
+                    reason="must be >= 0",
                 )
             )
         if not (0 <= lr_schedule.warmup_steps < lr_schedule.decay_steps):
@@ -1049,19 +1057,29 @@ class GbmCVNNPricer:
         # analytic mean of the average; where no closed form exists
         # (Heston geometric average) the call has no parity route — NaN +
         # warning rather than a silently wrong forward-parity number.
+        # The AMERICAN kinds train ONE side's cashflow through the put-payoff
+        # channel (PayoffKind docstring): the learned value IS that side's
+        # price; the other side reports NaN (early exercise breaks parity).
+        from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, PayoffKind
+
         put_np = np.asarray(put)
+        if self._sim.payoff == PayoffKind.AMERICAN_CALL:
+            return PricePrediction(
+                put=np.full_like(put_np, np.nan), call=put_np, imag_residue=residue
+            )
         if not has_closed_form_mean(
             self._sim.model,
             self._sim.payoff,
             combine=self._sim.basket.combine if self._sim.basket else None,
         ):
-            import logging
+            if self._sim.payoff not in AMERICAN_PAYOFFS:
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "no closed-form E[underlier] for %s/%s: call-via-parity unavailable",
-                self._sim.model.value,
-                self._sim.payoff.value,
-            )
+                logging.getLogger(__name__).warning(
+                    "no closed-form E[underlier] for %s/%s: call-via-parity unavailable",
+                    self._sim.model.value,
+                    self._sim.payoff.value,
+                )
             call_np = np.full_like(put_np, np.nan)
         else:
             arr_np = np.asarray(arr)
@@ -1144,13 +1162,15 @@ class GbmCVNNPricer:
         Where no closed-form E[underlier] exists the call outputs are NaN
         (same parity rule as ``predict_price``), with the same warning.
         """
+        from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, PayoffKind
+
         dtype = self._sim.precision.to_jnp()
         arr = _contracts_to_device(contracts, contract_class(self._sim), dtype)
         if not has_closed_form_mean(
             self._sim.model,
             self._sim.payoff,
             combine=self._sim.basket.combine if self._sim.basket else None,
-        ):
+        ) and self._sim.payoff not in AMERICAN_PAYOFFS:
             import logging
 
             logging.getLogger(__name__).warning(
@@ -1162,6 +1182,11 @@ class GbmCVNNPricer:
             self._params, self._bn_state, arr
         )
         fields = tuple(contract_class(self._sim).model_fields.keys())
+        if self._sim.payoff == PayoffKind.AMERICAN_CALL:
+            # the learned channel carries the CALL side (PayoffKind docstring)
+            put, call = call, put
+            put_jac, call_jac = call_jac, put_jac
+            put_gamma, call_gamma = call_gamma, put_gamma
         return GreeksPrediction(
             put=np.asarray(put),
             call=np.asarray(call),

@@ -129,3 +129,242 @@ def test_more_exercise_dates_never_cheapen() -> None:
         for k in (1, 4, 16)
     ]
     assert values[0] <= values[1] <= values[2]
+
+
+# --------------------------------------------------------------------------
+# Round 3: American as a first-class (trainable, servable) family
+# --------------------------------------------------------------------------
+
+
+def _family_sim(payoff, **kwargs):
+    from spectralmc_tpu.ops.gbm import ForwardNormalization, build_simulation_params
+
+    defaults = dict(
+        timesteps=16, network_size=256, batches_per_mc_run=256, mc_seed=3,
+        payoff=payoff, normalization=ForwardNormalization.NONE,
+    )
+    defaults.update(kwargs)
+    return build_simulation_params(**defaults)
+
+
+@pytest.mark.parametrize(
+    "payoff_name,option,contract_kwargs",
+    [
+        ("american_put", "put", dict(spot=100.0, strike=105.0, rate=0.05, div_yield=0.0)),
+        ("american_call", "call", dict(spot=100.0, strike=95.0, rate=0.03, div_yield=0.06)),
+    ],
+)
+def test_family_underlier_encoding_prices_to_tree(payoff_name, option, contract_kwargs) -> None:
+    """The synthetic underlier u = K − cf/df through the STANDARD payoff
+    pipeline (BlackScholes.price_to_host) reproduces the Bermudan tree price
+    for both option sides — the put channel carries the configured side."""
+    from spectralmc_tpu.ops.gbm import BlackScholes, PayoffKind
+
+    from tests.helpers import expect_success
+
+    sim = expect_success(_family_sim(PayoffKind(payoff_name)))
+    c = make_contract(vol=0.25, maturity=1.0, **contract_kwargs)
+    prices, _ = BlackScholes(sim).price_to_host(c)
+    tree = bermudan_tree_price(
+        spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+        div_yield=c.div_yield, vol=c.vol, exercise_dates=16, option=option,
+    )
+    se_proxy = 0.01 * tree  # 65k paths: MC SE well under 1% for these scales
+    assert prices.put == pytest.approx(tree, abs=max(3.0 * se_proxy, 0.01 * tree)), (
+        f"family={prices.put} tree={tree}"
+    )
+    # the other vanilla channel is exactly zero by the encoding
+    assert prices.call == 0.0
+
+
+def test_family_simulator_row_offset_shard_stability() -> None:
+    """A 'shard' owning rows [4, 8) with the psum-free path must reproduce
+    the full run's rows exactly ONLY when the regression sees the same
+    paths — which is what axis_name psum provides; without it the policies
+    differ. Verify the keying does its part: forward paths (pre-regression)
+    are row-stable by comparing two full runs."""
+    from spectralmc_tpu.ops.american import simulate_american_underlier_rows
+
+    c = make_contract(strike=105.0)
+    arr = c.as_array(jnp.float32)
+    kw = dict(timesteps=4, cols=64, dtype=jnp.float32, option=OptionSide.PUT)
+    full = np.asarray(
+        simulate_american_underlier_rows(jax.random.PRNGKey(2), arr, rows=8, **kw)
+    )
+    again = np.asarray(
+        simulate_american_underlier_rows(jax.random.PRNGKey(2), arr, rows=8, **kw)
+    )
+    np.testing.assert_array_equal(full, again)  # deterministic
+    assert np.isfinite(full).all()
+
+
+def test_family_antithetic_runs_and_reduces_variance() -> None:
+    from spectralmc_tpu.ops.american import simulate_american_underlier_rows
+
+    c = make_contract(strike=105.0, rate=0.05, div_yield=0.0)
+    arr = c.as_array(jnp.float32)
+    kw = dict(timesteps=8, rows=64, cols=256, dtype=jnp.float32, option=OptionSide.PUT)
+    plain = np.asarray(
+        simulate_american_underlier_rows(jax.random.PRNGKey(5), arr, **kw)
+    )
+    anti = np.asarray(
+        simulate_american_underlier_rows(
+            jax.random.PRNGKey(5), arr, antithetic_half=32, **kw
+        )
+    )
+    assert np.isfinite(anti).all()
+    # pairing: cashflow row-means of mirrored halves are correlated; the
+    # estimator's row-mean variance should not blow up
+    assert np.var(anti.mean(axis=1)) <= 4.0 * np.var(plain.mean(axis=1))
+
+
+def test_american_validation_gates() -> None:
+    from spectralmc_tpu.core.result import Failure
+    from spectralmc_tpu.ops.gbm import (
+        ForwardNormalization,
+        ModelKind,
+        PathScheme,
+        PayoffKind,
+        build_simulation_params,
+    )
+
+    base = dict(
+        timesteps=4, network_size=16, batches_per_mc_run=4, mc_seed=1,
+        payoff=PayoffKind.AMERICAN_PUT, normalization=ForwardNormalization.NONE,
+    )
+    assert not isinstance(build_simulation_params(**base), Failure)
+    # non-GBM dynamics rejected
+    assert isinstance(
+        build_simulation_params(**{**base, "model": ModelKind.HESTON}), Failure
+    )
+    # Euler scheme rejected
+    assert isinstance(
+        build_simulation_params(**{**base, "scheme": PathScheme.EULER}), Failure
+    )
+    # basis degree bounds
+    assert isinstance(
+        build_simulation_params(**{**base, "lsmc_basis_degree": 0}), Failure
+    )
+    assert isinstance(
+        build_simulation_params(**{**base, "lsmc_basis_degree": 9}), Failure
+    )
+    # a single monitor date is European, not Bermudan
+    assert isinstance(build_simulation_params(**{**base, "timesteps": 1}), Failure)
+    # MEAN normalization has no closed-form target
+    assert isinstance(
+        build_simulation_params(
+            **{**base, "normalization": ForwardNormalization.MEAN}
+        ),
+        Failure,
+    )
+
+
+def test_american_resolves_to_xla_engine() -> None:
+    from spectralmc_tpu.ops.gbm import (
+        PayoffKind,
+        SimImplementation,
+        resolve_implementation,
+    )
+    from tests.helpers import expect_success
+
+    sim = expect_success(
+        _family_sim(PayoffKind.AMERICAN_PUT, implementation=SimImplementation.PALLAS)
+    )
+    assert resolve_implementation(sim) == SimImplementation.XLA
+
+
+def _train_family_pricer(payoff, num_batches=40, seed=5):
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.ops.sobol import BoundSpec
+    from spectralmc_tpu.training.trainer import (
+        GbmCVNNPricer,
+        GbmCVNNPricerConfig,
+        build_training_config,
+    )
+    from tests.helpers import expect_success
+
+    bounds = {
+        "spot": BoundSpec(lower=95.0, upper=105.0),
+        "strike": BoundSpec(lower=95.0, upper=105.0),
+        "maturity": BoundSpec(lower=0.5, upper=1.5),
+        "rate": BoundSpec(lower=0.01, upper=0.05),
+        "div_yield": BoundSpec(lower=0.0, upper=0.02),
+        "vol": BoundSpec(lower=0.2, upper=0.3),
+    }
+    sim = expect_success(
+        _family_sim(payoff, timesteps=8, network_size=32, batches_per_mc_run=32)
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=48, activation=Activation.MODRELU)], seed=seed
+        )
+    )
+    cfg = GbmCVNNPricerConfig(sim=sim, bounds=bounds, cvnn=cvnn, normalize_inputs=True)
+    pricer = expect_success(GbmCVNNPricer.create(cfg))
+    tc = expect_success(
+        build_training_config(num_batches=num_batches, batch_size=16, learning_rate=2e-3)
+    )
+    result = expect_success(pricer.train(tc))
+    return pricer, result
+
+
+def test_american_family_trains_and_predicts_put_channel() -> None:
+    """AMERICAN_PUT: training loss decreases and predict_price returns the
+    learned American put with a NaN call (no parity under early exercise)."""
+    pricer, result = _train_family_pricer(
+        __import__("spectralmc_tpu.ops.gbm", fromlist=["PayoffKind"]).PayoffKind.AMERICAN_PUT
+    )
+    head = float(np.mean(result.losses[:8]))
+    tail = float(np.mean(result.losses[-8:]))
+    assert tail < head, (head, tail)
+    pred = pricer.predict_price([make_contract(strike=100.0)])
+    assert np.isfinite(pred.put).all()
+    assert np.isnan(pred.call).all()
+
+
+def test_american_call_channel_mapping() -> None:
+    """AMERICAN_CALL: the learned channel lands in ``call``; put is NaN —
+    in predict_price AND predict_greeks."""
+    from spectralmc_tpu.ops.gbm import PayoffKind
+
+    pricer, _ = _train_family_pricer(PayoffKind.AMERICAN_CALL, num_batches=8)
+    pred = pricer.predict_price([make_contract(strike=100.0)])
+    assert np.isfinite(pred.call).all()
+    assert np.isnan(pred.put).all()
+    greeks = pricer.predict_greeks([make_contract(strike=100.0)])
+    assert np.isfinite(greeks.call).all()
+    assert np.isfinite(greeks.call_jacobian).all()
+    assert np.isfinite(greeks.call_gamma).all()
+    assert np.isnan(greeks.put).all()
+    assert np.isnan(greeks.put_jacobian).all()
+
+
+def test_american_family_greeks_put_side() -> None:
+    from spectralmc_tpu.ops.gbm import PayoffKind
+
+    pricer, _ = _train_family_pricer(PayoffKind.AMERICAN_PUT, num_batches=8)
+    greeks = pricer.predict_greeks([make_contract(strike=100.0)])
+    assert np.isfinite(greeks.put).all()
+    assert np.isfinite(greeks.put_jacobian).all()
+    assert np.isfinite(greeks.put_gamma).all()
+    assert np.isnan(greeks.call).all()
+    assert greeks.fields[0] == "spot"
+
+
+def test_lsmc_basis_degree_serialization_roundtrip() -> None:
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.serialization.converters import (
+        sim_params_from_proto,
+        sim_params_to_proto,
+    )
+    from tests.helpers import expect_success
+
+    sim = expect_success(_family_sim(PayoffKind.AMERICAN_PUT, lsmc_basis_degree=3))
+    proto = sim_params_to_proto(sim)
+    assert proto.lsmc_basis_degree == 3
+    back = expect_success(sim_params_from_proto(proto))
+    assert back == sim
+    # a pre-round-3 proto (field absent -> 0) decodes to the default degree
+    proto.lsmc_basis_degree = 0
+    legacy = expect_success(sim_params_from_proto(proto))
+    assert legacy.lsmc_basis_degree == 5

@@ -245,3 +245,62 @@ def test_extension_families_commit_reload_serve(tmp_path) -> None:
             assert np.isnan(live.call).all()
 
     asyncio.run(serve())
+
+
+def test_american_family_commit_reload_serve(tmp_path) -> None:
+    """Round 3: the American family through the FULL production shell — an
+    AMERICAN_PUT pricer (non-default lsmc_basis_degree, antithetic pairing)
+    trains, commits to the chain, reloads through a pinned InferenceClient,
+    and the served config reproduces the live trainer's predictions AND
+    Greeks bit-for-bit (VERDICT r2 item 1: train→commit→serve + greeks)."""
+    from spectralmc_tpu.ops.gbm import ForwardNormalization, PayoffKind
+    from spectralmc_tpu.storage.inference import InferenceClient, PinnedMode
+    from spectralmc_tpu.training.trainer import FinalCommit
+
+    sim = expect_success(
+        build_simulation_params(
+            mc_seed=11, timesteps=4, network_size=32, batches_per_mc_run=4,
+            payoff=PayoffKind.AMERICAN_PUT, lsmc_basis_degree=3,
+            normalization=ForwardNormalization.NONE, antithetic=True,
+        )
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)], seed=9
+        )
+    )
+    cfg = GbmCVNNPricerConfig(sim=sim, bounds=BOUNDS, cvnn=cvnn, normalize_inputs=True)
+    store = AsyncBlockchainModelStore(FileSystemObjectStore(str(tmp_path), "amer"))
+    trainer = expect_success(GbmCVNNPricer.create(cfg))
+    tc = expect_success(
+        build_training_config(num_batches=6, batch_size=4, learning_rate=2e-3)
+    )
+    expect_success(
+        trainer.train(tc, commit_plan=FinalCommit(), commit_fn=make_commit_fn(store))
+    )
+    contracts = [make_contract(strike=95.0), make_contract(strike=105.0)]
+    live = trainer.predict_price(contracts)
+    live_greeks = trainer.predict_greeks(contracts)
+
+    async def serve() -> None:
+        async with InferenceClient(store, PinnedMode(counter=0)) as client:
+            loaded = client.get_model()
+            assert loaded is not None
+            served_cfg = loaded.config
+            # the American knobs survived the chain round trip
+            assert served_cfg.sim.payoff == PayoffKind.AMERICAN_PUT
+            assert served_cfg.sim.lsmc_basis_degree == 3
+            assert served_cfg.sim.antithetic
+            served = expect_success(GbmCVNNPricer.create(served_cfg))
+            pred = served.predict_price(contracts)
+            np.testing.assert_array_equal(pred.put, live.put)
+            assert np.isnan(pred.call).all()  # early exercise breaks parity
+            assert np.isnan(live.call).all()
+            greeks = served.predict_greeks(contracts)
+            np.testing.assert_array_equal(greeks.put, live_greeks.put)
+            np.testing.assert_array_equal(
+                greeks.put_jacobian, live_greeks.put_jacobian
+            )
+            assert np.isfinite(greeks.put_gamma).all()
+
+    asyncio.run(serve())

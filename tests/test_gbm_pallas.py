@@ -116,3 +116,52 @@ def test_row_offset_falls_back_and_passes_through() -> None:
         simulate_terminal_rows_pallas(key, arr, rows=8, row_offset=8, **kw)
     )
     assert np.array_equal(hi, full[8:])
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Mosaic bit behavior needs real TPU"
+)
+def test_bm_radius_rsqrt_bit_identity_exhaustive_on_device() -> None:
+    """Exhaustive sqrt(x) vs x*rsqrt(x) over the full Box-Muller radius domain
+    INSIDE a Pallas kernel (the arithmetic the GBM/Heston kernels execute).
+
+    The v2 streams use ``x * rsqrt(x)``; this check documents whether the
+    current Mosaic backend evaluates it bit-identically to ``jnp.sqrt`` on
+    every one of the 2^24 possible u1 inputs. The stream version is bumped
+    regardless (the identity is backend-dependent — it fails on CPU), so a
+    mismatch here is INFORMATION, not a failure of the determinism contract;
+    the assert pins the backend this kernel build was verified on.
+    """
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+
+    n = 1 << 24
+    block = 1 << 17  # 128k lanes per grid step
+
+    def kernel(u_ref, out_ref):
+        u1 = u_ref[...]
+        x = jnp.float32(-2.0) * jnp.log(u1)
+        a = jnp.sqrt(x)
+        b = x * jax.lax.rsqrt(jnp.maximum(x, jnp.float32(1e-30)))
+        out_ref[...] = (
+            pltpu.bitcast(a, jnp.int32) != pltpu.bitcast(b, jnp.int32)
+        ).astype(jnp.int32)
+
+    run = pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[pl.BlockSpec((1, block), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((1, block), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n // block, block), jnp.int32),
+    )
+
+    # u1 = k * 2^-24 + 2^-25 for k in [0, 2^24): the exact generator outputs
+    k = jnp.arange(n, dtype=jnp.uint32).reshape(n // block, block)
+    u1 = k.astype(jnp.float32) * jnp.float32(2.0**-24) + jnp.float32(2.0**-25)
+    mismatches = int(jnp.sum(run(u1)))
+    assert mismatches == 0, (
+        f"{mismatches} one-ulp sqrt/rsqrt mismatches on this backend — the "
+        "v2 Pallas stream differs from the build this kernel was verified "
+        "on; bump PALLAS_STREAM_VERSIONS before shipping kernels from here"
+    )

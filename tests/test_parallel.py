@@ -196,6 +196,12 @@ def test_sharded_matches_single_device_new_families() -> None:
             normalization=ForwardNormalization.NONE,
         ),
         "antithetic": dict(antithetic=True),
+        # round 3: the LSMC regression couples ALL paths — the psum'd moment
+        # sums must make every paths-shard apply the identical policy
+        "american": dict(
+            payoff=PayoffKind.AMERICAN_PUT,
+            normalization=ForwardNormalization.NONE,
+        ),
     }
     for name, sim_kwargs in cases.items():
         sim = make_simulation_params(

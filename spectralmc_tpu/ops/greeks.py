@@ -28,11 +28,13 @@ Three estimator families:
   *learned* pricer: gradient through IFFT∘CVNN, smooth in all inputs, so
   even gamma is a plain second derivative.
 
-The MC estimators always run the XLA (`lax.scan`) engine: a `pallas_call`
-kernel has no registered VJP, and Greeks are statistical estimates — the
-engine bit-stream pin (`SimulationParams.implementation`) governs *resume*
-determinism, not estimator choice. This is documented behavior, not a silent
-fallback: the returned ``MCGreeks.engine`` records it.
+Engine selection (``greeks_engine``): for (GBM, TERMINAL, log-Euler) a
+PALLAS-configured sim keeps the fused hardware kernel — its backward pass is
+the ANALYTIC pathwise rule computed from the kernel's own forward samples
+(``gbm_pallas.terminal_pathwise_vjp``; no Mosaic backward, no second bit
+stream), so Greeks run at kernel speed. Every other combination runs the
+autodiff-transparent XLA (`lax.scan`) engine. The returned
+``MCGreeks.engine`` records which one ran.
 """
 
 from __future__ import annotations
@@ -106,8 +108,8 @@ def make_mc_price_fn(
 
     The same Sobol→simulate→normalize→discount pipeline as
     ``training/step.py::make_mc_spectrum`` but reduced to the mean discounted
-    payoff instead of the spectrum. Forces the XLA engine (see module
-    docstring) while preserving the (contract_key, row, timestep) stream.
+    payoff instead of the spectrum. Engine per ``greeks_engine`` (Pallas
+    kernel + analytic pathwise VJP where eligible, XLA otherwise).
     """
     from spectralmc_tpu.ops.dispatch import make_mean_target, make_underlier_simulator
     from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, BARRIER_PAYOFFS, PayoffKind
@@ -146,21 +148,66 @@ def make_mc_price_fn(
     return _make_raw_price_fn(sim, option=option)
 
 
+def greeks_engine(sim: SimulationParams) -> SimImplementation:
+    """The engine the Greeks estimators will ACTUALLY differentiate/bump.
+
+    PALLAS-configured sims keep the hardware kernel for (GBM, TERMINAL,
+    log-Euler): the kernel's backward pass is the analytic pathwise rule
+    over its own forward samples (``gbm_pallas.terminal_pathwise_vjp``), so
+    Greeks run at kernel speed on the SAME bit stream the pricer consumes.
+    Every other (model, payoff, scheme) combination runs the autodiff-
+    transparent XLA engine — `MCGreeks.engine` records the choice.
+    """
+    from spectralmc_tpu.ops.gbm import ModelKind, PathScheme, PayoffKind
+
+    if (
+        sim.implementation == SimImplementation.PALLAS
+        and sim.model == ModelKind.GBM
+        and sim.payoff == PayoffKind.TERMINAL
+        and sim.scheme == PathScheme.LOG_EULER
+    ):
+        from spectralmc_tpu.ops.gbm_pallas import pallas_supported
+
+        if pallas_supported(
+            dtype=sim.precision.to_jnp(),
+            rows=sim.batches_per_mc_run,
+            cols=sim.network_size,
+        ):
+            return SimImplementation.PALLAS
+    return SimImplementation.XLA
+
+
 def _make_raw_price_fn(
     sim: SimulationParams, *, option: OptionSide
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """The Sobol→simulate→normalize→discount mean-payoff program, no estimator
     gating — shared by the IPA path (``make_mc_price_fn``) and the
     bump-and-reprice path (``bump_greeks``), so both differentiate/ bump the
-    exact pipeline the pricer runs."""
+    exact pipeline the pricer runs. Engine per ``greeks_engine``."""
     from spectralmc_tpu.ops.dispatch import make_mean_target, make_underlier_simulator
 
-    xla_sim = sim.model_copy(update={"implementation": SimImplementation.XLA})
-    dtype = xla_sim.precision.to_jnp()
-    base_key = jax.random.PRNGKey(xla_sim.mc_seed)
-    normalize = xla_sim.normalization == ForwardNormalization.MEAN
-    simulate = make_underlier_simulator(xla_sim, rows=xla_sim.batches_per_mc_run)
-    mean_target = make_mean_target(xla_sim)
+    dtype = sim.precision.to_jnp()
+    base_key = jax.random.PRNGKey(sim.mc_seed)
+    normalize = sim.normalization == ForwardNormalization.MEAN
+    if greeks_engine(sim) == SimImplementation.PALLAS:
+        from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_rows_pallas_diff
+
+        anti = sim.batches_per_mc_run // 2 if sim.antithetic else None
+
+        def simulate(key: jax.Array, contract: jax.Array) -> jax.Array:
+            return simulate_terminal_rows_pallas_diff(
+                key,
+                contract,
+                timesteps=sim.timesteps,
+                rows=sim.batches_per_mc_run,
+                cols=sim.network_size,
+                dtype=dtype,
+                antithetic_half=anti,
+            )
+    else:
+        xla_sim = sim.model_copy(update={"implementation": SimImplementation.XLA})
+        simulate = make_underlier_simulator(xla_sim, rows=xla_sim.batches_per_mc_run)
+    mean_target = make_mean_target(sim)
 
     def price(draw_index: jax.Array, contract: jax.Array) -> jax.Array:
         key = jax.random.fold_in(base_key, draw_index)
@@ -233,7 +280,7 @@ def mc_greeks(
         price=float(price),
         by_field=dict(zip(fields, grad_host)),
         gamma=float(gamma),
-        engine=SimImplementation.XLA,
+        engine=greeks_engine(sim),
     )
 
 
@@ -319,7 +366,7 @@ def bump_greeks(
         price=float(price),
         by_field=dict(zip(fields, (float(g) for g in grad))),
         gamma=float(gamma),
-        engine=SimImplementation.XLA,
+        engine=greeks_engine(sim),
     )
 
 
@@ -379,6 +426,7 @@ def analytic_greeks(
 
 __all__ = [
     "MCGreeks",
+    "greeks_engine",
     "OptionSide",
     "analytic_greeks",
     "bump_greeks",

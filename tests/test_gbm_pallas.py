@@ -165,3 +165,90 @@ def test_bm_radius_rsqrt_bit_identity_exhaustive_on_device() -> None:
         "v2 Pallas stream differs from the build this kernel was verified "
         "on; bump PALLAS_STREAM_VERSIONS before shipping kernels from here"
     )
+
+
+def test_terminal_pathwise_vjp_matches_autodiff() -> None:
+    """The analytic pathwise rule (the Pallas kernel's backward pass) must
+    equal jax.grad of the XLA log-Euler simulator — same math, so the rule
+    is verified off-TPU by differentiating the transparent engine."""
+    from spectralmc_tpu.ops.gbm import simulate_terminal_rows
+    from spectralmc_tpu.ops.gbm_pallas import terminal_pathwise_vjp
+
+    key = jax.random.PRNGKey(9)
+    arr = CONTRACT.as_array(jnp.float64)
+    kw = dict(timesteps=6, rows=16, cols=64, dtype=jnp.float64,
+              scheme=PathScheme.LOG_EULER)
+    # an arbitrary smooth reduction with non-uniform cotangents
+    w = jnp.linspace(0.5, 2.0, 16 * 64).reshape(16, 64).astype(jnp.float64)
+
+    def loss(c):
+        return jnp.sum(w * simulate_terminal_rows(key, c, **kw))
+
+    want = np.asarray(jax.grad(loss)(arr))
+    s_t = simulate_terminal_rows(key, arr, **kw)
+    got = np.asarray(terminal_pathwise_vjp(w, s_t, arr))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_terminal_pathwise_vjp_matches_autodiff_antithetic_f32() -> None:
+    from spectralmc_tpu.ops.gbm import simulate_terminal_rows
+    from spectralmc_tpu.ops.gbm_pallas import terminal_pathwise_vjp
+
+    key = jax.random.PRNGKey(4)
+    arr = CONTRACT.as_array(jnp.float32)
+    kw = dict(timesteps=4, rows=8, cols=128, dtype=jnp.float32,
+              scheme=PathScheme.LOG_EULER, antithetic_half=4)
+    w = jnp.ones((8, 128), jnp.float32) / (8 * 128)
+
+    def loss(c):
+        return jnp.sum(w * simulate_terminal_rows(key, c, **kw))
+
+    want = np.asarray(jax.grad(loss)(arr))
+    s_t = simulate_terminal_rows(key, arr, **kw)
+    got = np.asarray(terminal_pathwise_vjp(w, s_t, arr))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_pallas_diff_wrapper_falls_back_and_differentiates() -> None:
+    """Off-TPU the diff wrapper routes to the XLA engine and grads flow."""
+    from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_rows_pallas_diff
+
+    key = jax.random.PRNGKey(2)
+    arr = CONTRACT.as_array(jnp.float32)
+
+    def mean_terminal(c):
+        return jnp.mean(
+            simulate_terminal_rows_pallas_diff(
+                key, c, timesteps=4, rows=8, cols=128, dtype=jnp.float32
+            )
+        )
+
+    g = np.asarray(jax.grad(mean_terminal)(arr))
+    assert np.isfinite(g).all()
+    assert g[0] > 0.0  # d E[S_T] / d S0 = e^{(r-q)T} > 0
+    assert g[1] == 0.0  # strike never enters the simulator
+
+
+def test_greeks_engine_selection() -> None:
+    from spectralmc_tpu.ops.gbm import PayoffKind, SimImplementation
+    from spectralmc_tpu.ops.greeks import greeks_engine
+    from tests.helpers.factories import make_simulation_params
+
+    xla = make_simulation_params(timesteps=4, network_size=128, batches_per_mc_run=8)
+    assert greeks_engine(xla) == SimImplementation.XLA
+    pal = make_simulation_params(
+        timesteps=4, network_size=128, batches_per_mc_run=8,
+        implementation=SimImplementation.PALLAS,
+    )
+    # off-TPU pallas_supported is False -> XLA; on TPU this resolves PALLAS
+    expected = (
+        SimImplementation.PALLAS
+        if jax.default_backend() == "tpu"
+        else SimImplementation.XLA
+    )
+    assert greeks_engine(pal) == expected
+    asian = make_simulation_params(
+        timesteps=4, network_size=128, batches_per_mc_run=8,
+        implementation=SimImplementation.PALLAS, payoff=PayoffKind.ASIAN_GEOMETRIC,
+    )
+    assert greeks_engine(asian) == SimImplementation.XLA

@@ -545,16 +545,19 @@ def bench_family_quality(*, tiny: bool, family: str) -> tuple[float, float]:
     return _quality_eval(pricer, pricer._sobol_table(), 64, oracle, channel)
 
 
-def bench_basket_throughput(*, tiny: bool) -> float:
-    """Basket family path throughput on the XLA engine (VERDICT r2 #4):
-    underlier path-steps/s where each step advances n_assets correlated
-    components + the mixing contraction."""
+def bench_basket_throughput(*, tiny: bool) -> tuple[float, float]:
+    """Basket family path throughput (VERDICT r2 #4): underlier path-steps/s
+    where each step advances n_assets correlated components + the mixing
+    combine. Returns (pallas_rate, xla_rate) — the fused basket kernel
+    (gbm_pallas.py: in-register Cholesky mix over paired Box-Muller normals)
+    vs the lax.scan path; off-TPU the pallas figure is 0."""
     from spectralmc_tpu.ops.basket import (
         BasketCombine,
         build_basket_spec,
         simulate_basket_underlier_rows,
     )
     from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.gbm_pallas import simulate_basket_underlier_rows_pallas
 
     spec = build_basket_spec(
         weights=(0.5, 0.3, 0.2),
@@ -565,14 +568,21 @@ def bench_basket_throughput(*, tiny: bool) -> float:
         kw = dict(timesteps=4, rows=64, cols=128, reps=2)
     else:
         kw = dict(timesteps=64, rows=2048, cols=256, reps=40)
+    common = dict(
+        spec=spec, timesteps=kw["timesteps"], rows=kw["rows"], cols=kw["cols"],
+        dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
+    )
 
-    def basket_fn(key, contract):
-        return simulate_basket_underlier_rows(
-            key, contract, spec=spec, timesteps=kw["timesteps"], rows=kw["rows"],
-            cols=kw["cols"], dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
-        )
+    def xla_fn(key, contract):
+        return simulate_basket_underlier_rows(key, contract, **common)
 
-    return bench_mc(basket_fn, **kw)
+    def pallas_fn(key, contract):
+        return simulate_basket_underlier_rows_pallas(key, contract, **common)
+
+    xla_rate = bench_mc(xla_fn, **kw)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    pallas_rate = bench_mc(pallas_fn, **kw) if on_tpu else 0.0
+    return pallas_rate, xla_rate
 
 
 def bench_greeks_throughput(*, tiny: bool) -> tuple[float, float]:
@@ -686,7 +696,8 @@ def main() -> None:
         tiny=tiny, implementation=engine
     )
     wide_steps = bench_wide_spectrum(tiny=tiny, implementation=engine)
-    basket_ps = bench_basket_throughput(tiny=tiny)
+    basket_pallas_ps, basket_xla_ps = bench_basket_throughput(tiny=tiny)
+    basket_ps = basket_pallas_ps if on_tpu else basket_xla_ps
     greeks_pallas, greeks_xla = bench_greeks_throughput(tiny=tiny)
     charfn_mae, charfn_rel_mae = bench_charfn_quality(tiny=tiny)
     heston_mae, heston_rel_mae = bench_family_quality(tiny=tiny, family="heston")
@@ -727,9 +738,11 @@ def main() -> None:
                     "xla_path_steps_per_sec": xla_ps,
                     "heston_path_steps_per_sec": heston_ps,
                     "gbm_antithetic_path_steps_per_sec": antithetic_ps,
-                    # 3-asset correlated basket, XLA engine (the per-step
-                    # asset mixing rides the MXU; docs/performance.md)
+                    # 3-asset correlated basket: the fused Pallas kernel
+                    # (in-register Cholesky mix) vs the XLA scan
+                    # (docs/performance.md basket section)
                     "basket3_path_steps_per_sec": basket_ps,
+                    "basket3_xla_path_steps_per_sec": basket_xla_ps,
                     "train_steps_per_sec": steps_per_sec,
                     # BASELINE config 3: 8192 contracts x 1.05M paths, 512-pt
                     # FFT, deep CVNN — chunk-streamed (contract_chunk=256).

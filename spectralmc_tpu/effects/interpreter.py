@@ -172,6 +172,13 @@ class MonteCarloInterpreter:
             from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS, PayoffKind
 
             if payoff in BARRIER_PAYOFFS:
+                if effect.barrier_rel <= 0.0:
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason=f"payoff={payoff.value!r} requires barrier_rel > 0",
+                        )
+                    )
                 # mirror build_simulation_params' direction bounds: an up-out
                 # level <= spot (or a down-out level >= spot) knocks every
                 # path at step 1 and silently prices everything to zero

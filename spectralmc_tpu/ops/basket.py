@@ -290,9 +290,12 @@ def expected_basket_underlier_mean(
     lognormal, so all three payoff kinds have closed forms (the geometric
     time-average reuses the Asian (N+1)(2N+1)/(6N) variance).
     """
-    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS, PayoffKind
+    from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, BARRIER_PAYOFFS, PayoffKind
 
-    if payoff in BARRIER_PAYOFFS:
+    if payoff in BARRIER_PAYOFFS or payoff in AMERICAN_PAYOFFS:
+        # knocked-out means have no closed form; the American synthetic
+        # underlier's mean IS the unknown price (and baskets reject the
+        # AMERICAN kinds at config build time anyway)
         return None
     spot, _, maturity, rate, div_yield, _ = (contract[i].astype(dtype) for i in range(6))
     n = jnp.asarray(timesteps, dtype)

@@ -91,7 +91,14 @@ def make_underlier_simulator(
         return simulate_american
 
     if sim.model == ModelKind.BASKET_GBM:
-        from spectralmc_tpu.ops.basket import simulate_basket_underlier_rows
+        if sim.implementation == SimImplementation.PALLAS:
+            from spectralmc_tpu.ops.gbm_pallas import (
+                simulate_basket_underlier_rows_pallas as _sim_basket,
+            )
+        else:
+            from spectralmc_tpu.ops.basket import (
+                simulate_basket_underlier_rows as _sim_basket,
+            )
 
         spec = sim.basket
         assert spec is not None  # enforced by build_simulation_params
@@ -99,7 +106,7 @@ def make_underlier_simulator(
         def simulate(
             key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
         ) -> jax.Array:
-            return simulate_basket_underlier_rows(
+            return _sim_basket(
                 key,
                 contract,
                 spec=spec,

@@ -403,11 +403,6 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
     """
     if params.implementation != SimImplementation.PALLAS:
         return params.implementation
-    if params.model == ModelKind.BASKET_GBM:
-        # no basket Pallas kernel (the asset-mixing contraction already rides
-        # the MXU on the XLA path); requesting PALLAS resolves to XLA loudly
-        # through the same recording machinery as shape/backend fallbacks
-        return SimImplementation.XLA
     if params.payoff in AMERICAN_PAYOFFS:
         # LSMC needs the full [timesteps, rows, cols] path matrix plus a
         # cross-path regression per exercise date — the backward induction is

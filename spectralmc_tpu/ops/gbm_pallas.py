@@ -63,7 +63,8 @@ _HALF_ULP = float(2.0**-25)
 #   heston v1 — round 1 (two _sin_turns per step).
 #   heston v2 — round 2 (fused _sincos_turns + hoisted variance scalars);
 #               shares the v2 radius, same defensive bump rationale.
-PALLAS_STREAM_VERSIONS: dict[str, int] = {"gbm": 2, "heston": 3}
+#   basket v1 — round 3 (paired sincos normals + static Cholesky mix).
+PALLAS_STREAM_VERSIONS: dict[str, int] = {"gbm": 2, "heston": 3, "basket_gbm": 1}
 
 
 def pallas_stream_version(model: "object") -> int:
@@ -877,6 +878,269 @@ def simulate_heston_underlier_rows_pallas(
     return _simulate_heston_rows_pallas_f32(
         contract_key,
         contract,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        payoff=payoff,
+        barrier_rel=barrier_rel,
+        antithetic=antithetic_half is not None,
+        row_offset=row_offset,
+        interpret=interpret,
+    )
+
+
+# --------------------------------------------------------------------------
+# Basket kernel (third model family; ops/basket.py defines the XLA path)
+# --------------------------------------------------------------------------
+
+
+def _basket_block_kernel(
+    params_ref,  # SMEM (1, 6): spot strike T r q vol
+    seeds_ref,  # SMEM (1, 3) int32: key words + row-block offset
+    out_ref,  # VMEM (rows_per_block, cols_per_block)
+    *,
+    timesteps: int,
+    payoff: PayoffKind,
+    rows_per_block: int,
+    cols_per_block: int,
+    weights: tuple[float, ...],
+    spot_multipliers: tuple[float, ...],
+    vol_multipliers: tuple[float, ...],
+    chol: tuple[tuple[float, ...], ...],
+    geometric_combine: bool,
+    barrier_rel: float | None = None,
+    antithetic: bool = False,
+) -> None:
+    """Fused multi-asset GBM: A correlated log-Euler components per path.
+
+    The basket structure (weights/multipliers/Cholesky rows) is STATIC per
+    BasketSpec and baked into the kernel as immediates — the A×A mix is an
+    unrolled lower-triangular FMA chain in registers, not a matmul (A is
+    3-8; the MXU has nothing to chew on at that size, and the XLA path's
+    einsum was VPU-bound anyway). Normals come from shared Box–Muller pairs:
+    assets (2a, 2a+1) take r·cos / r·sin of ONE draw (independent normals),
+    so A assets cost ⌈A/2⌉ uniform pairs per step.
+    """
+    a_n = len(weights)
+    i = pl.program_id(0) + seeds_ref[0, 2]
+    j = pl.program_id(1)
+    seed_a = seeds_ref[0, 0] ^ (
+        (i + 1) * jnp.int32(0x9E3779B1 & 0x7FFFFFFF) + j * jnp.int32(0x85EBCA6B & 0x7FFFFFFF)
+    )
+    seed_b = seeds_ref[0, 1] ^ (
+        (j + 1) * jnp.int32(0xC2B2AE35 & 0x7FFFFFFF) + i * jnp.int32(0x27D4EB2F)
+    )
+    pltpu.prng_seed(seed_a, seed_b)
+
+    spot = params_ref[0, 0]
+    maturity = params_ref[0, 2]
+    rate = params_ref[0, 3]
+    div_yield = params_ref[0, 4]
+    vol = params_ref[0, 5]
+    dt = maturity / jnp.float32(timesteps)
+    sqrt_dt = jnp.sqrt(dt)
+    # per-asset scalars (traced from SMEM x static multipliers)
+    sig_sdt = [vol * jnp.float32(m) * sqrt_dt for m in vol_multipliers]
+    drift = [
+        (rate - div_yield - jnp.float32(0.5) * (vol * jnp.float32(m)) ** 2) * dt
+        for m in vol_multipliers
+    ]
+    shape = (rows_per_block, cols_per_block)
+    gen_shape = (rows_per_block // 2, cols_per_block) if antithetic else shape
+
+    def _mirror(z: jax.Array) -> jax.Array:
+        return jnp.concatenate([z, -z], axis=0) if antithetic else z
+
+    geometric_time = payoff == PayoffKind.ASIAN_GEOMETRIC
+    barrier = payoff in BARRIER_PAYOFFS
+    terminal = payoff == PayoffKind.TERMINAL
+    up = payoff == PayoffKind.BARRIER_UP_OUT
+    extreme_fn = jnp.maximum if up else jnp.minimum
+    inv_n = jnp.float32(1.0 / timesteps)
+
+    def raw_normals() -> list[jax.Array]:
+        z: list[jax.Array] = []
+        for _pair in range((a_n + 1) // 2):
+            u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+            u2 = _uniform_24bit(gen_shape)
+            radius = _bm_radius(u1)
+            sin_t, cos_t = _sincos_turns(u2)
+            z.append(_mirror(radius * cos_t))
+            if len(z) < a_n:
+                z.append(_mirror(radius * sin_t))
+        return z
+
+    def basket_value(logx: list[jax.Array]) -> jax.Array:
+        if geometric_combine:
+            acc = jnp.float32(weights[0]) * logx[0]
+            for a in range(1, a_n):
+                acc = acc + jnp.float32(weights[a]) * logx[a]
+            return jnp.exp(acc)
+        acc = jnp.float32(weights[0]) * jnp.exp(logx[0])
+        for a in range(1, a_n):
+            acc = acc + jnp.float32(weights[a]) * jnp.exp(logx[a])
+        return acc
+
+    def step(carry):
+        logx, acc = carry
+        z = raw_normals()
+        new_logx = []
+        for a in range(a_n):
+            # lower-triangular Cholesky mix, unrolled with static immediates
+            zm = jnp.float32(chol[a][0]) * z[0]
+            for b in range(1, a + 1):
+                if chol[a][b] != 0.0:
+                    zm = zm + jnp.float32(chol[a][b]) * z[b]
+            new_logx.append(logx[a] + drift[a] + sig_sdt[a] * zm)
+        if barrier:
+            acc = extreme_fn(acc, basket_value(new_logx))
+        elif not terminal:
+            value = basket_value(new_logx)
+            acc = acc + (jnp.log(value) if geometric_time else value)
+        return (tuple(new_logx), acc)
+
+    log0 = tuple(
+        jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot * jnp.float32(m))
+        for m in spot_multipliers
+    )
+    acc0 = basket_value(list(log0)) if barrier else jnp.zeros(shape, jnp.float32)
+    logx, acc = _fori_unrolled(timesteps, step, (log0, acc0))
+    logx = list(logx)
+    if barrier:
+        # level = initial basket value x barrier_rel (matches the XLA path)
+        g0 = 0.0
+        if geometric_combine:
+            for a in range(a_n):
+                g0 += weights[a] * math.log(spot_multipliers[a])
+            level = spot * jnp.float32(math.exp(g0) * barrier_rel)
+        else:
+            for a in range(a_n):
+                g0 += weights[a] * spot_multipliers[a]
+            level = spot * jnp.float32(g0 * barrier_rel)
+        knocked = acc >= level if up else acc <= level
+        out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], basket_value(logx))
+    elif terminal:
+        out_ref[:, :] = basket_value(logx)
+    elif geometric_time:
+        out_ref[:, :] = jnp.exp(acc * inv_n)
+    else:
+        out_ref[:, :] = acc * inv_n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "timesteps", "rows", "cols", "payoff", "barrier_rel", "antithetic",
+        "interpret",
+    ),
+)
+def _simulate_basket_rows_pallas_f32(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    spec: "object",
+    timesteps: int,
+    rows: int,
+    cols: int,
+    payoff: PayoffKind,
+    barrier_rel: float | None = None,
+    antithetic: bool = False,
+    row_offset: jax.Array | int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    from spectralmc_tpu.ops.basket import BasketCombine, basket_cholesky
+
+    block_rows = min(BLOCK_ROWS, rows)
+    block_cols = min(BLOCK_COLS, cols)
+    key_data = jax.random.key_data(contract_key)
+    row_block = (
+        jnp.asarray(row_offset, jnp.uint32) // jnp.uint32(block_rows)
+    ).astype(jnp.int32)
+    seeds = jnp.concatenate(
+        [key_data.astype(jnp.int32).reshape(2), row_block.reshape(1)]
+    ).reshape(1, 3)
+    params = contract.astype(jnp.float32).reshape(1, 6)
+    chol = tuple(tuple(float(x) for x in row) for row in basket_cholesky(spec))
+    kernel = functools.partial(
+        _basket_block_kernel,
+        timesteps=timesteps,
+        payoff=payoff,
+        rows_per_block=block_rows,
+        cols_per_block=block_cols,
+        weights=tuple(spec.weights),
+        spot_multipliers=tuple(spec.spot_multipliers),
+        vol_multipliers=tuple(spec.vol_multipliers),
+        chol=chol,
+        geometric_combine=spec.combine == BasketCombine.GEOMETRIC,
+        barrier_rel=barrier_rel,
+        antithetic=antithetic,
+    )
+    grid = (rows // block_rows, cols // block_cols)
+    a_n = spec.n_assets
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 6), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rows, block_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * a_n + 2 * a_n * a_n) * rows * cols * timesteps,
+            bytes_accessed=rows * cols * 4,
+            transcendentals=(2 * a_n) * rows * cols * timesteps,
+        ),
+        interpret=interpret,
+    )(params, seeds)
+
+
+def simulate_basket_underlier_rows_pallas(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    spec: "object",
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    payoff: PayoffKind,
+    row_offset: jax.Array | int = 0,
+    barrier_rel: float | None = None,
+    antithetic_half: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused basket kernel; falls back to the XLA scan when unsupported."""
+    interpretable = (
+        interpret
+        and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        and rows % min(BLOCK_ROWS, rows) == 0
+        and cols % min(BLOCK_COLS, cols) == 0
+    )
+    if not (interpretable or pallas_supported(dtype=dtype, rows=rows, cols=cols)):
+        from spectralmc_tpu.ops.basket import simulate_basket_underlier_rows
+
+        return simulate_basket_underlier_rows(
+            contract_key,
+            contract,
+            spec=spec,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            payoff=payoff,
+            row_offset=row_offset,
+            barrier_rel=barrier_rel,
+            antithetic_half=antithetic_half,
+        )
+    return _simulate_basket_rows_pallas_f32(
+        contract_key,
+        contract,
+        spec=spec,
         timesteps=timesteps,
         rows=rows,
         cols=cols,

@@ -252,3 +252,105 @@ def test_greeks_engine_selection() -> None:
         implementation=SimImplementation.PALLAS, payoff=PayoffKind.ASIAN_GEOMETRIC,
     )
     assert greeks_engine(asian) == SimImplementation.XLA
+
+
+# --------------------------------------------------------------------------
+# Round 3: basket kernel (structure under the interpreter + fallbacks)
+# --------------------------------------------------------------------------
+
+def _basket_spec():
+    from spectralmc_tpu.ops.basket import BasketCombine, build_basket_spec
+
+    return build_basket_spec(
+        weights=(0.5, 0.3, 0.2),
+        correlation=((1.0, 0.4, 0.2), (0.4, 1.0, 0.3), (0.2, 0.3, 1.0)),
+        combine=BasketCombine.ARITHMETIC,
+    ).expect("spec")
+
+
+def test_basket_interpret_zero_normals_matches_closed_form() -> None:
+    """Stubbed (all-zero) RNG: u1 = half-ulp, u2 = 0, so every draw yields
+    (r, 0) with r = sqrt(-2 ln 2^-25); the mixed normal for asset a is
+    r * sum of chol[a][b] over EVEN b <= a. The terminal basket value is then
+    a deterministic closed form — a sharp check of the whole kernel skeleton
+    (drift, mixing, combine) except the RNG distribution itself."""
+    from spectralmc_tpu.ops.basket import basket_cholesky
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.gbm_pallas import simulate_basket_underlier_rows_pallas
+
+    spec = _basket_spec()
+    key = jax.random.PRNGKey(1)
+    c = CONTRACT
+    arr = c.as_array(jnp.float32)
+    T_STEPS, ROWS, COLS = 6, 8, 128
+    with pltpu.force_tpu_interpret_mode():
+        rows = simulate_basket_underlier_rows_pallas(
+            key, arr, spec=spec, timesteps=T_STEPS, rows=ROWS, cols=COLS,
+            dtype=jnp.float32, payoff=PayoffKind.TERMINAL, interpret=True,
+        )
+    t = np.asarray(rows)
+    assert t.shape == (ROWS, COLS)
+    assert np.all(np.isfinite(t)) and np.all(t > 0)
+    assert np.allclose(t, t[0, 0], rtol=1e-5)  # zero-bit RNG -> identical paths
+
+    r = np.sqrt(-2.0 * np.log(np.float32(2.0**-25)))
+    chol = basket_cholesky(spec)
+    dt = c.maturity / T_STEPS
+    value = 0.0
+    for a in range(3):
+        sig = c.vol * spec.vol_multipliers[a]
+        zm = r * sum(chol[a][b] for b in range(a + 1) if b % 2 == 0)
+        logx = (
+            np.log(c.spot * spec.spot_multipliers[a])
+            + T_STEPS * (c.rate - c.div_yield - 0.5 * sig * sig) * dt
+            + T_STEPS * sig * np.sqrt(dt) * zm
+        )
+        value += spec.weights[a] * np.exp(logx)
+    assert t[0, 0] == pytest.approx(value, rel=1e-4)
+
+
+def test_basket_pallas_fallback_matches_xla() -> None:
+    """Off-TPU/odd shapes the basket kernel must route to the XLA path."""
+    from spectralmc_tpu.ops.basket import simulate_basket_underlier_rows
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.gbm_pallas import simulate_basket_underlier_rows_pallas
+
+    spec = _basket_spec()
+    key = jax.random.PRNGKey(5)
+    arr = CONTRACT.as_array(jnp.float32)
+    kw = dict(spec=spec, timesteps=2, rows=7, cols=100, dtype=jnp.float32,
+              payoff=PayoffKind.ASIAN_ARITHMETIC)
+    got = simulate_basket_underlier_rows_pallas(key, arr, **kw)
+    want = simulate_basket_underlier_rows(key, arr, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_basket_pallas_resolves_and_dispatches() -> None:
+    """resolve_implementation no longer short-circuits baskets to XLA; the
+    dispatch seam selects the pallas function for PALLAS sims (which itself
+    falls back off-TPU), and the stream-version table covers the family."""
+    from spectralmc_tpu.ops.dispatch import make_underlier_simulator
+    from spectralmc_tpu.ops.gbm import (
+        ModelKind,
+        SimImplementation,
+        build_simulation_params,
+        resolve_implementation,
+    )
+    from spectralmc_tpu.ops.gbm_pallas import pallas_stream_version
+
+    spec = _basket_spec()
+    sim = build_simulation_params(
+        timesteps=2, network_size=128, batches_per_mc_run=8, mc_seed=1,
+        model=ModelKind.BASKET_GBM, basket=spec,
+        implementation=SimImplementation.PALLAS,
+    ).expect("sim")
+    expected = (
+        SimImplementation.PALLAS
+        if jax.default_backend() == "tpu"
+        else SimImplementation.XLA
+    )
+    assert resolve_implementation(sim) == expected
+    simulate = make_underlier_simulator(sim, rows=8)
+    out = simulate(jax.random.PRNGKey(0), CONTRACT.as_array(jnp.float32))
+    assert out.shape == (8, 128) and bool(jnp.isfinite(out).all())
+    assert pallas_stream_version(ModelKind.BASKET_GBM) >= 1

@@ -52,6 +52,68 @@ def main() -> None:
     print(f"  European (Black):                  {euro:.4f}")
     print(f"  early-exercise premium:            {result.price - result.european:.4f}")
 
+    # ---- American as a FIRST-CLASS family (round 3): the same train →
+    # predict → greeks pipeline every other family uses, via
+    # payoff="american_put" (LSMC cashflows feed the learned spectrum).
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.ops.gbm import build_simulation_params
+    from spectralmc_tpu.ops.sobol import BoundSpec
+    from spectralmc_tpu.training.trainer import (
+        GbmCVNNPricer,
+        GbmCVNNPricerConfig,
+        build_training_config,
+    )
+
+    sim = build_simulation_params(
+        timesteps=8, network_size=32, batches_per_mc_run=64, mc_seed=7,
+        payoff="american_put", normalization="none",
+    ).expect("sim")
+    bounds = {
+        "spot": BoundSpec(lower=95.0, upper=105.0),
+        "strike": BoundSpec(lower=95.0, upper=105.0),
+        "maturity": BoundSpec(lower=0.5, upper=1.5),
+        "rate": BoundSpec(lower=0.01, upper=0.05),
+        "div_yield": BoundSpec(lower=0.0, upper=0.02),
+        "vol": BoundSpec(lower=0.2, upper=0.3),
+    }
+    cvnn = build_cvnn_config(
+        layers=[
+            LinearCfg(width=64, activation=Activation.MODRELU),
+            LinearCfg(width=64, activation=Activation.ZRELU),
+        ],
+        seed=5,
+    ).expect("cvnn")
+    pricer = GbmCVNNPricer.create(
+        GbmCVNNPricerConfig(sim=sim, bounds=bounds, cvnn=cvnn, normalize_inputs=True)
+    ).expect("pricer")
+    from spectralmc_tpu.training.step import LRScheduleConfig
+
+    n_batches = 800
+    tc = build_training_config(
+        num_batches=n_batches, batch_size=32, learning_rate=2e-3,
+        lr_schedule=LRScheduleConfig(
+            peak=1.2e-2, warmup_steps=n_batches // 10, decay_steps=n_batches,
+            end_value=1e-5,
+        ),
+    ).expect("tc")
+    res = pricer.train(tc).expect("train")
+    atm = BlackScholesContract(
+        spot=100.0, strike=100.0, maturity=1.0, rate=0.04, div_yield=0.01, vol=0.25
+    )
+    pred = pricer.predict_price([atm])
+    greeks = pricer.predict_greeks([atm])
+    tree_atm = bermudan_tree_price(
+        spot=atm.spot, strike=atm.strike, maturity=atm.maturity, rate=atm.rate,
+        div_yield=atm.div_yield, vol=atm.vol, exercise_dates=8, option="put",
+    )
+    print(
+        f"\nLearned American-put family ({n_batches} online batches, "
+        f"loss {res.final_loss:.3g}):"
+    )
+    print(f"  predict_price ATM put: {float(pred.put[0]):.4f} (tree {tree_atm:.4f})")
+    print(f"  delta of the learned surface: {float(greeks.put_jacobian[0, 0]):.4f}")
+    print("  call channel is NaN: early exercise has no put-call parity")
+
 
 if __name__ == "__main__":
     main()

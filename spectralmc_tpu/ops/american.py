@@ -44,6 +44,7 @@ def _lsmc_backward(
     put: bool,
     basis_degree: int,
     axis_name: str | None = None,
+    extra_rows: jax.Array | None = None,  # [timesteps, ...] per-date state
 ) -> jax.Array:
     """Longstaff–Schwartz backward induction → cashflows discounted to t=0.
 
@@ -57,17 +58,24 @@ def _lsmc_backward(
 
     Basis: powers of (S/K − 1). Centered moneyness keeps the Gram matrix
     well-conditioned in float32 (ITM region maps into (−1, 1)-ish), unlike
-    raw m^j whose degree-10+ cross moments overflow the mantissa.
+    raw m^j whose degree-10+ cross moments overflow the mantissa. With
+    ``extra_rows`` (the Heston instantaneous variance) the basis is augmented
+    with [v, v·x, v²] — the standard stochastic-vol LSMC regressors: the
+    continuation value depends on BOTH state variables.
     """
-    k = basis_degree + 1
+    base_k = basis_degree + 1
+    k = base_k + (3 if extra_rows is not None else 0)
     n = log_rows.shape[0]
 
     def immediate(s: jax.Array) -> jax.Array:
         return jnp.maximum(strike - s, 0.0) if put else jnp.maximum(s - strike, 0.0)
 
-    def basis(s: jax.Array) -> jax.Array:  # [..., k]
+    def basis(s: jax.Array, extra: jax.Array | None) -> jax.Array:  # [..., k]
         x = s / strike - 1.0
-        return jnp.stack([x**j for j in range(k)], axis=-1)
+        cols = [x**j for j in range(base_k)]
+        if extra is not None:
+            cols.extend([extra, extra * x, extra * extra])
+        return jnp.stack(cols, axis=-1)
 
     # local path count; the global count folds in the mesh axis size
     n_local = 1
@@ -79,12 +87,13 @@ def _lsmc_backward(
 
     cf_terminal = immediate(jnp.exp(log_rows[n - 1]))
 
-    def backward(cf_next: jax.Array, log_s: jax.Array) -> tuple[jax.Array, None]:
+    def backward(cf_next: jax.Array, per_date) -> tuple[jax.Array, None]:
+        log_s, extra = per_date
         s_t = jnp.exp(log_s)
         y = disc * cf_next  # continuation cashflow valued at THIS date
         exercise_now = immediate(s_t)
         itm = (exercise_now > 0.0).astype(dtype)
-        phi = basis(s_t) * itm[..., None]  # [..., k]
+        phi = basis(s_t, extra) * itm[..., None]  # [..., k]
         flat_phi = phi.reshape(-1, k)
         flat_y = (y * itm).reshape(-1)
         gram = (flat_phi.T @ flat_phi) * inv_n
@@ -94,12 +103,24 @@ def _lsmc_backward(
             rhs = jax.lax.psum(rhs, axis_name)
         gram = gram + jnp.asarray(1e-6, dtype) * jnp.eye(k, dtype=dtype)
         beta = jnp.linalg.solve(gram, rhs)
-        continuation = basis(s_t) @ beta
+        continuation = basis(s_t, extra) @ beta
         take = (itm > 0.0) & (exercise_now > continuation)
         return jnp.where(take, exercise_now, y), None
 
     # walk t_{N-1} .. t_1 (rows n-2 .. 0)
-    cf_1, _ = jax.lax.scan(backward, cf_terminal, log_rows[: n - 1][::-1])
+    if extra_rows is None:
+        dates = (log_rows[: n - 1][::-1], None)
+
+        def backward_no_extra(cf_next: jax.Array, log_s: jax.Array):
+            return backward(cf_next, (log_s, None))
+
+        cf_1, _ = jax.lax.scan(backward_no_extra, cf_terminal, dates[0])
+    else:
+        cf_1, _ = jax.lax.scan(
+            backward,
+            cf_terminal,
+            (log_rows[: n - 1][::-1], extra_rows[: n - 1][::-1]),
+        )
     return disc * cf_1  # discounted to t = 0
 
 
@@ -182,6 +203,102 @@ def simulate_american_underlier_rows(
         put=option == OptionSide.PUT,
         basis_degree=basis_degree,
         axis_name=axis_name,
+    )
+    df = jnp.exp(-rate * maturity)
+    return strike - cf / df
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "timesteps",
+        "rows",
+        "cols",
+        "dtype",
+        "option",
+        "basis_degree",
+        "antithetic_half",
+        "axis_name",
+    ),
+)
+def simulate_heston_american_underlier_rows(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    option: OptionSide,
+    basis_degree: int = 5,
+    row_offset: jax.Array | int = 0,
+    antithetic_half: int | None = None,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """``[rows, cols]`` synthetic American underliers under HESTON dynamics.
+
+    Same encoding and shard discipline as the GBM variant; ``contract`` is
+    the 10-vector of ``HestonContract.as_array``. The forward pass replays
+    ``ops/heston.py::simulate_heston_underlier_rows``'s exact stream —
+    normals keyed (contract_key, global row, timestep, component), component
+    0 driving the variance — storing BOTH state variables per exercise date;
+    the regression basis adds [v, v·x, v²] (``_lsmc_backward``): under
+    stochastic vol the continuation value depends on the variance too, and
+    dropping it biases the policy (exercises too early in high-vol states).
+
+    Oracle identities (no Heston Bermudan tree exists in closed form):
+    q = 0 ⟹ American call ≡ European call (Merton — validated against the
+    semi-analytic ``heston_call_price``); American ⩾ European pathwise.
+    """
+    from spectralmc_tpu.ops.gbm import _row_streams
+
+    (spot, strike, maturity, rate, div_yield, v0, kappa, theta, xi, rho) = (
+        contract[i].astype(dtype) for i in range(10)
+    )
+    dt = maturity / jnp.asarray(timesteps, dtype)
+    sqrt_dt = jnp.sqrt(dt)
+    rho_bar = jnp.sqrt(1.0 - rho * rho)
+    disc = jnp.exp(-rate * dt)
+
+    row_keys, sign = _row_streams(
+        contract_key,
+        rows=rows,
+        row_offset=row_offset,
+        antithetic_half=antithetic_half,
+        dtype=dtype,
+    )
+
+    def normals(t: jax.Array, comp: int) -> jax.Array:
+        z = jax.vmap(
+            lambda k: jax.random.normal(
+                jax.random.fold_in(jax.random.fold_in(k, t), comp), (cols,), dtype
+            )
+        )(row_keys)
+        return z if sign is None else sign * z
+
+    def fwd(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+        logx, v = carry
+        v_plus = jnp.maximum(v, 0.0)
+        sqrt_v = jnp.sqrt(v_plus)
+        z_v = normals(t, 0)
+        z_s = rho * z_v + rho_bar * normals(t, 1)
+        logx = logx + (rate - div_yield - 0.5 * v_plus) * dt + sqrt_v * sqrt_dt * z_s
+        v = v + kappa * (theta - v_plus) * dt + xi * sqrt_v * sqrt_dt * z_v
+        return (logx, v), (logx, v)
+
+    log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
+    vinit = jnp.full((rows, cols), 1.0, dtype) * v0
+    _, (log_rows, v_rows) = jax.lax.scan(fwd, (log0, vinit), jnp.arange(timesteps))
+
+    cf = _lsmc_backward(
+        log_rows,
+        strike=strike,
+        disc=disc,
+        dtype=dtype,
+        put=option == OptionSide.PUT,
+        basis_degree=basis_degree,
+        axis_name=axis_name,
+        extra_rows=jnp.maximum(v_rows, 0.0),
     )
     df = jnp.exp(-rate * maturity)
     return strike - cf / df
@@ -364,4 +481,5 @@ __all__ = [
     "lsmc_cashflows",
     "lsmc_price",
     "simulate_american_underlier_rows",
+    "simulate_heston_american_underlier_rows",
 ]

@@ -63,8 +63,16 @@ def make_underlier_simulator(
     # antithetic partner is defined on GLOBAL row indices (gbm._row_streams)
     anti_half = sim.batches_per_mc_run // 2 if sim.antithetic else None
     if sim.payoff in AMERICAN_PAYOFFS:
-        from spectralmc_tpu.ops.american import simulate_american_underlier_rows
         from spectralmc_tpu.ops.greeks import OptionSide
+
+        if sim.model == ModelKind.HESTON:
+            from spectralmc_tpu.ops.american import (
+                simulate_heston_american_underlier_rows as _sim_american,
+            )
+        else:
+            from spectralmc_tpu.ops.american import (
+                simulate_american_underlier_rows as _sim_american,
+            )
 
         side = (
             OptionSide.PUT if sim.payoff == PayoffKind.AMERICAN_PUT else OptionSide.CALL
@@ -74,7 +82,7 @@ def make_underlier_simulator(
         def simulate_american(
             key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
         ) -> jax.Array:
-            return simulate_american_underlier_rows(
+            return _sim_american(
                 key,
                 contract,
                 timesteps=sim.timesteps,

@@ -99,8 +99,10 @@ class PayoffKind(enum.Enum):
     # the IFFT predictor all work unchanged. The learned channel is the
     # configured side's American price; the other side has no parity route
     # (early exercise breaks put-call parity), so it reports NaN.
-    # GBM dynamics + log-Euler only; no closed-form E[underlier] (MEAN
-    # normalization gated off). Oracle: ops/american.py::bermudan_tree_price.
+    # GBM and Heston dynamics (the Heston regression adds variance basis
+    # terms); no closed-form E[underlier] (MEAN normalization gated off).
+    # Oracles: ops/american.py::bermudan_tree_price (GBM) and the q=0
+    # no-early-exercise identity vs heston_call_price (Heston).
     AMERICAN_PUT = "american_put"
     AMERICAN_CALL = "american_call"
 
@@ -304,12 +306,13 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
             )
         )
     if params.payoff in AMERICAN_PAYOFFS:
-        if params.model != ModelKind.GBM:
+        if params.model == ModelKind.BASKET_GBM:
             return Failure(
                 InvalidSimulationParams(
                     field="payoff",
                     value=params.payoff.value,
-                    reason="LSMC early exercise is implemented for GBM dynamics only",
+                    reason="LSMC early exercise covers GBM and Heston dynamics; "
+                    "baskets have no LSMC basis defined",
                 )
             )
         if params.scheme != PathScheme.LOG_EULER:

@@ -233,8 +233,8 @@ def test_american_validation_gates() -> None:
         payoff=PayoffKind.AMERICAN_PUT, normalization=ForwardNormalization.NONE,
     )
     assert not isinstance(build_simulation_params(**base), Failure)
-    # non-GBM dynamics rejected
-    assert isinstance(
+    # Heston dynamics supported (round 3b: variance-augmented LSMC basis)
+    assert not isinstance(
         build_simulation_params(**{**base, "model": ModelKind.HESTON}), Failure
     )
     # Euler scheme rejected
@@ -368,3 +368,148 @@ def test_lsmc_basis_degree_serialization_roundtrip() -> None:
     proto.lsmc_basis_degree = 0
     legacy = expect_success(sim_params_from_proto(proto))
     assert legacy.lsmc_basis_degree == 5
+
+
+# --------------------------------------------------------------------------
+# Round 3b: LSMC early exercise under Heston dynamics
+# --------------------------------------------------------------------------
+
+
+def _heston_contract(**kwargs):
+    from spectralmc_tpu.ops.heston import HestonContract
+
+    defaults = dict(
+        spot=100.0, strike=100.0, maturity=1.0, rate=0.04, div_yield=0.0,
+        v0=0.05, kappa=1.5, theta=0.05, xi=0.4, rho=-0.6,
+    )
+    defaults.update(kwargs)
+    return HestonContract(**defaults)
+
+
+def test_heston_american_q0_call_has_no_premium() -> None:
+    """q = 0: the American call is never exercised early (Merton), so the
+    LSMC price must match BOTH the same-stream discrete European MC (tight)
+    and the semi-analytic continuous price (z-gate)."""
+    from spectralmc_tpu.ops.american import simulate_heston_american_underlier_rows
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.heston import heston_call_price, simulate_heston_underlier_rows
+
+    c = _heston_contract()
+    arr = c.as_array(jnp.float32)
+    kw = dict(timesteps=16, rows=256, cols=256, dtype=jnp.float32)
+    u = simulate_heston_american_underlier_rows(
+        jax.random.PRNGKey(3), arr, option=OptionSide.CALL, **kw
+    )
+    df = np.exp(-c.rate * c.maturity)
+    cf = df * np.maximum(c.strike - np.asarray(u), 0.0)
+    amer = cf.mean()
+    se = cf.std() / np.sqrt(cf.size)
+    eur_call, _ = heston_call_price(
+        spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+        div_yield=c.div_yield, v0=c.v0, kappa=c.kappa, theta=c.theta,
+        xi=c.xi, rho=c.rho,
+    )
+    assert abs(amer - eur_call) < 4.0 * se + 0.02 * eur_call
+    # against the SAME normals' European leg the premium is ~zero
+    term = simulate_heston_underlier_rows(
+        jax.random.PRNGKey(3), arr, payoff=PayoffKind.TERMINAL, **kw
+    )
+    eur_mc = (df * np.maximum(np.asarray(term) - c.strike, 0.0)).mean()
+    assert abs(amer - eur_mc) < max(3.0 * se, 0.005 * eur_mc)
+
+
+def test_heston_american_put_premium_positive() -> None:
+    from spectralmc_tpu.ops.american import simulate_heston_american_underlier_rows
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.heston import simulate_heston_underlier_rows
+
+    c = _heston_contract(strike=105.0, rate=0.07)
+    arr = c.as_array(jnp.float32)
+    kw = dict(timesteps=16, rows=256, cols=256, dtype=jnp.float32)
+    u = simulate_heston_american_underlier_rows(
+        jax.random.PRNGKey(5), arr, option=OptionSide.PUT, **kw
+    )
+    df = np.exp(-c.rate * c.maturity)
+    amer = (df * np.maximum(c.strike - np.asarray(u), 0.0)).mean()
+    term = simulate_heston_underlier_rows(
+        jax.random.PRNGKey(5), arr, payoff=PayoffKind.TERMINAL, **kw
+    )
+    eur = (df * np.maximum(c.strike - np.asarray(term), 0.0)).mean()
+    assert amer > eur + 0.1  # a real early-exercise premium at r=7%
+
+
+def test_heston_american_family_trains_and_serves() -> None:
+    """model=heston + payoff=american_put through the standard pipeline."""
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.ops.gbm import ModelKind, PayoffKind, build_simulation_params
+    from spectralmc_tpu.ops.sobol import BoundSpec
+    from spectralmc_tpu.training.trainer import (
+        GbmCVNNPricer,
+        GbmCVNNPricerConfig,
+        build_training_config,
+    )
+    from tests.helpers import expect_success
+
+    bounds = {
+        "spot": BoundSpec(lower=95.0, upper=105.0),
+        "strike": BoundSpec(lower=95.0, upper=105.0),
+        "maturity": BoundSpec(lower=0.5, upper=1.5),
+        "rate": BoundSpec(lower=0.01, upper=0.05),
+        "div_yield": BoundSpec(lower=0.0, upper=0.02),
+        "v0": BoundSpec(lower=0.03, upper=0.08),
+        "kappa": BoundSpec(lower=1.0, upper=2.5),
+        "theta": BoundSpec(lower=0.03, upper=0.08),
+        "xi": BoundSpec(lower=0.2, upper=0.5),
+        "rho": BoundSpec(lower=-0.8, upper=-0.3),
+    }
+    sim = expect_success(
+        build_simulation_params(
+            timesteps=4, network_size=16, batches_per_mc_run=8, mc_seed=3,
+            model=ModelKind.HESTON, payoff=PayoffKind.AMERICAN_PUT,
+            normalization="none",
+        )
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)], seed=5
+        )
+    )
+    pricer = expect_success(
+        GbmCVNNPricer.create(
+            GbmCVNNPricerConfig(sim=sim, bounds=bounds, cvnn=cvnn, normalize_inputs=True)
+        )
+    )
+    tc = expect_success(
+        build_training_config(num_batches=4, batch_size=8, learning_rate=2e-3)
+    )
+    res = expect_success(pricer.train(tc))
+    assert np.isfinite(res.losses).all()
+    # snapshot -> resume == continuous (the family composes with resume)
+    snap = pricer.snapshot()
+    resumed = expect_success(GbmCVNNPricer.create(snap))
+    t2 = expect_success(
+        build_training_config(num_batches=2, batch_size=8, learning_rate=2e-3)
+    )
+    a = expect_success(pricer.train(t2))
+    b = expect_success(resumed.train(t2))
+    np.testing.assert_array_equal(a.losses, b.losses)
+    pred = pricer.predict_price([_heston_contract()])
+    assert np.isfinite(pred.put).all() and np.isnan(pred.call).all()
+
+
+def test_american_basket_rejected() -> None:
+    from spectralmc_tpu.core.result import Failure
+    from spectralmc_tpu.ops.basket import build_basket_spec
+    from spectralmc_tpu.ops.gbm import ModelKind, PayoffKind, build_simulation_params
+    from tests.helpers import expect_success
+
+    spec = expect_success(
+        build_basket_spec(weights=(0.5, 0.5), correlation=((1.0, 0.3), (0.3, 1.0)))
+    )
+    res = build_simulation_params(
+        timesteps=4, network_size=16, batches_per_mc_run=4, mc_seed=1,
+        model=ModelKind.BASKET_GBM, basket=spec,
+        payoff=PayoffKind.AMERICAN_PUT, normalization="none",
+    )
+    assert isinstance(res, Failure)
+    assert "LSMC" in res.error.reason

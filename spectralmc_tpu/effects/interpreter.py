@@ -169,8 +169,44 @@ class MonteCarloInterpreter:
                 ],
                 dtype=dtype,
             )
-            from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS, PayoffKind
+            from spectralmc_tpu.ops.gbm import (
+                AMERICAN_PAYOFFS,
+                BARRIER_PAYOFFS,
+                PayoffKind,
+                has_closed_form_mean,
+            )
 
+            # mirror build_simulation_params' gates the effect route would
+            # otherwise bypass: MEAN normalization needs a closed-form
+            # E[underlier] (barrier/American kinds have none — the fallback
+            # target would silently rescale to the WRONG mean), and the
+            # American kinds need the log-Euler scheme + >= 2 monitor dates
+            # (1 date is the European option mislabeled).
+            if effect.normalization == "mean" and not has_closed_form_mean(
+                model, payoff
+            ):
+                return Failure(
+                    MonteCarloError(
+                        effect_kind=effect.kind,
+                        reason=f"payoff={payoff.value!r} has no closed-form "
+                        "E[underlier]; use normalization='none'",
+                    )
+                )
+            if payoff in AMERICAN_PAYOFFS:
+                if scheme != PathScheme.LOG_EULER:
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="LSMC early exercise is log-Euler only",
+                        )
+                    )
+                if effect.timesteps < 2:
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="early exercise needs >= 2 monitor dates",
+                        )
+                    )
             if payoff in BARRIER_PAYOFFS:
                 if effect.barrier_rel <= 0.0:
                     return Failure(

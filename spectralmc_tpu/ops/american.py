@@ -101,8 +101,15 @@ def _lsmc_backward(
         if axis_name is not None:
             gram = jax.lax.psum(gram, axis_name)
             rhs = jax.lax.psum(rhs, axis_name)
-        gram = gram + jnp.asarray(1e-6, dtype) * jnp.eye(k, dtype=dtype)
-        beta = jnp.linalg.solve(gram, rhs)
+        # RELATIVE Tikhonov: λ scaled per-column by the Gram diagonal, so
+        # high-degree columns (whose centered moments are ~1e-8 at the
+        # shipped domains) are regularized proportionally instead of being
+        # crushed by an absolute λ — an absolute 1e-6 on the 1/N-normalized
+        # Gram effectively deleted the degree-4/5 regressors (policy bias
+        # toward the degree-3 fit, measured ~1% low vs the tree).
+        diag = jnp.diagonal(gram)
+        ridge = jnp.asarray(1e-6, dtype) * jnp.maximum(diag, jnp.asarray(1e-30, dtype))
+        beta = jnp.linalg.solve(gram + jnp.diag(ridge), rhs)
         continuation = basis(s_t, extra) @ beta
         take = (itm > 0.0) & (exercise_now > continuation)
         return jnp.where(take, exercise_now, y), None
@@ -208,6 +215,37 @@ def simulate_american_underlier_rows(
     return strike - cf / df
 
 
+def heston_state_rows(
+    row_keys: jax.Array,
+    sign: jax.Array | None,
+    *,
+    spot: jax.Array,
+    v0: jax.Array,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    **step_consts: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """(log_rows, v_rows), each ``[timesteps, rows, cols]`` — the Heston
+    state at every monitor date, drawn through the shared stream/step
+    (``ops/heston.py``). Exposed so tests can pin the American forward pass
+    bit-exactly against the European simulator's terminal values."""
+    from spectralmc_tpu.ops.heston import heston_component_normals, heston_euler_step
+
+    def fwd(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+        logx, v = carry
+        z_v = heston_component_normals(row_keys, sign, t, 0, cols, dtype)
+        z_orth = heston_component_normals(row_keys, sign, t, 1, cols, dtype)
+        logx, v = heston_euler_step(logx, v, z_v, z_orth, **step_consts)
+        return (logx, v), (logx, v)
+
+    log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
+    vinit = jnp.full((rows, cols), 1.0, dtype) * v0
+    _, (log_rows, v_rows) = jax.lax.scan(fwd, (log0, vinit), jnp.arange(timesteps))
+    return log_rows, v_rows
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -267,28 +305,25 @@ def simulate_heston_american_underlier_rows(
         antithetic_half=antithetic_half,
         dtype=dtype,
     )
-
-    def normals(t: jax.Array, comp: int) -> jax.Array:
-        z = jax.vmap(
-            lambda k: jax.random.normal(
-                jax.random.fold_in(jax.random.fold_in(k, t), comp), (cols,), dtype
-            )
-        )(row_keys)
-        return z if sign is None else sign * z
-
-    def fwd(carry: tuple[jax.Array, jax.Array], t: jax.Array):
-        logx, v = carry
-        v_plus = jnp.maximum(v, 0.0)
-        sqrt_v = jnp.sqrt(v_plus)
-        z_v = normals(t, 0)
-        z_s = rho * z_v + rho_bar * normals(t, 1)
-        logx = logx + (rate - div_yield - 0.5 * v_plus) * dt + sqrt_v * sqrt_dt * z_s
-        v = v + kappa * (theta - v_plus) * dt + xi * sqrt_v * sqrt_dt * z_v
-        return (logx, v), (logx, v)
-
-    log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
-    vinit = jnp.full((rows, cols), 1.0, dtype) * v0
-    _, (log_rows, v_rows) = jax.lax.scan(fwd, (log0, vinit), jnp.arange(timesteps))
+    log_rows, v_rows = heston_state_rows(
+        row_keys,
+        sign,
+        spot=spot,
+        v0=v0,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        dtype=dtype,
+        rate=rate,
+        div_yield=div_yield,
+        dt=dt,
+        sqrt_dt=sqrt_dt,
+        rho=rho,
+        rho_bar=rho_bar,
+        kappa=kappa,
+        theta=theta,
+        xi=xi,
+    )
 
     cf = _lsmc_backward(
         log_rows,
@@ -334,7 +369,7 @@ def lsmc_cashflows(
     """
     from spectralmc_tpu.ops.gbm import simulate_paths
 
-    spot, strike, maturity, rate, _, _ = (contract[i].astype(dtype) for i in range(6))
+    _, strike, maturity, rate, _, _ = (contract[i].astype(dtype) for i in range(6))
     n = timesteps
     dt = maturity / jnp.asarray(n, dtype)
     disc = jnp.exp(-rate * dt)  # one-step discount
@@ -349,37 +384,19 @@ def lsmc_cashflows(
         scheme=PathScheme.LOG_EULER,
         normalize=False,
     )
-
-    def immediate(x: jax.Array) -> jax.Array:
-        if option == OptionSide.PUT:
-            return jnp.maximum(strike - x, 0.0)
-        return jnp.maximum(x - strike, 0.0)
-
-    k = basis_degree + 1
-
-    def basis(x: jax.Array) -> jax.Array:  # [paths, k] in moneyness
-        m = x / strike
-        return jnp.stack([m**j for j in range(k)], axis=1)
-
-    # terminal date: exercise iff in the money
-    cf_terminal = immediate(s[n - 1])
-
-    def backward(cf_next: jax.Array, s_t: jax.Array) -> tuple[jax.Array, None]:
-        # cf_next: cashflow valued at the NEXT date; discount one step back
-        y = disc * cf_next
-        exercise_now = immediate(s_t)
-        itm = (exercise_now > 0.0).astype(dtype)
-        phi = basis(s_t) * itm[:, None]
-        # ridge-stabilized normal equations on the ITM subset
-        gram = phi.T @ phi + jnp.asarray(1e-6, dtype) * jnp.eye(k, dtype=dtype)
-        beta = jnp.linalg.solve(gram, phi.T @ (y * itm))
-        continuation = basis(s_t) @ beta
-        take = (itm > 0.0) & (exercise_now > continuation)
-        return jnp.where(take, exercise_now, y), None
-
-    # walk t_{N-1} .. t_1 (rows n-2 .. 0)
-    cf_1, _ = jax.lax.scan(backward, cf_terminal, s[: n - 1][::-1])
-    return disc * cf_1, s[n - 1]  # cashflows discounted to t = 0
+    # ONE backward-induction implementation for every LSMC entry point
+    # (_lsmc_backward): centered-moneyness basis, 1/N-normalized moments,
+    # relative Tikhonov ridge — so the oracle calibration of this function
+    # and the family simulators' policy are the same estimator.
+    cf = _lsmc_backward(
+        jnp.log(s),
+        strike=strike,
+        disc=disc,
+        dtype=dtype,
+        put=option == OptionSide.PUT,
+        basis_degree=basis_degree,
+    )
+    return cf, s[n - 1]  # cashflows discounted to t = 0
 
 
 @dataclass(frozen=True)

@@ -558,6 +558,12 @@ def simulate_underlier_rows(
     and the path-dependent kinds are shard-stable the same way.
     """
     if payoff in AMERICAN_PAYOFFS:
+        if scheme != PathScheme.LOG_EULER:
+            # trace-time gate: the LSMC simulator hardcodes the log-Euler
+            # step, and silently overriding a requested EULER discretization
+            # would mislabel the estimator (build_simulation_params enforces
+            # this for configs; direct callers get the same contract)
+            raise ValueError("LSMC early exercise is log-Euler only")
         from spectralmc_tpu.ops.american import simulate_american_underlier_rows
         from spectralmc_tpu.ops.greeks import OptionSide
 

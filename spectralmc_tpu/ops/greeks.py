@@ -101,6 +101,31 @@ class MCGreeks:
         return self.by_field["vol"]
 
 
+
+def _check_american_side(sim: SimulationParams, option: OptionSide) -> OptionSide:
+    """Validate + remap the option side for the AMERICAN payoff kinds.
+
+    The synthetic underlier encodes ONE side's LSMC cashflow through the put
+    channel (PayoffKind docstring); the opposite channel is identically
+    zero, so its "Greeks" would be silently zero. Used by every estimator
+    factory so no public entry point can produce that silent zero.
+    """
+    from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, PayoffKind
+
+    if sim.payoff not in AMERICAN_PAYOFFS:
+        return option
+    configured = (
+        OptionSide.PUT if sim.payoff == PayoffKind.AMERICAN_PUT else OptionSide.CALL
+    )
+    if option != configured:
+        raise ValueError(
+            f"sim.payoff={sim.payoff.value!r} prices the {configured.value} "
+            "side only; early exercise has no parity route to the other "
+            "side — configure the other AMERICAN kind"
+        )
+    return OptionSide.PUT  # the put channel carries the configured side
+
+
 def make_mc_price_fn(
     sim: SimulationParams, *, option: OptionSide
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
@@ -112,7 +137,7 @@ def make_mc_price_fn(
     kernel + analytic pathwise VJP where eligible, XLA otherwise).
     """
     from spectralmc_tpu.ops.dispatch import make_mean_target, make_underlier_simulator
-    from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, BARRIER_PAYOFFS, PayoffKind
+    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
 
     if sim.payoff in BARRIER_PAYOFFS:
         # IPA differentiates through the knockout indicator, whose pathwise
@@ -124,27 +149,12 @@ def make_mc_price_fn(
             "bump_greeks (bump-and-reprice under common random numbers) or "
             "differentiate the learned pricer (predict_greeks) instead"
         )
-    if sim.payoff in AMERICAN_PAYOFFS:
-        # The synthetic underlier encodes ONE side's LSMC cashflow through
-        # the put channel (PayoffKind docstring); the opposite channel is
-        # identically zero, so its "Greeks" would be silently zero too.
-        configured = (
-            OptionSide.PUT
-            if sim.payoff == PayoffKind.AMERICAN_PUT
-            else OptionSide.CALL
-        )
-        if option != configured:
-            raise ValueError(
-                f"sim.payoff={sim.payoff.value!r} prices the "
-                f"{configured.value} side only; early exercise has no parity "
-                "route to the other side — configure the other AMERICAN kind"
-            )
-        # NOTE: jax.grad through the LSMC program is the standard
-        # fixed-policy pathwise estimator (the regression solve IS
-        # differentiated, but the exercise indicator is treated as locally
-        # constant). First-order Greeks are consistent by the envelope
-        # argument; gamma uses the same mixed estimator as the vanillas.
-        option = OptionSide.PUT  # the put channel carries the configured side
+    # NOTE for the AMERICAN kinds: jax.grad through the LSMC program is the
+    # standard fixed-policy pathwise estimator (the regression solve IS
+    # differentiated, but the exercise indicator is treated as locally
+    # constant). First-order Greeks are consistent by the envelope argument;
+    # gamma uses the same mixed estimator as the vanillas.
+    option = _check_american_side(sim, option)
     return _make_raw_price_fn(sim, option=option)
 
 
@@ -309,6 +319,7 @@ def make_bump_greeks_fn(
     bias near the knockout level is O(h) in the crossing probability — the
     classic FD/indicator tradeoff; shrink ``rel_bump`` with the path count.
     """
+    option = _check_american_side(sim, option)
     price_fn = _make_raw_price_fn(sim, option=option)
     floor = 1e-3
 
@@ -344,18 +355,8 @@ def bump_greeks(
     (``make_mc_price_fn``). Same conventions as ``mc_greeks``.
     """
     from spectralmc_tpu.ops.dispatch import contract_class
-    from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, PayoffKind
 
-    if sim.payoff in AMERICAN_PAYOFFS:
-        configured = (
-            OptionSide.PUT if sim.payoff == PayoffKind.AMERICAN_PUT else OptionSide.CALL
-        )
-        if option != configured:
-            raise ValueError(
-                f"sim.payoff={sim.payoff.value!r} prices the {configured.value} "
-                "side only — configure the other AMERICAN kind"
-            )
-        option = OptionSide.PUT  # the put channel carries the configured side
+    # American side validation/remap happens inside make_bump_greeks_fn
     fields = tuple(contract_class(sim).model_fields.keys())
     dtype = sim.precision.to_jnp()
     arr = contract.as_array(dtype)

@@ -87,6 +87,60 @@ def validate_heston_contract(c: HestonContract) -> Result[HestonContract, GBMErr
     return Success(c)
 
 
+def heston_component_normals(
+    row_keys: jax.Array,
+    sign: jax.Array | None,
+    t: jax.Array,
+    comp: int,
+    cols: int,
+    dtype: jnp.dtype,
+) -> jax.Array:
+    """One component's normals, keyed (row key, timestep, component).
+
+    THE Heston stream definition — every Heston path generator (the European
+    simulator below, the American LSMC forward in ops/american.py) must draw
+    through this function so their bit streams stay identical by
+    construction. Antithetic flips BOTH components (negating a 2D Gaussian
+    is a valid pair and preserves the spot-variance correlation).
+    """
+    z = jax.vmap(
+        lambda k: jax.random.normal(
+            jax.random.fold_in(jax.random.fold_in(k, t), comp), (cols,), dtype
+        )
+    )(row_keys)
+    return z if sign is None else sign * z
+
+
+def heston_euler_step(
+    logx: jax.Array,
+    v: jax.Array,
+    z_v: jax.Array,
+    z_orth: jax.Array,
+    *,
+    rate: jax.Array,
+    div_yield: jax.Array,
+    dt: jax.Array,
+    sqrt_dt: jax.Array,
+    rho: jax.Array,
+    rho_bar: jax.Array,
+    kappa: jax.Array,
+    theta: jax.Array,
+    xi: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """ONE full-truncation Euler step — the single source of the recursion.
+
+    Shared by the European simulator and the American LSMC forward pass so a
+    future change to the discretization cannot silently desync their bit
+    streams (test_american.py pins the parity bit-exactly).
+    """
+    v_plus = jnp.maximum(v, 0.0)
+    sqrt_v = jnp.sqrt(v_plus)
+    z_s = rho * z_v + rho_bar * z_orth
+    logx = logx + (rate - div_yield - 0.5 * v_plus) * dt + sqrt_v * sqrt_dt * z_s
+    v = v + kappa * (theta - v_plus) * dt + xi * sqrt_v * sqrt_dt * z_v
+    return logx, v
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -132,31 +186,22 @@ def simulate_heston_underlier_rows(
         dtype=dtype,
     )
 
-    def normals(t: jax.Array, comp: int) -> jax.Array:
-        # antithetic flips BOTH components: negating a 2D Gaussian is a
-        # valid antithetic pair and preserves the spot-variance correlation
-        z = jax.vmap(
-            lambda k: jax.random.normal(
-                jax.random.fold_in(jax.random.fold_in(k, t), comp), (cols,), dtype
-            )
-        )(row_keys)
-        return z if sign is None else sign * z
-
     from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
 
     barrier = payoff in BARRIER_PAYOFFS
     up = payoff == PayoffKind.BARRIER_UP_OUT
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     extreme_fn = jnp.maximum if up else jnp.minimum
+    step_consts = dict(
+        rate=rate, div_yield=div_yield, dt=dt, sqrt_dt=sqrt_dt,
+        rho=rho, rho_bar=rho_bar, kappa=kappa, theta=theta, xi=xi,
+    )
 
     def body(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
         logx, v, acc = carry
-        v_plus = jnp.maximum(v, 0.0)
-        sqrt_v = jnp.sqrt(v_plus)
-        z_v = normals(t, 0)
-        z_s = rho * z_v + rho_bar * normals(t, 1)
-        logx = logx + (rate - div_yield - 0.5 * v_plus) * dt + sqrt_v * sqrt_dt * z_s
-        v = v + kappa * (theta - v_plus) * dt + xi * sqrt_v * sqrt_dt * z_v
+        z_v = heston_component_normals(row_keys, sign, t, 0, cols, dtype)
+        z_orth = heston_component_normals(row_keys, sign, t, 1, cols, dtype)
+        logx, v = heston_euler_step(logx, v, z_v, z_orth, **step_consts)
         if barrier:
             acc = extreme_fn(acc, logx)
         elif payoff != PayoffKind.TERMINAL:

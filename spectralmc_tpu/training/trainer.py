@@ -308,8 +308,10 @@ class GreeksPrediction:
     including gamma, which the kinked MC payoff only supports via mixed
     estimators (``ops/greeks.py``). ``jacobian[:, i]`` is ∂price/∂fields[i];
     call columns are NaN where the payoff has no closed-form E[underlier]
-    (call prices come via parity). Conventions match ``ops.greeks.MCGreeks``
-    (e.g. market theta = −jacobian[:, maturity]).
+    (call prices come via parity). The AMERICAN kinds train ONE side: the
+    learned channel lands on that side and the OTHER side is NaN (for
+    AMERICAN_CALL the put columns are NaN). Conventions match
+    ``ops.greeks.MCGreeks`` (e.g. market theta = −jacobian[:, maturity]).
     """
 
     put: np.ndarray  # [N]

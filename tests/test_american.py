@@ -513,3 +513,117 @@ def test_american_basket_rejected() -> None:
     )
     assert isinstance(res, Failure)
     assert "LSMC" in res.error.reason
+
+
+def test_heston_american_forward_stream_bit_parity() -> None:
+    """The American forward pass and the European simulator share ONE step +
+    ONE stream definition (ops/heston.py helpers); pin it: the state-rows
+    terminal equals the European TERMINAL underlier bit-for-bit."""
+    import math
+
+    from spectralmc_tpu.ops.american import heston_state_rows
+    from spectralmc_tpu.ops.gbm import PayoffKind, _row_streams
+    from spectralmc_tpu.ops.heston import simulate_heston_underlier_rows
+
+    c = _heston_contract()
+    arr = c.as_array(jnp.float32)
+    n, rows, cols = 6, 16, 128
+    row_keys, sign = _row_streams(
+        jax.random.PRNGKey(9), rows=rows, row_offset=0, antithetic_half=None,
+        dtype=jnp.float32,
+    )
+    dt = c.maturity / n
+    log_rows, v_rows = heston_state_rows(
+        row_keys, sign, spot=jnp.float32(c.spot), v0=jnp.float32(c.v0),
+        timesteps=n, rows=rows, cols=cols, dtype=jnp.float32,
+        rate=jnp.float32(c.rate), div_yield=jnp.float32(c.div_yield),
+        dt=jnp.float32(dt), sqrt_dt=jnp.float32(math.sqrt(dt)),
+        rho=jnp.float32(c.rho), rho_bar=jnp.float32(math.sqrt(1.0 - c.rho**2)),
+        kappa=jnp.float32(c.kappa), theta=jnp.float32(c.theta),
+        xi=jnp.float32(c.xi),
+    )
+    term = simulate_heston_underlier_rows(
+        jax.random.PRNGKey(9), arr, timesteps=n, rows=rows, cols=cols,
+        dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
+    )
+    got = np.asarray(jnp.exp(log_rows[-1]))
+    np.testing.assert_array_equal(got, np.asarray(term))
+    assert np.asarray(v_rows).shape == (n, rows, cols)
+
+
+def test_effect_route_mirrors_american_gates() -> None:
+    """The SimulatePaths effect route enforces the same AMERICAN/MEAN gates
+    as build_simulation_params (review finding: the effect defaults to
+    normalization='mean', which would silently rescale the synthetic
+    underlier to the WRONG mean)."""
+    import asyncio
+
+    from spectralmc_tpu.core.result import Failure
+    from spectralmc_tpu.effects.interpreter import SpectralMCInterpreter
+    from spectralmc_tpu.effects.types import SimulatePaths
+
+    c = make_contract()
+    interp = SpectralMCInterpreter()
+
+    def effect(**kwargs):
+        base = dict(
+            spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+            div_yield=c.div_yield, vol=c.vol, timesteps=4, batches=8,
+            network_size=16, seed=3, counter=0, scheme="log_euler",
+            normalization="none", payoff="american_put", model="gbm",
+            precision="float32", out_id="x",
+        )
+        base.update(kwargs)
+        return SimulatePaths(**base)
+
+    # MEAN normalization with no closed-form mean -> typed failure
+    out = asyncio.run(interp.interpret(effect(normalization="mean", out_id="a")))
+    assert isinstance(out, Failure) and "closed-form" in out.error.reason
+    # euler scheme -> typed failure
+    out = asyncio.run(interp.interpret(effect(scheme="euler", out_id="b")))
+    assert isinstance(out, Failure) and "log-Euler" in out.error.reason
+    # single monitor date -> typed failure
+    out = asyncio.run(interp.interpret(effect(timesteps=1, out_id="c")))
+    assert isinstance(out, Failure) and "monitor dates" in out.error.reason
+    # the valid configuration succeeds
+    out = asyncio.run(interp.interpret(effect(out_id="d")))
+    assert not isinstance(out, Failure)
+    # barrier + mean is equally gated on the effect route
+    out = asyncio.run(
+        interp.interpret(
+            effect(payoff="barrier_up_out", barrier_rel=1.3, normalization="mean",
+                   out_id="e")
+        )
+    )
+    assert isinstance(out, Failure) and "closed-form" in out.error.reason
+
+
+def test_bump_greeks_factory_guards_american_side() -> None:
+    """make_bump_greeks_fn itself (not just the wrapper) refuses the wrong
+    American side — no public entry point returns silent zeros."""
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.greeks import make_bump_greeks_fn
+
+    from tests.helpers import expect_success
+
+    sim = expect_success(
+        _family_sim(
+            PayoffKind.AMERICAN_PUT, timesteps=4, network_size=16,
+            batches_per_mc_run=4,
+        )
+    )
+    with pytest.raises(ValueError, match="side only"):
+        make_bump_greeks_fn(sim, option=OptionSide.CALL)
+
+
+def test_simulate_underlier_rows_rejects_euler_american() -> None:
+    from spectralmc_tpu.ops.gbm import PayoffKind as PK
+    from spectralmc_tpu.ops.gbm import PathScheme, simulate_underlier_rows
+
+    c = make_contract()
+    with pytest.raises(ValueError, match="log-Euler"):
+        simulate_underlier_rows(
+            jax.random.PRNGKey(0), c.as_array(jnp.float32), timesteps=4, rows=4,
+            cols=16, dtype=jnp.float32, scheme=PathScheme.EULER,
+            payoff=PK.AMERICAN_PUT,
+        )

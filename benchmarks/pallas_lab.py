@@ -195,7 +195,7 @@ def make_kernel(variant: str, timesteps: int, shape):
                 )
                 return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
             n_iters = timesteps // 2
-        elif variant in ("polybm_rsqrt", "polybm_unroll4", "polybm_rsqrt_unroll4"):
+        elif variant in ("polybm_rsqrt", "polybm_unroll4", "polybm_rsqrt_unroll4", "polybm_rsqrt_unroll8"):
             # rsqrt: radius = x * rsqrt(x) — hardware reciprocal-sqrt path if
             # Mosaic has one. unroll4: 4 pair-steps per fori iteration for ILP.
             def sin_folded4(t):
@@ -211,7 +211,7 @@ def make_kernel(variant: str, timesteps: int, shape):
                 return sign * x * p
 
             use_rsqrt = "rsqrt" in variant
-            unroll = 4 if "unroll4" in variant else 1
+            unroll = 8 if "unroll8" in variant else (4 if "unroll4" in variant else 1)
 
             def pair(logx):
                 u1 = _uniform(shape) + jnp.float32(_HALF_ULP)
@@ -350,8 +350,35 @@ def main():
         "polybm_rsqrt",
         "polybm_unroll4",
         "polybm_rsqrt_unroll4",
+        "polybm_rsqrt_unroll8",
     ]
     blocks = [(256, 256), (512, 256), (1024, 256), (2048, 256), (512, 128), (8192, 256)]
+    if "--prod-sweep" in sys.argv:
+        # block sweep for the PRODUCTION variant only (round 3: the earlier
+        # sweep covered baseline; the shipped kernel was never swept)
+        variants = ["polybm_rsqrt_unroll4", "polybm_rsqrt_unroll8"]
+        blocks_prod = [(256, 256), (512, 256), (1024, 256), (512, 128)]
+        for v in variants:
+            for (br, bc) in blocks_prod:
+                if br > rows or bc > cols:
+                    # an oversize block makes grid=(rows//br, cols//bc) empty:
+                    # the kernel never launches and the "timing" is scan
+                    # overhead — a 5x false positive caught in round 3
+                    continue
+                try:
+                    f = lambda k: run_variant(k, contract, variant=v, timesteps=timesteps,
+                                              rows=rows, cols=cols, br=br, bc=bc, reps=reps)
+                    float(f(key))
+                    el = math.inf
+                    for n in range(1, 4):
+                        t0 = time.perf_counter()
+                        float(f(jax.random.fold_in(key, n)))
+                        el = min(el, time.perf_counter() - t0)
+                    ps = rows * cols * timesteps * reps / el
+                    print(f"{v:22s} block=({br:5d},{bc:4d})  {el*1000:8.1f} ms  {ps:.3e} path-steps/s")
+                except Exception as e:  # noqa: BLE001
+                    print(f"{v:22s} block=({br:5d},{bc:4d})  FAILED: {e}", file=sys.stderr)
+        return
     print(f"shape: {rows}x{cols}, t={timesteps}, reps={reps}; device={jax.devices()[0].device_kind}")
     for v in variants:
         for (br, bc) in blocks if v == "baseline" else [(256, 256)]:

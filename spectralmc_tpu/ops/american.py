@@ -71,10 +71,20 @@ def _lsmc_backward(
         return jnp.maximum(strike - s, 0.0) if put else jnp.maximum(s - strike, 0.0)
 
     def basis(s: jax.Array, extra: jax.Array | None) -> jax.Array:  # [..., k]
-        x = s / strike - 1.0
+        # Centered moneyness RESCALED to O(1): |S/K - 1| is ~0.1 on typical
+        # domains, so raw powers decay 10^-j and the degree-5 Gram is
+        # f32-singular up to reduction-order noise — under a mesh, psum'd
+        # moments then yield visibly different policies per topology. The
+        # x -> 5x column scaling spans the SAME polynomial space (beta
+        # absorbs it exactly) but keeps all moments O(1), so the solve is
+        # well-conditioned and shard-stable, and the ridge shrinks every
+        # degree proportionally.
+        x = (s / strike - 1.0) * 5.0
         cols = [x**j for j in range(base_k)]
         if extra is not None:
-            cols.extend([extra, extra * x, extra * extra])
+            # variance is ~0.05: same O(1) rescaling for the Heston columns
+            v = extra * 20.0
+            cols.extend([v, v * x, v * v])
         return jnp.stack(cols, axis=-1)
 
     # local path count; the global count folds in the mesh axis size

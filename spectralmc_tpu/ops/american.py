@@ -150,6 +150,7 @@ def _lsmc_backward(
         "dtype",
         "option",
         "basis_degree",
+        "exercise_every",
         "antithetic_half",
         "axis_name",
     ),
@@ -164,6 +165,7 @@ def simulate_american_underlier_rows(
     dtype: jnp.dtype,
     option: OptionSide,
     basis_degree: int = 5,
+    exercise_every: int = 1,
     row_offset: jax.Array | int = 0,
     antithetic_half: int | None = None,
     axis_name: str | None = None,
@@ -212,10 +214,17 @@ def simulate_american_underlier_rows(
     log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
     _, log_rows = jax.lax.scan(fwd, log0, jnp.arange(timesteps))
 
+    # Bermudan monitor grid: exercise only every k-th simulation date
+    # (t_k, t_2k, ..., t_T — maturity is always a monitor date because
+    # build_simulation_params requires k | timesteps). Slicing the stored
+    # rows and compounding the one-step discount is exact: dates between
+    # monitors carry no decision, only discounting.
+    monitor_rows = log_rows[exercise_every - 1 :: exercise_every]
+    disc_monitor = jnp.exp(-rate * dt * exercise_every)
     cf = _lsmc_backward(
-        log_rows,
+        monitor_rows,
         strike=strike,
-        disc=disc,
+        disc=disc_monitor,
         dtype=dtype,
         put=option == OptionSide.PUT,
         basis_degree=basis_degree,
@@ -265,6 +274,7 @@ def heston_state_rows(
         "dtype",
         "option",
         "basis_degree",
+        "exercise_every",
         "antithetic_half",
         "axis_name",
     ),
@@ -279,6 +289,7 @@ def simulate_heston_american_underlier_rows(
     dtype: jnp.dtype,
     option: OptionSide,
     basis_degree: int = 5,
+    exercise_every: int = 1,
     row_offset: jax.Array | int = 0,
     antithetic_half: int | None = None,
     axis_name: str | None = None,
@@ -335,15 +346,18 @@ def simulate_heston_american_underlier_rows(
         xi=xi,
     )
 
+    monitor_rows = log_rows[exercise_every - 1 :: exercise_every]
+    monitor_v = v_rows[exercise_every - 1 :: exercise_every]
+    disc_monitor = jnp.exp(-rate * dt * exercise_every)
     cf = _lsmc_backward(
-        log_rows,
+        monitor_rows,
         strike=strike,
-        disc=disc,
+        disc=disc_monitor,
         dtype=dtype,
         put=option == OptionSide.PUT,
         basis_degree=basis_degree,
         axis_name=axis_name,
-        extra_rows=jnp.maximum(v_rows, 0.0),
+        extra_rows=jnp.maximum(monitor_v, 0.0),
     )
     df = jnp.exp(-rate * maturity)
     return strike - cf / df

@@ -78,6 +78,7 @@ def make_underlier_simulator(
             OptionSide.PUT if sim.payoff == PayoffKind.AMERICAN_PUT else OptionSide.CALL
         )
         degree = sim.lsmc_basis_degree
+        every = sim.lsmc_exercise_every
 
         def simulate_american(
             key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
@@ -91,6 +92,7 @@ def make_underlier_simulator(
                 dtype=dtype,
                 option=side,
                 basis_degree=degree,
+                exercise_every=every,
                 row_offset=row_offset,
                 antithetic_half=anti_half,
                 axis_name=axis_name,

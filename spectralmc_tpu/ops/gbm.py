@@ -197,6 +197,10 @@ class SimulationParams(BaseModel):
     # S/K); meaningful only for the AMERICAN payoff kinds. Checkpointed: it
     # changes the exercise policy, hence the learned target distribution.
     lsmc_basis_degree: int = 5
+    # Bermudan monitor grid: exercise allowed every k-th simulation date
+    # (t_k, t_2k, ..., t_T; must divide timesteps). 1 = every date (the
+    # American-limit default). Checkpointed for the same reason.
+    lsmc_exercise_every: int = 1
 
     @property
     def total_paths(self) -> int:
@@ -331,7 +335,18 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                     reason="must be in [1, 8]",
                 )
             )
-        if params.timesteps < 2:
+        if params.lsmc_exercise_every < 1 or (
+            params.timesteps % params.lsmc_exercise_every
+        ):
+            return Failure(
+                InvalidSimulationParams(
+                    field="lsmc_exercise_every",
+                    value=params.lsmc_exercise_every,
+                    reason="must be >= 1 and divide timesteps (maturity is "
+                    "always a monitor date)",
+                )
+            )
+        if params.timesteps // params.lsmc_exercise_every < 2:
             return Failure(
                 InvalidSimulationParams(
                     field="timesteps",
@@ -531,6 +546,7 @@ def simulate_terminal_rows(
         "barrier_rel",
         "antithetic_half",
         "lsmc_basis_degree",
+        "lsmc_exercise_every",
     ),
 )
 def simulate_underlier_rows(
@@ -547,6 +563,7 @@ def simulate_underlier_rows(
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
     lsmc_basis_degree: int = 5,
+    lsmc_exercise_every: int = 1,
 ) -> jax.Array:
     """``[rows, cols]`` payoff underliers: terminal value, path average,
     knockout-masked terminal (barrier kinds emit strike on knocked paths so
@@ -576,6 +593,7 @@ def simulate_underlier_rows(
             dtype=dtype,
             option=OptionSide.PUT if payoff == PayoffKind.AMERICAN_PUT else OptionSide.CALL,
             basis_degree=lsmc_basis_degree,
+            exercise_every=lsmc_exercise_every,
             row_offset=row_offset,
             antithetic_half=antithetic_half,
         )
@@ -858,6 +876,7 @@ class BlackScholes:
             simulate = simulate_underlier_rows
             if p.payoff in AMERICAN_PAYOFFS:
                 kwargs["lsmc_basis_degree"] = p.lsmc_basis_degree
+                kwargs["lsmc_exercise_every"] = p.lsmc_exercise_every
         return simulate(
             self.contract_key(draw_index),
             contract,

@@ -204,6 +204,7 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         barrier_rel=sim.barrier_rel or 0.0,  # 0 encodes absent (invalid as a level)
         antithetic=sim.antithetic,
         lsmc_basis_degree=sim.lsmc_basis_degree,
+        lsmc_exercise_every=sim.lsmc_exercise_every,
     )
     if sim.basket is not None:
         proto.basket.CopyFrom(basket_spec_to_proto(sim.basket))
@@ -238,6 +239,7 @@ def sim_params_from_proto(
                 antithetic=proto.antithetic,
                 # 0 = absent (pre-round-3 checkpoint) -> the default degree
                 lsmc_basis_degree=proto.lsmc_basis_degree or 5,
+                lsmc_exercise_every=proto.lsmc_exercise_every or 1,
             )
         )
     except (KeyError, ValueError) as exc:

@@ -627,3 +627,102 @@ def test_simulate_underlier_rows_rejects_euler_american() -> None:
             cols=16, dtype=jnp.float32, scheme=PathScheme.EULER,
             payoff=PK.AMERICAN_PUT,
         )
+
+
+# --------------------------------------------------------------------------
+# Round 3c: sparse Bermudan monitor grids (lsmc_exercise_every)
+# --------------------------------------------------------------------------
+
+
+def test_sparse_monitor_grid_prices_to_matching_tree() -> None:
+    """16 simulation steps with exercise every 4th date is a 4-date Bermudan:
+    the price must match the tree restricted to THOSE dates, sit strictly
+    below the 16-date Bermudan (fewer rights), and above the European."""
+    from spectralmc_tpu.ops.american import simulate_american_underlier_rows
+
+    c = make_contract(spot=100.0, strike=110.0, vol=0.25, rate=0.05, div_yield=0.0)
+    arr = c.as_array(jnp.float32)
+    kw = dict(timesteps=16, rows=256, cols=256, dtype=jnp.float32,
+              option=OptionSide.PUT)
+    df = np.exp(-c.rate * c.maturity)
+
+    def price(every: int) -> float:
+        u = simulate_american_underlier_rows(
+            jax.random.PRNGKey(7), arr, exercise_every=every, **kw
+        )
+        return float((df * np.maximum(c.strike - np.asarray(u), 0.0)).mean())
+
+    p4 = price(4)   # 4 monitor dates
+    p1 = price(1)   # 16 monitor dates (same paths)
+    tree4 = bermudan_tree_price(
+        spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+        div_yield=c.div_yield, vol=c.vol, exercise_dates=4, option="put",
+    )
+    tree16 = bermudan_tree_price(
+        spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+        div_yield=c.div_yield, vol=c.vol, exercise_dates=16, option="put",
+    )
+    assert p4 == pytest.approx(tree4, rel=0.01), (p4, tree4)
+    assert p1 == pytest.approx(tree16, rel=0.01), (p1, tree16)
+    # same paths: more exercise rights are worth strictly more here
+    assert p1 > p4
+    euro = float(
+        black_scholes_price(c.spot, c.strike, c.maturity, c.rate, c.div_yield, c.vol).put
+    )
+    assert p4 > euro  # even 4 dates beat the European
+
+
+def test_exercise_every_validation_and_roundtrip() -> None:
+    from spectralmc_tpu.core.result import Failure
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.serialization.converters import (
+        sim_params_from_proto,
+        sim_params_to_proto,
+    )
+    from tests.helpers import expect_success
+
+    # must divide timesteps
+    assert isinstance(
+        _family_sim(
+            PayoffKind.AMERICAN_PUT, timesteps=16, lsmc_exercise_every=3
+        ),
+        Failure,
+    )
+    # must leave >= 2 monitor dates
+    assert isinstance(
+        _family_sim(
+            PayoffKind.AMERICAN_PUT, timesteps=16, lsmc_exercise_every=16
+        ),
+        Failure,
+    )
+    sim = expect_success(
+        _family_sim(PayoffKind.AMERICAN_PUT, timesteps=16, lsmc_exercise_every=4)
+    )
+    proto = sim_params_to_proto(sim)
+    assert proto.lsmc_exercise_every == 4
+    back = expect_success(sim_params_from_proto(proto))
+    assert back == sim
+    proto.lsmc_exercise_every = 0  # pre-round-3c checkpoint
+    assert expect_success(sim_params_from_proto(proto)).lsmc_exercise_every == 1
+
+
+def test_exercise_every_flows_through_family_pipeline() -> None:
+    """BlackScholes facade + dispatch honor the monitor grid: every=timesteps/2
+    yields a 2-date Bermudan priced at the matching tree."""
+    from spectralmc_tpu.ops.gbm import BlackScholes, PayoffKind
+
+    from tests.helpers import expect_success
+
+    sim = expect_success(
+        _family_sim(
+            PayoffKind.AMERICAN_PUT, timesteps=16, lsmc_exercise_every=8,
+            network_size=256, batches_per_mc_run=256,
+        )
+    )
+    c = make_contract(spot=100.0, strike=110.0, vol=0.25, rate=0.05, div_yield=0.0)
+    prices, _ = BlackScholes(sim).price_to_host(c)
+    tree2 = bermudan_tree_price(
+        spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+        div_yield=c.div_yield, vol=c.vol, exercise_dates=2, option="put",
+    )
+    assert prices.put == pytest.approx(tree2, rel=0.01)

@@ -1039,13 +1039,34 @@ class GbmCVNNPricer:
         return run
 
     def predict_price(
-        self, contracts: Sequence["BlackScholesContract | Any"]
+        self,
+        contracts: Sequence["BlackScholesContract | Any"],
+        *,
+        pad_to_bucket: bool = False,
     ) -> PricePrediction:
+        """Learned prices for a batch of contracts.
+
+        One compiled program per contract-count shape. A serving fleet with
+        VARIABLE batch sizes pays one compile per distinct size; with
+        ``pad_to_bucket`` the batch is padded to the next power of two
+        (repeating the last row) and sliced back, so at most log2(max_N)
+        programs ever compile. Bit-identical results: the CVNN forward is
+        row-independent and BN uses running stats at inference.
+        """
         dtype = self._sim.precision.to_jnp()
         arr = _contracts_to_device(contracts, contract_class(self._sim), dtype)
+        n = arr.shape[0]
+        if pad_to_bucket and n > 0:
+            bucket = 1 << max(0, (n - 1)).bit_length()
+            if bucket > n:
+                pad = jnp.broadcast_to(arr[-1:], (bucket - n, arr.shape[1]))
+                arr = jnp.concatenate([arr, pad], axis=0)
         put, residue_dev, expected = self._predict_program()(
             self._params, self._bn_state, arr
         )
+        if pad_to_bucket and arr.shape[0] > n:
+            put, expected = put[:n], expected[:n]
+            arr = arr[:n]
         residue = float(residue_dev)
         if residue > IFFT_RESIDUE_WARN:
             import logging

@@ -627,3 +627,19 @@ def test_unrecognized_legacy_optimizer_state_is_a_failure() -> None:
     )
     err = expect_failure(GbmCVNNPricer.create(bad))
     assert isinstance(err, CheckpointMismatch) and err.field == "optimizer_state"
+
+
+def test_predict_price_bucket_padding_is_bit_transparent() -> None:
+    """pad_to_bucket pads the batch to the next power of two and slices
+    back — results must equal the unpadded call bit-for-bit for every
+    awkward batch size (the CVNN forward is row-independent)."""
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    contracts = [
+        make_contract(strike=90.0 + 3.0 * i, vol=0.15 + 0.02 * i) for i in range(7)
+    ]
+    for n in (1, 2, 3, 5, 7):
+        plain = pricer.predict_price(contracts[:n])
+        padded = pricer.predict_price(contracts[:n], pad_to_bucket=True)
+        np.testing.assert_array_equal(padded.put, plain.put)
+        np.testing.assert_array_equal(padded.call, plain.call)
+        assert padded.put.shape == (n,)

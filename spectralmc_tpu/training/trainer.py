@@ -1177,18 +1177,29 @@ class GbmCVNNPricer:
         return run
 
     def predict_greeks(
-        self, contracts: Sequence["BlackScholesContract | Any"]
+        self,
+        contracts: Sequence["BlackScholesContract | Any"],
+        *,
+        pad_to_bucket: bool = False,
     ) -> GreeksPrediction:
         """Greeks of the learned pricer for a batch of contracts.
 
-        One compiled program per contract-count shape, like ``predict_price``.
-        Where no closed-form E[underlier] exists the call outputs are NaN
-        (same parity rule as ``predict_price``), with the same warning.
+        One compiled program per contract-count shape, like ``predict_price``
+        (and the same opt-in ``pad_to_bucket`` power-of-two padding for
+        variable-size serving). Where no closed-form E[underlier] exists the
+        call outputs are NaN (same parity rule as ``predict_price``), with
+        the same warning.
         """
         from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, PayoffKind
 
         dtype = self._sim.precision.to_jnp()
         arr = _contracts_to_device(contracts, contract_class(self._sim), dtype)
+        n = arr.shape[0]
+        if pad_to_bucket and n > 0:
+            bucket = 1 << max(0, (n - 1)).bit_length()
+            if bucket > n:
+                pad = jnp.broadcast_to(arr[-1:], (bucket - n, arr.shape[1]))
+                arr = jnp.concatenate([arr, pad], axis=0)
         if not has_closed_form_mean(
             self._sim.model,
             self._sim.payoff,
@@ -1204,6 +1215,10 @@ class GbmCVNNPricer:
         put, call, put_jac, call_jac, put_gamma, call_gamma = self._greeks_program()(
             self._params, self._bn_state, arr
         )
+        if pad_to_bucket and arr.shape[0] > n:
+            put, call = put[:n], call[:n]
+            put_jac, call_jac = put_jac[:n], call_jac[:n]
+            put_gamma, call_gamma = put_gamma[:n], call_gamma[:n]
         fields = tuple(contract_class(self._sim).model_fields.keys())
         if self._sim.payoff == PayoffKind.AMERICAN_CALL:
             # the learned channel carries the CALL side (PayoffKind docstring)

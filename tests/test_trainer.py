@@ -643,3 +643,15 @@ def test_predict_price_bucket_padding_is_bit_transparent() -> None:
         np.testing.assert_array_equal(padded.put, plain.put)
         np.testing.assert_array_equal(padded.call, plain.call)
         assert padded.put.shape == (n,)
+
+
+def test_predict_greeks_bucket_padding_is_bit_transparent() -> None:
+    pricer = expect_success(GbmCVNNPricer.create(make_pricer_config()))
+    contracts = [make_contract(strike=92.0 + 4.0 * i) for i in range(3)]
+    plain = pricer.predict_greeks(contracts)
+    padded = pricer.predict_greeks(contracts, pad_to_bucket=True)
+    np.testing.assert_array_equal(padded.put, plain.put)
+    np.testing.assert_array_equal(padded.put_jacobian, plain.put_jacobian)
+    np.testing.assert_array_equal(padded.put_gamma, plain.put_gamma)
+    np.testing.assert_array_equal(padded.call_jacobian, plain.call_jacobian)
+    assert padded.put.shape == (3,)

@@ -236,3 +236,65 @@ def geometric_asian_price(
         put_convexity=put - put_intr,
         call_convexity=call - call_intr,
     )
+
+
+def implied_vol(
+    price: Any,
+    spot: Any,
+    strike: Any,
+    maturity: Any,
+    rate: Any,
+    div_yield: Any,
+    *,
+    option: str = "call",
+    iterations: int = 64,
+    lo: float = 1e-4,
+    hi: float = 5.0,
+) -> Any:
+    """Black implied volatility by bisection (jit/vmap-safe, NaN outside
+    no-arbitrage bounds).
+
+    The quoting convention of every desk consuming the learned prices: what
+    flat Black vol reproduces ``price``? Bisection rather than Newton keeps
+    the solver branch-free and unconditionally convergent under ``lax.scan``
+    (Newton's vega division blows up deep ITM/OTM where vega → 0); 64 halvings
+    of [1e-4, 5] resolve vol to ~1e-16 — beyond f64 noise. Vectorizes over
+    any broadcastable batch of inputs.
+
+    No-arbitrage envelope: for a call, df·max(F−K, 0) ≤ price < df·F; for a
+    put, df·max(K−F, 0) ≤ price < df·K. Prices outside return NaN rather
+    than a pinned boundary value.
+    """
+    import jax as _jax
+
+    is_call = option == "call"
+    forward = spot * jnp.exp((rate - div_yield) * maturity)
+    df = jnp.exp(-rate * maturity)
+    intrinsic = df * (
+        jnp.maximum(forward - strike, 0.0) if is_call else jnp.maximum(strike - forward, 0.0)
+    )
+    upper = df * forward if is_call else df * strike
+
+    def value(vol: Any) -> Any:
+        prices = black_scholes_price(spot, strike, maturity, rate, div_yield, vol)
+        return prices.call if is_call else prices.put
+
+    def body(bounds: Any, _: Any) -> Any:
+        lo_v, hi_v = bounds
+        mid = 0.5 * (lo_v + hi_v)
+        too_low = value(mid) < price
+        new_lo = jnp.where(too_low, mid, lo_v)
+        new_hi = jnp.where(too_low, hi_v, mid)
+        return (new_lo, new_hi), None
+
+    shape = jnp.broadcast_shapes(
+        jnp.shape(price), jnp.shape(spot), jnp.shape(strike), jnp.shape(maturity),
+        jnp.shape(rate), jnp.shape(div_yield),
+    )
+    dtype = jnp.result_type(price, spot, strike, maturity, rate, div_yield)
+    lo_v = jnp.full(shape, lo, dtype)
+    hi_v = jnp.full(shape, hi, dtype)
+    (lo_v, hi_v), _ = _jax.lax.scan(body, (lo_v, hi_v), None, length=iterations)
+    vol = 0.5 * (lo_v + hi_v)
+    in_bounds = (price >= intrinsic) & (price < upper)
+    return jnp.where(in_bounds, vol, jnp.nan)

@@ -726,3 +726,45 @@ def test_exercise_every_flows_through_family_pipeline() -> None:
         div_yield=c.div_yield, vol=c.vol, exercise_dates=2, option="put",
     )
     assert prices.put == pytest.approx(tree2, rel=0.01)
+
+
+def test_control_variate_reduces_std_error_and_matches_tree() -> None:
+    """The European control variate (exact mean = Black) shares every path
+    with the Bermudan cashflow: the CV estimate must cut the standard error
+    meaningfully (imperfect correlation: exercised paths stop tracking the
+    terminal payoff — measured ~1.5x here) and still match the tree."""
+    c = make_contract(spot=100.0, strike=105.0, vol=0.25, rate=0.05, div_yield=0.0)
+    r = lsmc_price(jax.random.PRNGKey(7), c, timesteps=16, paths=PATHS)
+    assert np.isfinite(r.cv_price) and np.isfinite(r.cv_std_error)
+    assert r.cv_std_error < 0.8 * r.std_error, (r.cv_std_error, r.std_error)
+    tree = bermudan_tree_price(
+        spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+        div_yield=c.div_yield, vol=c.vol, exercise_dates=16, option="put",
+    )
+    assert r.cv_price == pytest.approx(tree, abs=max(4.0 * r.cv_std_error, 0.005 * tree))
+
+
+def test_implied_vol_roundtrip_and_bounds() -> None:
+    """implied_vol inverts black_scholes_price across a vol/moneyness grid
+    (round trip to 1e-6) and NaNs outside the no-arbitrage envelope."""
+    from spectralmc_tpu.ops.analytic import black_scholes_price, implied_vol
+
+    for vol in (0.08, 0.25, 0.9):
+        for strike in (80.0, 100.0, 125.0):
+            p = black_scholes_price(100.0, strike, 1.0, 0.03, 0.01, vol)
+            for option, price in (("call", p.call), ("put", p.put)):
+                got = float(
+                    implied_vol(price, 100.0, strike, 1.0, 0.03, 0.01, option=option)
+                )
+                assert got == pytest.approx(vol, abs=1e-6), (vol, strike, option)
+    # vectorized over a batch
+    import jax.numpy as _jnp
+
+    vols = _jnp.array([0.15, 0.35, 0.55])
+    prices = black_scholes_price(100.0, 100.0, 1.0, 0.03, 0.01, vols).call
+    got = implied_vol(prices, 100.0, 100.0, 1.0, 0.03, 0.01, option="call")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(vols), atol=1e-6)
+    # below intrinsic / above the upper bound -> NaN
+    df_f = float(np.exp(-0.03) * 100.0 * np.exp(0.02))
+    assert np.isnan(float(implied_vol(0.0, 100.0, 80.0, 1.0, 0.03, 0.01, option="call")))
+    assert np.isnan(float(implied_vol(df_f + 1.0, 100.0, 80.0, 1.0, 0.03, 0.01, option="call")))

@@ -585,6 +585,28 @@ def bench_basket_throughput(*, tiny: bool) -> tuple[float, float]:
     return pallas_rate, xla_rate
 
 
+def bench_american_throughput(*, tiny: bool) -> float:
+    """LSMC early-exercise pricing throughput: path-steps/s through the
+    family simulator (forward paths + backward induction with per-date
+    regressions) at the production American shape — the measured version of
+    the '1M paths x 16 dates in ~120 ms' figure."""
+    from spectralmc_tpu.ops.american import simulate_american_underlier_rows
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    if tiny:
+        kw = dict(timesteps=4, rows=32, cols=128, reps=2)
+    else:
+        kw = dict(timesteps=16, rows=4096, cols=256, reps=20)  # 1.05M paths
+
+    def american_fn(key, contract):
+        return simulate_american_underlier_rows(
+            key, contract, timesteps=kw["timesteps"], rows=kw["rows"],
+            cols=kw["cols"], dtype=jnp.float32, option=OptionSide.PUT,
+        )
+
+    return bench_mc(american_fn, **kw)
+
+
 def bench_greeks_throughput(*, tiny: bool) -> tuple[float, float]:
     """Full MCGreeks evaluations/s (price + 6-field grad + FD gamma = 1
     value_and_grad + 2 grad evals in ONE jitted program) on the Pallas-VJP
@@ -698,6 +720,7 @@ def main() -> None:
     wide_steps = bench_wide_spectrum(tiny=tiny, implementation=engine)
     basket_pallas_ps, basket_xla_ps = bench_basket_throughput(tiny=tiny)
     basket_ps = basket_pallas_ps if on_tpu else basket_xla_ps
+    american_ps = bench_american_throughput(tiny=tiny)
     greeks_pallas, greeks_xla = bench_greeks_throughput(tiny=tiny)
     charfn_mae, charfn_rel_mae = bench_charfn_quality(tiny=tiny)
     heston_mae, heston_rel_mae = bench_family_quality(tiny=tiny, family="heston")
@@ -711,6 +734,7 @@ def main() -> None:
         f"heston_path_steps_per_sec={heston_ps:.3e} "
         f"gbm_antithetic_path_steps_per_sec={antithetic_ps:.3e} "
         f"basket3_path_steps_per_sec={basket_ps:.3e} "
+        f"american_lsmc_path_steps_per_sec={american_ps:.3e} "
         f"train_steps_per_sec={steps_per_sec:.3f} "
         f"(B={tr['batch_size']} contracts x {tr['batches'] * tr['network']} paths x "
         f"{tr['timesteps']} steps each) "
@@ -743,6 +767,10 @@ def main() -> None:
                     # (docs/performance.md basket section)
                     "basket3_path_steps_per_sec": basket_ps,
                     "basket3_xla_path_steps_per_sec": basket_xla_ps,
+                    # LSMC American family: forward paths + backward
+                    # induction (per-date regressions) at 1M paths x 16
+                    # dates on the XLA engine
+                    "american_lsmc_path_steps_per_sec": american_ps,
                     "train_steps_per_sec": steps_per_sec,
                     # BASELINE config 3: 8192 contracts x 1.05M paths, 512-pt
                     # FFT, deep CVNN — chunk-streamed (contract_chunk=256).

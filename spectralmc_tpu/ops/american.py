@@ -389,7 +389,8 @@ def lsmc_cashflows(
     beats the estimate. Cashflows are discounted to t = 0. Default basis
     degree 5: measured at 1M paths x 16 dates vs the Bermudan tree, degree 3
     prices ~1.0% low (policy bias) and degree 5 ~0.1% low (degree 7 adds
-    nothing); 1M-path/16-date runs take ~120 ms warm on a v5e chip.
+    nothing); measured 1.9e9 path-steps/s at 1M paths x 16 dates on a v5e
+    chip (bench.py american_lsmc_path_steps_per_sec — ~9 ms per pricing).
     """
     from spectralmc_tpu.ops.gbm import simulate_paths
 

@@ -353,48 +353,39 @@ def main():
         "polybm_rsqrt_unroll8",
     ]
     blocks = [(256, 256), (512, 256), (1024, 256), (2048, 256), (512, 128), (8192, 256)]
+    def time_one(v: str, br: int, bc: int) -> None:
+        # ONE timing harness for both sweeps (warm-up + best-of-3); an
+        # oversize block makes grid=(rows//br, cols//bc) empty — the kernel
+        # never launches and the "timing" is scan overhead, a 5x false
+        # positive caught in round 3
+        if br > rows or bc > cols:
+            print(f"{v:22s} block=({br:5d},{bc:4d})  SKIPPED: empty grid")
+            return
+        try:
+            f = lambda k: run_variant(k, contract, variant=v, timesteps=timesteps,
+                                      rows=rows, cols=cols, br=br, bc=bc, reps=reps)
+            float(f(key))
+            el = math.inf
+            for n in range(1, 4):
+                t0 = time.perf_counter()
+                float(f(jax.random.fold_in(key, n)))
+                el = min(el, time.perf_counter() - t0)
+            ps = rows * cols * timesteps * reps / el
+            print(f"{v:22s} block=({br:5d},{bc:4d})  {el*1000:8.1f} ms  {ps:.3e} path-steps/s")
+        except Exception as e:  # noqa: BLE001
+            print(f"{v:22s} block=({br:5d},{bc:4d})  FAILED: {e}", file=sys.stderr)
+
     if "--prod-sweep" in sys.argv:
         # block sweep for the PRODUCTION variant only (round 3: the earlier
         # sweep covered baseline; the shipped kernel was never swept)
-        variants = ["polybm_rsqrt_unroll4", "polybm_rsqrt_unroll8"]
-        blocks_prod = [(256, 256), (512, 256), (1024, 256), (512, 128)]
-        for v in variants:
-            for (br, bc) in blocks_prod:
-                if br > rows or bc > cols:
-                    # an oversize block makes grid=(rows//br, cols//bc) empty:
-                    # the kernel never launches and the "timing" is scan
-                    # overhead — a 5x false positive caught in round 3
-                    continue
-                try:
-                    f = lambda k: run_variant(k, contract, variant=v, timesteps=timesteps,
-                                              rows=rows, cols=cols, br=br, bc=bc, reps=reps)
-                    float(f(key))
-                    el = math.inf
-                    for n in range(1, 4):
-                        t0 = time.perf_counter()
-                        float(f(jax.random.fold_in(key, n)))
-                        el = min(el, time.perf_counter() - t0)
-                    ps = rows * cols * timesteps * reps / el
-                    print(f"{v:22s} block=({br:5d},{bc:4d})  {el*1000:8.1f} ms  {ps:.3e} path-steps/s")
-                except Exception as e:  # noqa: BLE001
-                    print(f"{v:22s} block=({br:5d},{bc:4d})  FAILED: {e}", file=sys.stderr)
+        for v in ["polybm_rsqrt_unroll4", "polybm_rsqrt_unroll8"]:
+            for (br, bc) in [(256, 256), (512, 256), (1024, 256), (512, 128)]:
+                time_one(v, br, bc)
         return
     print(f"shape: {rows}x{cols}, t={timesteps}, reps={reps}; device={jax.devices()[0].device_kind}")
     for v in variants:
         for (br, bc) in blocks if v == "baseline" else [(256, 256)]:
-            try:
-                f = lambda k: run_variant(k, contract, variant=v, timesteps=timesteps,
-                                          rows=rows, cols=cols, br=br, bc=bc, reps=reps)
-                float(f(key))  # warm up + compile
-                el = math.inf
-                for n in range(1, 4):
-                    t0 = time.perf_counter()
-                    float(f(jax.random.fold_in(key, n)))
-                    el = min(el, time.perf_counter() - t0)
-                ps = rows * cols * timesteps * reps / el
-                print(f"{v:16s} block=({br:5d},{bc:4d})  {el*1000:8.1f} ms  {ps:.3e} path-steps/s")
-            except Exception as e:  # noqa: BLE001
-                print(f"{v:12s} block=({br:5d},{bc:4d})  FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+            time_one(v, br, bc)
 
 
 if __name__ == "__main__":

@@ -111,12 +111,13 @@ def _lsmc_backward(
         if axis_name is not None:
             gram = jax.lax.psum(gram, axis_name)
             rhs = jax.lax.psum(rhs, axis_name)
-        # RELATIVE Tikhonov: λ scaled per-column by the Gram diagonal, so
-        # high-degree columns (whose centered moments are ~1e-8 at the
-        # shipped domains) are regularized proportionally instead of being
-        # crushed by an absolute λ — an absolute 1e-6 on the 1/N-normalized
-        # Gram effectively deleted the degree-4/5 regressors (policy bias
-        # toward the degree-3 fit, measured ~1% low vs the tree).
+        # RELATIVE Tikhonov: λ scaled per-column by the Gram diagonal.
+        # With the rescaled basis above the moments are O(1) and this is
+        # nearly uniform shrinkage; the relative form additionally keeps the
+        # regularization meaningful for any unusual domain where columns DO
+        # span magnitudes (an absolute λ on the normalized Gram previously
+        # deleted the degree-4/5 regressors at the shipped domains —
+        # measured ~1% policy bias toward the degree-3 fit vs the tree).
         diag = jnp.diagonal(gram)
         ridge = jnp.asarray(1e-6, dtype) * jnp.maximum(diag, jnp.asarray(1e-30, dtype))
         beta = jnp.linalg.solve(gram + jnp.diag(ridge), rhs)
@@ -191,7 +192,6 @@ def simulate_american_underlier_rows(
     dt = maturity / jnp.asarray(timesteps, dtype)
     drift = (rate - div_yield - 0.5 * vol * vol) * dt
     sqrt_dt = jnp.sqrt(dt)
-    disc = jnp.exp(-rate * dt)
 
     row_keys, sign = _row_streams(
         contract_key,
@@ -215,10 +215,16 @@ def simulate_american_underlier_rows(
     _, log_rows = jax.lax.scan(fwd, log0, jnp.arange(timesteps))
 
     # Bermudan monitor grid: exercise only every k-th simulation date
-    # (t_k, t_2k, ..., t_T — maturity is always a monitor date because
-    # build_simulation_params requires k | timesteps). Slicing the stored
-    # rows and compounding the one-step discount is exact: dates between
-    # monitors carry no decision, only discounting.
+    # (t_k, t_2k, ..., t_T). Slicing the stored rows and compounding the
+    # one-step discount is exact: dates between monitors carry no decision,
+    # only discounting. Trace-time guard (static args): a non-dividing k
+    # would silently DROP maturity from the monitor set and misprice —
+    # build_simulation_params enforces this for configs; direct callers of
+    # the documented op get the same contract.
+    if exercise_every < 1 or timesteps % exercise_every:
+        raise ValueError(
+            f"exercise_every={exercise_every} must divide timesteps={timesteps}"
+        )
     monitor_rows = log_rows[exercise_every - 1 :: exercise_every]
     disc_monitor = jnp.exp(-rate * dt * exercise_every)
     cf = _lsmc_backward(
@@ -317,7 +323,6 @@ def simulate_heston_american_underlier_rows(
     dt = maturity / jnp.asarray(timesteps, dtype)
     sqrt_dt = jnp.sqrt(dt)
     rho_bar = jnp.sqrt(1.0 - rho * rho)
-    disc = jnp.exp(-rate * dt)
 
     row_keys, sign = _row_streams(
         contract_key,
@@ -346,6 +351,10 @@ def simulate_heston_american_underlier_rows(
         xi=xi,
     )
 
+    if exercise_every < 1 or timesteps % exercise_every:
+        raise ValueError(
+            f"exercise_every={exercise_every} must divide timesteps={timesteps}"
+        )
     monitor_rows = log_rows[exercise_every - 1 :: exercise_every]
     monitor_v = v_rows[exercise_every - 1 :: exercise_every]
     disc_monitor = jnp.exp(-rate * dt * exercise_every)

@@ -257,13 +257,17 @@ def implied_vol(
     The quoting convention of every desk consuming the learned prices: what
     flat Black vol reproduces ``price``? Bisection rather than Newton keeps
     the solver branch-free and unconditionally convergent under ``lax.scan``
-    (Newton's vega division blows up deep ITM/OTM where vega → 0); 64 halvings
-    of [1e-4, 5] resolve vol to ~1e-16 — beyond f64 noise. Vectorizes over
-    any broadcastable batch of inputs.
+    (Newton's vega division blows up deep ITM/OTM where vega → 0). 64
+    halvings of [lo, hi] resolve the bracket below f64 epsilon; resolution
+    follows the INPUT dtype (~3e-7 at f32 — the tail iterations are then
+    no-ops, kept for the dtype-independent default). Vectorizes over any
+    broadcastable batch of inputs.
 
-    No-arbitrage envelope: for a call, df·max(F−K, 0) ≤ price < df·F; for a
-    put, df·max(K−F, 0) ≤ price < df·K. Prices outside return NaN rather
-    than a pinned boundary value.
+    Returns NaN rather than a pinned boundary value whenever the price is
+    not attainable inside the bracket: outside the no-arbitrage envelope
+    (call: df·max(F−K, 0) ≤ price < df·F; put: df·max(K−F, 0) ≤ price <
+    df·K) OR outside [value(lo), value(hi)] — a price whose true vol
+    exceeds ``hi`` must not silently quote the bracket ceiling.
     """
     import jax as _jax
 
@@ -296,5 +300,12 @@ def implied_vol(
     hi_v = jnp.full(shape, hi, dtype)
     (lo_v, hi_v), _ = _jax.lax.scan(body, (lo_v, hi_v), None, length=iterations)
     vol = 0.5 * (lo_v + hi_v)
-    in_bounds = (price >= intrinsic) & (price < upper)
+    in_bounds = (
+        (price >= intrinsic)
+        & (price < upper)
+        # attainable inside the bracket: Black is monotone in vol, so a
+        # price past value(hi) (or under value(lo)) has no solution here
+        & (price >= value(jnp.asarray(lo, dtype)))
+        & (price <= value(jnp.asarray(hi, dtype)))
+    )
     return jnp.where(in_bounds, vol, jnp.nan)

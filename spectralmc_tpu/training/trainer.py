@@ -345,6 +345,23 @@ def _contracts_to_device(
 # --------------------------------------------------------------------------
 
 
+def _pad_to_bucket(arr: "jax.Array") -> tuple["jax.Array", int]:
+    """Pad a [N, D] batch to the next power of two by repeating the last row.
+
+    Returns (padded array, original N); callers slice outputs back to N.
+    Row-independent inference programs make this bit-transparent, and a
+    variable-batch serving fleet compiles at most log2(max_N) programs.
+    """
+    n = arr.shape[0]
+    if n == 0:
+        return arr, n
+    bucket = 1 << (n - 1).bit_length()
+    if bucket > n:
+        pad = jnp.broadcast_to(arr[-1:], (bucket - n, arr.shape[1]))
+        arr = jnp.concatenate([arr, pad], axis=0)
+    return arr, n
+
+
 def flatten_pytree(prefix: str, tree: Any) -> dict[str, np.ndarray]:
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out: dict[str, np.ndarray] = {}
@@ -1056,11 +1073,8 @@ class GbmCVNNPricer:
         dtype = self._sim.precision.to_jnp()
         arr = _contracts_to_device(contracts, contract_class(self._sim), dtype)
         n = arr.shape[0]
-        if pad_to_bucket and n > 0:
-            bucket = 1 << max(0, (n - 1)).bit_length()
-            if bucket > n:
-                pad = jnp.broadcast_to(arr[-1:], (bucket - n, arr.shape[1]))
-                arr = jnp.concatenate([arr, pad], axis=0)
+        if pad_to_bucket:
+            arr, n = _pad_to_bucket(arr)
         put, residue_dev, expected = self._predict_program()(
             self._params, self._bn_state, arr
         )
@@ -1195,11 +1209,8 @@ class GbmCVNNPricer:
         dtype = self._sim.precision.to_jnp()
         arr = _contracts_to_device(contracts, contract_class(self._sim), dtype)
         n = arr.shape[0]
-        if pad_to_bucket and n > 0:
-            bucket = 1 << max(0, (n - 1)).bit_length()
-            if bucket > n:
-                pad = jnp.broadcast_to(arr[-1:], (bucket - n, arr.shape[1]))
-                arr = jnp.concatenate([arr, pad], axis=0)
+        if pad_to_bucket:
+            arr, n = _pad_to_bucket(arr)
         if not has_closed_form_mean(
             self._sim.model,
             self._sim.payoff,

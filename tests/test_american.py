@@ -768,3 +768,7 @@ def test_implied_vol_roundtrip_and_bounds() -> None:
     df_f = float(np.exp(-0.03) * 100.0 * np.exp(0.02))
     assert np.isnan(float(implied_vol(0.0, 100.0, 80.0, 1.0, 0.03, 0.01, option="call")))
     assert np.isnan(float(implied_vol(df_f + 1.0, 100.0, 80.0, 1.0, 0.03, 0.01, option="call")))
+    # in-envelope but past the bracket ceiling (true vol > hi): NaN, never a
+    # silently pinned ~5.0 quote
+    extreme = black_scholes_price(100.0, 100.0, 1.0, 0.03, 0.01, 6.0)
+    assert np.isnan(float(implied_vol(extreme.call, 100.0, 100.0, 1.0, 0.03, 0.01, option="call")))

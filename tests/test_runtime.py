@@ -84,3 +84,41 @@ def test_device_and_precision_scopes() -> None:
         x = jnp.ones((4, 4)) @ jnp.ones((4, 4))
         assert x.devices() == {dev}
     assert float(x[0, 0]) == 4.0
+
+
+def test_tree_placement_mixed_and_empty_failures() -> None:
+    from spectralmc_tpu.runtime.transfer import get_tree_placement
+
+    # mixed dtypes -> loud failure naming both
+    mixed_dtype = {"a": np.ones(3, np.float32), "b": np.ones(3, np.float64)}
+    res = get_tree_placement(mixed_dtype)
+    assert isinstance(res, Failure) and "mixed dtypes" in res.error
+    # empty tree -> failure, not a default placement
+    assert isinstance(get_tree_placement({}), Failure)
+    # uniform numpy tree -> HostPlacement + dtype string
+    ok = get_tree_placement({"a": np.ones(2, np.float32), "b": np.zeros(4, np.float32)})
+    assert isinstance(ok, Success)
+    placement, dtype = ok.value
+    assert isinstance(placement, HostPlacement) and dtype == "float32"
+
+
+def test_plan_empty_tree_and_scalar_leaf_bytes() -> None:
+    from spectralmc_tpu.runtime.transfer import RejectTransfer, plan_tensor_transfer
+
+    assert isinstance(
+        plan_tensor_transfer({}, HostPlacement()), RejectTransfer
+    )
+    # 0-d leaves count itemsize, not zero (np.prod(()) == 1.0 trap)
+    move = plan_tensor_transfer(
+        {"s": np.float64(3.0)}, DevicePlacement(device_kind="tpu")
+    )
+    assert isinstance(move, DirectTransfer) and move.total_bytes == 8
+
+
+def test_move_device_index_clamps_to_available() -> None:
+    """Requesting device_index past the fleet clamps to the last device
+    (graceful for heterogeneous fleets) rather than raising."""
+    tree = {"w": np.arange(4, dtype=np.float32)}
+    moved = move_tensor_tree(tree, DevicePlacement(device_kind="cpu", device_index=999))
+    assert isinstance(moved, Success)
+    np.testing.assert_array_equal(np.asarray(moved.value["w"]), np.arange(4, dtype=np.float32))

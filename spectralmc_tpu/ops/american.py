@@ -36,15 +36,15 @@ from spectralmc_tpu.ops.greeks import OptionSide
 
 
 def _lsmc_backward(
-    log_rows: jax.Array,  # [timesteps, ...path dims...] log-prices
+    price_rows: jax.Array,  # [monitor dates, ...path dims...] prices
     *,
     strike: jax.Array,
-    disc: jax.Array,  # one-step discount e^{-r dt}
+    disc: jax.Array,  # one-monitor-step discount
     dtype: jnp.dtype,
     put: bool,
     basis_degree: int,
     axis_name: str | None = None,
-    extra_rows: jax.Array | None = None,  # [timesteps, ...] per-date state
+    extra_rows: jax.Array | None = None,  # [monitor dates, ...] per-date state
 ) -> jax.Array:
     """Longstaff–Schwartz backward induction → cashflows discounted to t=0.
 
@@ -65,7 +65,7 @@ def _lsmc_backward(
     """
     base_k = basis_degree + 1
     k = base_k + (3 if extra_rows is not None else 0)
-    n = log_rows.shape[0]
+    n = price_rows.shape[0]
 
     def immediate(s: jax.Array) -> jax.Array:
         return jnp.maximum(strike - s, 0.0) if put else jnp.maximum(s - strike, 0.0)
@@ -89,17 +89,16 @@ def _lsmc_backward(
 
     # local path count; the global count folds in the mesh axis size
     n_local = 1
-    for d in log_rows.shape[1:]:
+    for d in price_rows.shape[1:]:
         n_local *= d
     inv_n = jnp.asarray(1.0 / n_local, dtype)
     if axis_name is not None:
         inv_n = inv_n / jax.lax.psum(jnp.asarray(1.0, dtype), axis_name)
 
-    cf_terminal = immediate(jnp.exp(log_rows[n - 1]))
+    cf_terminal = immediate(price_rows[n - 1])
 
     def backward(cf_next: jax.Array, per_date) -> tuple[jax.Array, None]:
-        log_s, extra = per_date
-        s_t = jnp.exp(log_s)
+        s_t, extra = per_date
         y = disc * cf_next  # continuation cashflow valued at THIS date
         exercise_now = immediate(s_t)
         itm = (exercise_now > 0.0).astype(dtype)
@@ -127,19 +126,72 @@ def _lsmc_backward(
 
     # walk t_{N-1} .. t_1 (rows n-2 .. 0)
     if extra_rows is None:
-        dates = (log_rows[: n - 1][::-1], None)
+        def backward_no_extra(cf_next: jax.Array, s_t: jax.Array):
+            return backward(cf_next, (s_t, None))
 
-        def backward_no_extra(cf_next: jax.Array, log_s: jax.Array):
-            return backward(cf_next, (log_s, None))
-
-        cf_1, _ = jax.lax.scan(backward_no_extra, cf_terminal, dates[0])
+        cf_1, _ = jax.lax.scan(backward_no_extra, cf_terminal, price_rows[: n - 1][::-1])
     else:
         cf_1, _ = jax.lax.scan(
             backward,
             cf_terminal,
-            (log_rows[: n - 1][::-1], extra_rows[: n - 1][::-1]),
+            (price_rows[: n - 1][::-1], extra_rows[: n - 1][::-1]),
         )
     return disc * cf_1  # discounted to t = 0
+
+
+def _american_encode(
+    log_rows: jax.Array,
+    *,
+    timesteps: int,
+    exercise_every: int,
+    strike: jax.Array,
+    maturity: jax.Array,
+    rate: jax.Array,
+    dt: jax.Array,
+    dtype: jnp.dtype,
+    put: bool,
+    basis_degree: int,
+    axis_name: str | None,
+    extra_rows: jax.Array | None = None,
+) -> jax.Array:
+    """Monitor-grid slice + backward induction + synthetic-underlier encode —
+    the ONE Bermudan tail both dynamics share (a divergence here would let
+    GBM and Heston silently disagree about monitor semantics).
+
+    Trace-time guards on the static grid: ``exercise_every`` must divide
+    ``timesteps`` (else maturity silently drops off the monitor set) and the
+    grid must keep >= 2 monitor dates (1 date IS the European option — the
+    same contract build_simulation_params and the effect route enforce).
+    Slicing the stored rows and compounding the one-step discount is exact:
+    dates between monitors carry no decision, only discounting.
+    """
+    if exercise_every < 1 or timesteps % exercise_every:
+        raise ValueError(
+            f"exercise_every={exercise_every} must divide timesteps={timesteps}"
+        )
+    if timesteps // exercise_every < 2:
+        raise ValueError(
+            f"early exercise needs >= 2 monitor dates; timesteps={timesteps} "
+            f"with exercise_every={exercise_every} leaves "
+            f"{timesteps // exercise_every}"
+        )
+    price_rows = jnp.exp(log_rows[exercise_every - 1 :: exercise_every])
+    monitor_extra = (
+        None if extra_rows is None else extra_rows[exercise_every - 1 :: exercise_every]
+    )
+    disc_monitor = jnp.exp(-rate * dt * exercise_every)
+    cf = _lsmc_backward(
+        price_rows,
+        strike=strike,
+        disc=disc_monitor,
+        dtype=dtype,
+        put=put,
+        basis_degree=basis_degree,
+        axis_name=axis_name,
+        extra_rows=monitor_extra,
+    )
+    df = jnp.exp(-rate * maturity)
+    return strike - cf / df
 
 
 @partial(
@@ -214,30 +266,19 @@ def simulate_american_underlier_rows(
     log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
     _, log_rows = jax.lax.scan(fwd, log0, jnp.arange(timesteps))
 
-    # Bermudan monitor grid: exercise only every k-th simulation date
-    # (t_k, t_2k, ..., t_T). Slicing the stored rows and compounding the
-    # one-step discount is exact: dates between monitors carry no decision,
-    # only discounting. Trace-time guard (static args): a non-dividing k
-    # would silently DROP maturity from the monitor set and misprice —
-    # build_simulation_params enforces this for configs; direct callers of
-    # the documented op get the same contract.
-    if exercise_every < 1 or timesteps % exercise_every:
-        raise ValueError(
-            f"exercise_every={exercise_every} must divide timesteps={timesteps}"
-        )
-    monitor_rows = log_rows[exercise_every - 1 :: exercise_every]
-    disc_monitor = jnp.exp(-rate * dt * exercise_every)
-    cf = _lsmc_backward(
-        monitor_rows,
+    return _american_encode(
+        log_rows,
+        timesteps=timesteps,
+        exercise_every=exercise_every,
         strike=strike,
-        disc=disc_monitor,
+        maturity=maturity,
+        rate=rate,
+        dt=dt,
         dtype=dtype,
         put=option == OptionSide.PUT,
         basis_degree=basis_degree,
         axis_name=axis_name,
     )
-    df = jnp.exp(-rate * maturity)
-    return strike - cf / df
 
 
 def heston_state_rows(
@@ -351,25 +392,20 @@ def simulate_heston_american_underlier_rows(
         xi=xi,
     )
 
-    if exercise_every < 1 or timesteps % exercise_every:
-        raise ValueError(
-            f"exercise_every={exercise_every} must divide timesteps={timesteps}"
-        )
-    monitor_rows = log_rows[exercise_every - 1 :: exercise_every]
-    monitor_v = v_rows[exercise_every - 1 :: exercise_every]
-    disc_monitor = jnp.exp(-rate * dt * exercise_every)
-    cf = _lsmc_backward(
-        monitor_rows,
+    return _american_encode(
+        log_rows,
+        timesteps=timesteps,
+        exercise_every=exercise_every,
         strike=strike,
-        disc=disc_monitor,
+        maturity=maturity,
+        rate=rate,
+        dt=dt,
         dtype=dtype,
         put=option == OptionSide.PUT,
         basis_degree=basis_degree,
         axis_name=axis_name,
-        extra_rows=jnp.maximum(monitor_v, 0.0),
+        extra_rows=jnp.maximum(v_rows, 0.0),
     )
-    df = jnp.exp(-rate * maturity)
-    return strike - cf / df
 
 
 @partial(
@@ -421,9 +457,10 @@ def lsmc_cashflows(
     # ONE backward-induction implementation for every LSMC entry point
     # (_lsmc_backward): centered-moneyness basis, 1/N-normalized moments,
     # relative Tikhonov ridge — so the oracle calibration of this function
-    # and the family simulators' policy are the same estimator.
+    # and the family simulators' policy are the same estimator. The path
+    # matrix is already in price space; no log/exp round trip.
     cf = _lsmc_backward(
-        jnp.log(s),
+        s,
         strike=strike,
         disc=disc,
         dtype=dtype,

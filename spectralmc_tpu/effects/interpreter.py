@@ -200,7 +200,16 @@ class MonteCarloInterpreter:
                             reason="LSMC early exercise is log-Euler only",
                         )
                     )
-                if effect.timesteps < 2:
+                every = effect.lsmc_exercise_every
+                if every < 1 or effect.timesteps % every:
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason=f"lsmc_exercise_every={every} must divide "
+                            f"timesteps={effect.timesteps}",
+                        )
+                    )
+                if effect.timesteps // every < 2:
                     return Failure(
                         MonteCarloError(
                             effect_kind=effect.kind,
@@ -246,6 +255,8 @@ class MonteCarloInterpreter:
                 payoff=payoff,
                 antithetic_half=effect.batches // 2 if effect.antithetic else None,
                 barrier_rel=effect.barrier_rel if effect.barrier_rel > 0.0 else None,
+                lsmc_basis_degree=effect.lsmc_basis_degree,
+                lsmc_exercise_every=effect.lsmc_exercise_every,
             )
             prices = terminal_to_prices(
                 rows.reshape(-1),

@@ -105,6 +105,9 @@ class SimulatePaths:
     precision: str = "float32"  # Precision value
     antithetic: bool = False  # second half of rows mirrors the first's normals
     barrier_rel: float = 0.0  # knockout level x spot; 0 = not a barrier payoff
+    # LSMC knobs (AMERICAN payoff kinds only; mirror SimulationParams)
+    lsmc_basis_degree: int = 5
+    lsmc_exercise_every: int = 1
     out_id: str = ""
 
 

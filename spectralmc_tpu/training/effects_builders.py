@@ -51,6 +51,8 @@ def build_simulation_effects(
                 precision=sim.precision.value,
                 antithetic=sim.antithetic,
                 barrier_rel=sim.barrier_rel or 0.0,
+                lsmc_basis_degree=sim.lsmc_basis_degree,
+                lsmc_exercise_every=sim.lsmc_exercise_every,
                 out_id=out_id,
             ),
             ComputeFFT(

@@ -772,3 +772,55 @@ def test_implied_vol_roundtrip_and_bounds() -> None:
     # silently pinned ~5.0 quote
     extreme = black_scholes_price(100.0, 100.0, 1.0, 0.03, 0.01, 6.0)
     assert np.isnan(float(implied_vol(extreme.call, 100.0, 100.0, 1.0, 0.03, 0.01, option="call")))
+
+
+def test_effect_route_carries_lsmc_knobs_and_matches_direct() -> None:
+    """build_simulation_effects → SimulatePaths carries lsmc_basis_degree /
+    lsmc_exercise_every, and the interpreted payoffs match make_mc_spectrum's
+    inputs bit-for-bit (the same guarantee the barrier test pins)."""
+    import asyncio
+
+    from spectralmc_tpu.core.result import Failure
+    from spectralmc_tpu.effects.interpreter import SpectralMCInterpreter
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.training.effects_builders import build_simulation_effects
+    from spectralmc_tpu.training.step import make_mc_spectrum
+    from spectralmc_tpu.effects.types import ComputeFFT
+    from spectralmc_tpu.effects.composition import sequence_effects
+    from tests.helpers import expect_success
+
+    sim = expect_success(
+        _family_sim(
+            PayoffKind.AMERICAN_PUT, timesteps=4, network_size=16,
+            batches_per_mc_run=8, lsmc_basis_degree=3, lsmc_exercise_every=2,
+            skip=4,
+        )
+    )
+    c = make_contract(strike=105.0)
+    seq = build_simulation_effects(sim, c, out_id="prices")
+    paths_effect = seq.effects[0]
+    assert paths_effect.lsmc_basis_degree == 3
+    assert paths_effect.lsmc_exercise_every == 2
+
+    fft = ComputeFFT(in_id="prices", batches=8, network_size=16, out_id="spec")
+    interp = SpectralMCInterpreter()
+    res = asyncio.run(
+        interp.interpret_sequence(sequence_effects(list(seq.effects) + [fft]))
+    )
+    assert not isinstance(res, Failure), res
+    spec = interp.registry.get_array("spec").expect("spec")
+    direct = make_mc_spectrum(sim)(jnp.uint32(4), c.as_array(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(spec), np.asarray(direct))
+
+    # a non-dividing monitor grid on the effect route is a typed failure
+    from spectralmc_tpu.effects.types import SimulatePaths
+
+    bad = SimulatePaths(
+        spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+        div_yield=c.div_yield, vol=c.vol, timesteps=4, batches=8,
+        network_size=16, seed=3, counter=0, scheme="log_euler",
+        normalization="none", payoff="american_put", model="gbm",
+        precision="float32", lsmc_exercise_every=3, out_id="bad",
+    )
+    out = asyncio.run(interp.interpret(bad))
+    assert isinstance(out, Failure) and "divide" in out.error.reason

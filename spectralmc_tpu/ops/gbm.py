@@ -77,7 +77,8 @@ class PayoffKind(enum.Enum):
     ``barrier_rel × spot`` at any t_i kills the payoff. Knocked paths emit
     underlier = strike, which zeroes BOTH vanilla payoffs in
     ``terminal_to_prices`` — so the same payoff pipeline prices knockouts
-    (knock-ins follow by parity: in = vanilla − out). The oracle is
+    (knock-ins: ``ops/greeks.py::knock_in_price`` computes in = vanilla −
+    out under common random numbers). The oracle is
     ``ops/analytic.py::discrete_barrier_price`` — backward induction with
     exact per-step lognormal transitions, so it shares the simulator's
     discrete monitoring (no continuity-correction slop). No closed-form

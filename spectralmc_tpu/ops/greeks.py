@@ -371,6 +371,52 @@ def bump_greeks(
     )
 
 
+def knock_in_price(
+    sim: SimulationParams,
+    contract: Any,
+    *,
+    option: OptionSide = OptionSide.CALL,
+    draw_index: int | None = None,
+) -> float:
+    """Knock-IN price by in = vanilla − out under COMMON RANDOM NUMBERS.
+
+    The barrier engines price knock-OUTs; knock-ins follow by the exact
+    pathwise identity (every path either knocks or it doesn't, so
+    in + out = vanilla payoff-by-payoff). Both legs here draw the SAME
+    (contract_key, row, timestep) stream — the barrier walk takes identical
+    increments to the terminal walk — so the difference carries only the
+    knocked paths' payoffs and its MC error is the low-variance difference,
+    not two independent errors. ``sim.payoff`` must be a BARRIER kind; the
+    vanilla leg prices TERMINAL with normalization off (rescaling would
+    break the pathwise pairing). Works for every ModelKind with a barrier
+    engine (GBM, Heston, baskets).
+    """
+    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS, ForwardNormalization, PayoffKind
+
+    if sim.payoff not in BARRIER_PAYOFFS:
+        raise ValueError(
+            f"knock_in_price needs a barrier payoff; got {sim.payoff.value!r}"
+        )
+    vanilla_sim = sim.model_copy(
+        update={
+            "payoff": PayoffKind.TERMINAL,
+            "barrier_rel": None,
+            "normalization": ForwardNormalization.NONE,
+        }
+    )
+    out_fn = _make_raw_price_fn(sim, option=option)
+    vanilla_fn = _make_raw_price_fn(vanilla_sim, option=option)
+    dtype = sim.precision.to_jnp()
+    arr = contract.as_array(dtype)
+    idx = jnp.asarray(sim.skip if draw_index is None else draw_index, jnp.uint32)
+
+    @jax.jit
+    def run(i: jax.Array, c: jax.Array) -> jax.Array:
+        return vanilla_fn(i, c) - out_fn(i, c)
+
+    return float(run(idx, arr))
+
+
 # --------------------------------------------------------------------------
 # Analytic oracle Greeks — autodiff of the closed forms
 # --------------------------------------------------------------------------
@@ -428,6 +474,7 @@ def analytic_greeks(
 __all__ = [
     "MCGreeks",
     "greeks_engine",
+    "knock_in_price",
     "OptionSide",
     "analytic_greeks",
     "bump_greeks",

@@ -401,3 +401,44 @@ def test_effects_path_carries_barrier_and_matches_direct() -> None:
     out = asyncio.run(interp.interpret(bad))
     assert isinstance(out, Failure)
     assert "barrier_rel" in out.error.reason
+
+
+def test_knock_in_price_matches_oracle_difference() -> None:
+    """in = vanilla − out under common random numbers: the MC knock-in call
+    must match Black(vanilla) − discrete_barrier(out) to MC tolerance, be
+    positive, and grow as the barrier comes closer (more knock-ins)."""
+    from spectralmc_tpu.ops.analytic import black_scholes_price, discrete_barrier_price
+    from spectralmc_tpu.ops.gbm import ForwardNormalization
+    from spectralmc_tpu.ops.greeks import OptionSide, knock_in_price
+    from tests.helpers.factories import make_contract, make_simulation_params
+
+    c = make_contract(spot=100.0, strike=100.0, vol=0.2)
+    prices_in = []
+    for barrier_rel in (1.25, 1.4):
+        sim = make_simulation_params(
+            timesteps=8, network_size=256, batches_per_mc_run=256,
+            payoff=PayoffKind.BARRIER_UP_OUT, barrier_rel=barrier_rel,
+            normalization=ForwardNormalization.NONE,
+        )
+        got = knock_in_price(sim, c, option=OptionSide.CALL)
+        vanilla = float(
+            black_scholes_price(
+                c.spot, c.strike, c.maturity, c.rate, c.div_yield, c.vol
+            ).call
+        )
+        out_oracle = float(
+            discrete_barrier_price(
+                c.spot, c.strike, c.maturity, c.rate, c.div_yield, c.vol,
+                timesteps=8, barrier_rel=barrier_rel, up=True,
+            ).call
+        )
+        want = vanilla - out_oracle
+        assert got > 0.0
+        assert got == pytest.approx(want, rel=0.1, abs=0.05), (barrier_rel, got, want)
+        prices_in.append(got)
+    assert prices_in[0] > prices_in[1]  # closer barrier -> more knock-ins
+
+    # non-barrier sims are refused loudly
+    sim_terminal = make_simulation_params(timesteps=4, network_size=16, batches_per_mc_run=4)
+    with pytest.raises(ValueError, match="barrier payoff"):
+        knock_in_price(sim_terminal, c)

@@ -32,6 +32,7 @@ _EXPORTS = {
     "PayoffKind": "spectralmc_tpu.ops.gbm",
     "ModelKind": "spectralmc_tpu.ops.gbm",
     "SimImplementation": "spectralmc_tpu.ops.gbm",
+    "SamplingKind": "spectralmc_tpu.ops.gbm",
     "HestonContract": "spectralmc_tpu.ops.heston",
     "BasketSpec": "spectralmc_tpu.ops.basket",
     "build_basket_spec": "spectralmc_tpu.ops.basket",

@@ -142,8 +142,10 @@ class MonteCarloInterpreter:
                 payoff = PayoffKind(effect.payoff)
                 model = ModelKind(effect.model)
                 from spectralmc_tpu.core.precision import Precision
+                from spectralmc_tpu.ops.gbm import SamplingKind
 
                 dtype = Precision(effect.precision).to_jnp()
+                sampling = SamplingKind(effect.sampling)
             except ValueError as exc:
                 return Failure(
                     MonteCarloError(effect_kind=effect.kind, reason=f"bad enum value: {exc}")
@@ -192,6 +194,24 @@ class MonteCarloInterpreter:
                         "E[underlier]; use normalization='none'",
                     )
                 )
+            if sampling == SamplingKind.SOBOL_BB:
+                # mirror build_simulation_params' QMC gates
+                if payoff in AMERICAN_PAYOFFS:
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="LSMC early exercise draws its own pseudo "
+                            "stream; QMC applies to path-independent payoffs",
+                        )
+                    )
+                if effect.antithetic:
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="antithetic mirroring breaks the Sobol net's "
+                            "digital-shift randomization; choose one scheme",
+                        )
+                    )
             if payoff in AMERICAN_PAYOFFS:
                 if scheme != PathScheme.LOG_EULER:
                     return Failure(
@@ -257,6 +277,8 @@ class MonteCarloInterpreter:
                 barrier_rel=effect.barrier_rel if effect.barrier_rel > 0.0 else None,
                 lsmc_basis_degree=effect.lsmc_basis_degree,
                 lsmc_exercise_every=effect.lsmc_exercise_every,
+                sampling=sampling,
+                mc_seed=effect.seed,
             )
             prices = terminal_to_prices(
                 rows.reshape(-1),

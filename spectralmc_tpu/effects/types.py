@@ -108,6 +108,7 @@ class SimulatePaths:
     # LSMC knobs (AMERICAN payoff kinds only; mirror SimulationParams)
     lsmc_basis_degree: int = 5
     lsmc_exercise_every: int = 1
+    sampling: str = "pseudo"  # SamplingKind value (path-increment source)
     out_id: str = ""
 
 

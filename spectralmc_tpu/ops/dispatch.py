@@ -20,6 +20,7 @@ from spectralmc_tpu.ops.gbm import (
     BlackScholesContract,
     ModelKind,
     PayoffKind,
+    SamplingKind,
     SimImplementation,
     SimulationParams,
     expected_underlier_mean,
@@ -160,12 +161,24 @@ def make_underlier_simulator(
 
         return simulate
 
-    if sim.implementation == SimImplementation.PALLAS:
+    if (
+        sim.implementation == SimImplementation.PALLAS
+        and sim.sampling == SamplingKind.PSEUDO
+    ):
         from spectralmc_tpu.ops.gbm_pallas import (
             simulate_underlier_rows_pallas as _sim_gbm,
         )
     else:
+        # QMC sampling always routes XLA (resolve_implementation is the
+        # checkpoint-facing source of truth; this mirrors it for direct callers)
         _sim_gbm = simulate_underlier_rows
+
+    gbm_kwargs: dict[str, object] = {}
+    if sim.sampling != SamplingKind.PSEUDO:
+        # only the XLA GBM engine takes the sampling knob (resolve_implementation
+        # routes QMC there); keep the Pallas call signature untouched
+        gbm_kwargs["sampling"] = sim.sampling
+        gbm_kwargs["mc_seed"] = sim.mc_seed
 
     def simulate(
         key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
@@ -182,6 +195,7 @@ def make_underlier_simulator(
             row_offset=row_offset,
             barrier_rel=sim.barrier_rel,
             antithetic_half=anti_half,
+            **gbm_kwargs,
         )
 
     return simulate

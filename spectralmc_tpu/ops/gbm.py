@@ -130,6 +130,24 @@ class SimImplementation(enum.Enum):
     PALLAS = "pallas"  # fused RNG+step kernel (gbm_pallas.py)
 
 
+class SamplingKind(enum.Enum):
+    """Where the path increments come from (extension; no reference counterpart
+    — the reference's path normals are always pseudo-random cuRAND draws,
+    async_normals.py:213-217; its only low-discrepancy use is contract
+    sampling).
+
+    PSEUDO: counter-keyed threefry normals (the reference-equivalent stream).
+    SOBOL_BB: randomized quasi-Monte-Carlo — one scrambled Sobol point per
+    path, Brownian-bridge variance ordering applied as a single orthogonal
+    matmul (ops/qmc.py). Upgrades the error rate from O(N^-1/2) toward
+    O(N^-1) on smooth payoffs (~50x RMSE reduction measured at 4096 paths,
+    tests/test_qmc.py). Checkpointed: it is a different bit stream.
+    """
+
+    PSEUDO = "pseudo"
+    SOBOL_BB = "sobol_bb"
+
+
 class BlackScholesContract(BaseModel):
     """One European-option market scenario (parity: reference ``BlackScholes.Inputs``)."""
 
@@ -202,6 +220,9 @@ class SimulationParams(BaseModel):
     # (t_k, t_2k, ..., t_T; must divide timesteps). 1 = every date (the
     # American-limit default). Checkpointed for the same reason.
     lsmc_exercise_every: int = 1
+    # path-increment source (see SamplingKind); SOBOL_BB is a different bit
+    # stream, so it is checkpointed and routes to the XLA engine
+    sampling: SamplingKind = SamplingKind.PSEUDO
 
     @property
     def total_paths(self) -> int:
@@ -363,6 +384,35 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                 reason="antithetic pairing needs an even batches_per_mc_run",
             )
         )
+    if params.sampling == SamplingKind.SOBOL_BB:
+        if params.model != ModelKind.GBM:
+            return Failure(
+                InvalidSimulationParams(
+                    field="sampling",
+                    value=params.sampling.value,
+                    reason=f"QMC path sampling covers GBM dynamics; "
+                    f"model={params.model.value!r} draws its own streams",
+                )
+            )
+        if params.payoff in AMERICAN_PAYOFFS:
+            return Failure(
+                InvalidSimulationParams(
+                    field="sampling",
+                    value=params.sampling.value,
+                    reason="LSMC early exercise draws its own pseudo stream; "
+                    "QMC applies to the path-independent payoff kinds",
+                )
+            )
+        if params.antithetic:
+            return Failure(
+                InvalidSimulationParams(
+                    field="antithetic",
+                    value=True,
+                    reason="the scrambled Sobol net is already stratified; "
+                    "antithetic mirroring would break its digital-shift "
+                    "randomization (choose one variance-reduction scheme)",
+                )
+            )
     if (
         params.normalization == ForwardNormalization.MEAN
         and not has_closed_form_mean(
@@ -428,6 +478,11 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
         # matmul/solve-shaped (MXU work), not a VPU streaming loop, so the
         # XLA path is the native engine for this payoff
         return SimImplementation.XLA
+    if params.sampling == SamplingKind.SOBOL_BB:
+        # the Brownian-bridge contraction is a [T, T] x [T, paths] matmul —
+        # MXU-shaped work the XLA engine expresses directly; the Pallas
+        # kernels' in-register streaming RNG has no Sobol counterpart
+        return SimImplementation.XLA
     from spectralmc_tpu.ops.gbm_pallas import pallas_supported
 
     effective_rows = params.batches_per_mc_run if rows is None else rows
@@ -469,9 +524,73 @@ def _row_streams(
     return keys, sign
 
 
+def _normals_source(
+    contract_key: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    row_offset: jax.Array | int,
+    antithetic_half: int | None,
+    sampling: "SamplingKind",
+    mc_seed: int,
+):
+    """``t -> [rows, cols]`` per-step normals closure — the sampling seam.
+
+    PSEUDO: the canonical (contract_key, global row, timestep) threefry
+    stream. SOBOL_BB: indexes a Brownian-bridge-ordered scrambled Sobol
+    tensor materialized once per simulation (ops/qmc.py) — same shape, same
+    marginals, same shard-stability in ``row_offset``.
+    """
+    if sampling == SamplingKind.SOBOL_BB:
+        from spectralmc_tpu.ops.qmc import qmc_effective_normals
+
+        assert antithetic_half is None  # enforced by build_simulation_params
+        zq = qmc_effective_normals(
+            contract_key,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            mc_seed=mc_seed,
+            row_offset=row_offset,
+        )
+
+        def normals_qmc(t: jax.Array) -> jax.Array:
+            return zq[t]
+
+        return normals_qmc
+
+    row_keys, sign = _row_streams(
+        contract_key,
+        rows=rows,
+        row_offset=row_offset,
+        antithetic_half=antithetic_half,
+        dtype=dtype,
+    )
+
+    def normals(t: jax.Array) -> jax.Array:
+        z = jax.vmap(
+            lambda k: jax.random.normal(jax.random.fold_in(k, t), (cols,), dtype)
+        )(row_keys)
+        return z if sign is None else sign * z
+
+    return normals
+
+
 @partial(
     jax.jit,
-    static_argnames=("timesteps", "rows", "cols", "dtype", "scheme", "antithetic_half"),
+    static_argnames=(
+        "timesteps",
+        "rows",
+        "cols",
+        "dtype",
+        "scheme",
+        "antithetic_half",
+        "sampling",
+        "mc_seed",
+    ),
 )
 def simulate_terminal_rows(
     contract_key: jax.Array,
@@ -484,6 +603,8 @@ def simulate_terminal_rows(
     scheme: PathScheme,
     row_offset: jax.Array | int = 0,
     antithetic_half: int | None = None,
+    sampling: SamplingKind = SamplingKind.PSEUDO,
+    mc_seed: int = 0,
 ) -> jax.Array:
     """Terminal GBM values ``[rows, cols]`` for one contract.
 
@@ -503,19 +624,17 @@ def simulate_terminal_rows(
     drift = (rate - div_yield - 0.5 * vol * vol) * dt
     sqrt_dt = jnp.sqrt(dt)
 
-    row_keys, sign = _row_streams(
+    normals = _normals_source(
         contract_key,
+        timesteps=timesteps,
         rows=rows,
+        cols=cols,
+        dtype=dtype,
         row_offset=row_offset,
         antithetic_half=antithetic_half,
-        dtype=dtype,
+        sampling=sampling,
+        mc_seed=mc_seed,
     )
-
-    def normals(t: jax.Array) -> jax.Array:
-        z = jax.vmap(
-            lambda k: jax.random.normal(jax.random.fold_in(k, t), (cols,), dtype)
-        )(row_keys)
-        return z if sign is None else sign * z
 
     if scheme == PathScheme.LOG_EULER:
 
@@ -548,6 +667,8 @@ def simulate_terminal_rows(
         "antithetic_half",
         "lsmc_basis_degree",
         "lsmc_exercise_every",
+        "sampling",
+        "mc_seed",
     ),
 )
 def simulate_underlier_rows(
@@ -565,6 +686,8 @@ def simulate_underlier_rows(
     antithetic_half: int | None = None,
     lsmc_basis_degree: int = 5,
     lsmc_exercise_every: int = 1,
+    sampling: SamplingKind = SamplingKind.PSEUDO,
+    mc_seed: int = 0,
 ) -> jax.Array:
     """``[rows, cols]`` payoff underliers: terminal value, path average,
     knockout-masked terminal (barrier kinds emit strike on knocked paths so
@@ -576,6 +699,9 @@ def simulate_underlier_rows(
     and the path-dependent kinds are shard-stable the same way.
     """
     if payoff in AMERICAN_PAYOFFS:
+        if sampling != SamplingKind.PSEUDO:
+            # trace-time mirror of the build_simulation_params gate
+            raise ValueError("LSMC early exercise draws its own pseudo stream")
         if scheme != PathScheme.LOG_EULER:
             # trace-time gate: the LSMC simulator hardcodes the log-Euler
             # step, and silently overriding a requested EULER discretization
@@ -609,25 +735,25 @@ def simulate_underlier_rows(
             scheme=scheme,
             row_offset=row_offset,
             antithetic_half=antithetic_half,
+            sampling=sampling,
+            mc_seed=mc_seed,
         )
 
     spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
     dt = maturity / jnp.asarray(timesteps, dtype)
     drift = (rate - div_yield - 0.5 * vol * vol) * dt
     sqrt_dt = jnp.sqrt(dt)
-    row_keys, sign = _row_streams(
+    normals = _normals_source(
         contract_key,
+        timesteps=timesteps,
         rows=rows,
+        cols=cols,
+        dtype=dtype,
         row_offset=row_offset,
         antithetic_half=antithetic_half,
-        dtype=dtype,
+        sampling=sampling,
+        mc_seed=mc_seed,
     )
-
-    def normals(t: jax.Array) -> jax.Array:
-        z = jax.vmap(
-            lambda k: jax.random.normal(jax.random.fold_in(k, t), (cols,), dtype)
-        )(row_keys)
-        return z if sign is None else sign * z
 
     if payoff in BARRIER_PAYOFFS:
         assert barrier_rel is not None  # enforced by build_simulation_params
@@ -878,6 +1004,9 @@ class BlackScholes:
             if p.payoff in AMERICAN_PAYOFFS:
                 kwargs["lsmc_basis_degree"] = p.lsmc_basis_degree
                 kwargs["lsmc_exercise_every"] = p.lsmc_exercise_every
+            if p.sampling != SamplingKind.PSEUDO:
+                kwargs["sampling"] = p.sampling
+                kwargs["mc_seed"] = p.mc_seed
         return simulate(
             self.contract_key(draw_index),
             contract,

@@ -168,10 +168,11 @@ def greeks_engine(sim: SimulationParams) -> SimImplementation:
     Every other (model, payoff, scheme) combination runs the autodiff-
     transparent XLA engine — `MCGreeks.engine` records the choice.
     """
-    from spectralmc_tpu.ops.gbm import ModelKind, PathScheme, PayoffKind
+    from spectralmc_tpu.ops.gbm import ModelKind, PathScheme, PayoffKind, SamplingKind
 
     if (
         sim.implementation == SimImplementation.PALLAS
+        and sim.sampling == SamplingKind.PSEUDO
         and sim.model == ModelKind.GBM
         and sim.payoff == PayoffKind.TERMINAL
         and sim.scheme == PathScheme.LOG_EULER

@@ -1,0 +1,181 @@
+"""Randomized quasi-Monte-Carlo path generation (Sobol + Brownian bridge).
+
+Extension beyond the reference (no counterpart: the reference's only
+low-discrepancy use is CONTRACT sampling, sobol_sampler.py — its path normals
+are always pseudo-random cuRAND draws, async_normals.py:213-217). Here the
+path increments themselves come from a scrambled Sobol net, which upgrades the
+MC error rate from O(N^-1/2) toward O(N^-1) on smooth payoffs — a large
+accuracy-per-FLOP win measured in ``tests/test_qmc.py`` and BENCH extras.
+
+TPU-native design:
+
+* **Brownian bridge as one matmul.** The bridge construction (Glasserman,
+  "MC Methods in Financial Engineering" §3.1) is a LINEAR map from the
+  quasi-random normal vector z (variance-ordered: z_0 drives the terminal
+  value, later z's fill in ever-finer midpoints) to the path's Brownian
+  increments. We precompute that ``[timesteps, timesteps]`` matrix ``M`` once
+  on host (float64) and apply it on device as a single einsum — MXU work —
+  instead of the scalar bisection loop a CPU/GPU implementation would run.
+  Because unit-time-step Brownian increments are iid N(0,1), ``M`` is exactly
+  orthogonal (``M Mᵀ = I``), which the tests assert to 1e-10: the map is a
+  rotation of the normals, so plugging its output into the unchanged
+  log-Euler/Euler scan bodies is distribution-exact.
+* **Sobol point = path.** Point index = GLOBAL path index
+  ``(row_offset + row) · cols + col`` — a pure function of global position,
+  so a mesh shard owning rows ``[k, k+rows)`` generates bit-exactly the
+  points a single-device run generates for those rows (the same
+  shard-stability contract as the pseudo engine's
+  ``(contract_key, global row, timestep)`` keying, gbm.py:488-499).
+* **Randomization = LMS + per-draw digital shift.** The direction numbers are
+  Owen linear-matrix-scrambled once per (dimension, mc_seed) on host
+  (``ops/sobol.py::_lms_scramble``); each contract draw XORs in a fresh
+  digital shift derived from the traced contract key (Matoušek's random
+  linear scramble). Every draw is therefore an independent unbiased
+  randomization of the same net — replicate draws give honest RQMC error
+  bars, and resume stays a pure function of (seed, skip) exactly like the
+  pseudo stream.
+* **Padded QMC beyond 64 dimensions.** The embedded Joe-Kuo table covers 64
+  dimensions; for ``timesteps > 64`` the coarse bridge levels (which carry
+  almost all the variance — that is the point of the bridge ordering) take
+  the Sobol dimensions and the fine tail levels take threefry normals keyed
+  by (pad_key, global row, level) — Owen's padded/hybrid-QMC construction.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectralmc_tpu.ops._sobol_directions import MAX_DIMENSION
+from spectralmc_tpu.ops.sobol import _lms_scramble, direction_numbers, sobol_uint32
+
+
+# --------------------------------------------------------------------------
+# Brownian-bridge increment map (host, float64, cached per timestep count)
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=64)
+def brownian_bridge_matrix(timesteps: int) -> np.ndarray:
+    """``[timesteps, timesteps]`` float64 map: variance-ordered z → increments.
+
+    Row ``t`` gives the coefficients of the Brownian increment over
+    ``(t, t+1]`` (unit time steps) in terms of the bridge variates: z_0 sets
+    the terminal value ``W_T = sqrt(T)·z_0``; z_k (breadth-first bisection
+    order) sets the midpoint of the k-th largest remaining interval
+    conditional on its endpoints. Exactly orthogonal — unit-step increments
+    are iid N(0,1) — so applying it to iid (or LMS-scrambled Sobol) normals
+    yields effective per-step normals with the identity covariance.
+    """
+    if timesteps < 1:
+        raise ValueError(f"timesteps must be >= 1, got {timesteps}")
+    t_total = timesteps
+    # a[i, j] = coefficient of z_j in W_i (W on grid 0..T, W_0 = 0)
+    a = np.zeros((t_total + 1, t_total), dtype=np.float64)
+    a[t_total, 0] = np.sqrt(float(t_total))
+    # breadth-first bisection: queue of (left, right) index intervals
+    queue: list[tuple[int, int]] = [(0, t_total)]
+    k = 1
+    while queue:
+        nxt: list[tuple[int, int]] = []
+        for left, right in queue:
+            if right - left < 2:
+                continue
+            mid = (left + right) // 2
+            span = float(right - left)
+            w_l = float(right - mid) / span
+            w_r = float(mid - left) / span
+            stddev = np.sqrt(float(mid - left) * float(right - mid) / span)
+            a[mid] = w_l * a[left] + w_r * a[right]
+            a[mid, k] += stddev
+            k += 1
+            nxt.append((left, mid))
+            nxt.append((mid, right))
+        queue = nxt
+    return a[1:] - a[:-1]  # increments [T, T]
+
+
+@lru_cache(maxsize=64)
+def _qmc_tables(dim: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """LMS-scrambled direction numbers + host digital shift for (dim, seed)."""
+    rng = np.random.default_rng(np.uint64(seed) ^ np.uint64(0x51B07C0FFEE))
+    return _lms_scramble(direction_numbers(dim), rng)
+
+
+def qmc_sobol_dims(timesteps: int) -> int:
+    """How many bridge levels the Sobol net covers (the rest are padded)."""
+    return min(timesteps, MAX_DIMENSION)
+
+
+# --------------------------------------------------------------------------
+# Device-side effective normals (jit-safe; static shapes, traced key/offset)
+# --------------------------------------------------------------------------
+
+
+def qmc_effective_normals(
+    contract_key: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    mc_seed: int,
+    row_offset: jax.Array | int = 0,
+) -> jax.Array:
+    """``[timesteps, rows, cols]`` unit-variance per-step effective normals.
+
+    Drop-in replacement for the pseudo engine's per-step
+    ``normal(fold_in(row_key, t), (cols,))`` draws: same shape, same marginal
+    distribution, same shard-stability in ``row_offset`` — but the joint
+    sample over timesteps is a Brownian-bridge-ordered scrambled Sobol point
+    per path. Deterministic in (contract_key, mc_seed, global row range).
+    """
+    sdims = qmc_sobol_dims(timesteps)
+    directions_np, host_shift_np = _qmc_tables(sdims, mc_seed)
+    directions = jnp.asarray(directions_np)
+    host_shift = jnp.asarray(host_shift_np)
+
+    shift_key, pad_key = jax.random.split(contract_key)
+    draw_shift = jax.random.bits(shift_key, (sdims,), dtype=jnp.uint32)
+
+    count = rows * cols
+    start = jnp.asarray(row_offset, jnp.uint32) * jnp.uint32(cols)
+    bits = sobol_uint32(directions, host_shift ^ draw_shift, start, count)
+    # centered uniforms in (0, 1): top 24 bits + half-ulp, exact in float32
+    # and never 0 or 1, so ndtri stays finite
+    u = (
+        (bits >> jnp.uint32(8)).astype(jnp.float32) + jnp.float32(0.5)
+    ) * jnp.float32(2.0**-24)
+    z_sobol = jax.scipy.special.ndtri(u).astype(dtype)  # [count, sdims]
+    z_sobol = z_sobol.reshape(rows, cols, sdims).transpose(2, 0, 1)
+
+    if sdims < timesteps:
+        # fine bridge levels: threefry pad keyed by (pad_key, GLOBAL row, level)
+        row_idx = jnp.asarray(row_offset, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
+        row_keys = jax.vmap(lambda r: jax.random.fold_in(pad_key, r))(row_idx)
+
+        def pad_level(j: jax.Array) -> jax.Array:
+            return jax.vmap(
+                lambda k: jax.random.normal(jax.random.fold_in(k, j), (cols,), dtype)
+            )(row_keys)
+
+        z_pad = jax.vmap(pad_level)(jnp.arange(sdims, timesteps))
+        z_all = jnp.concatenate([z_sobol, z_pad], axis=0)  # [T, rows, cols]
+    else:
+        z_all = z_sobol
+
+    bb = jnp.asarray(brownian_bridge_matrix(timesteps), dtype=dtype)
+    # one [T, T] x [T, rows*cols] contraction — MXU work
+    return jnp.einsum(
+        "td,drc->trc", bb, z_all, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+__all__ = [
+    "brownian_bridge_matrix",
+    "qmc_effective_normals",
+    "qmc_sobol_dims",
+]

@@ -31,6 +31,7 @@ from spectralmc_tpu.ops.gbm import (
     ModelKind,
     PathScheme,
     PayoffKind,
+    SamplingKind,
     SimImplementation,
     SimulationParams,
 )
@@ -205,6 +206,7 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         antithetic=sim.antithetic,
         lsmc_basis_degree=sim.lsmc_basis_degree,
         lsmc_exercise_every=sim.lsmc_exercise_every,
+        sampling=sim.sampling.value,
     )
     if sim.basket is not None:
         proto.basket.CopyFrom(basket_spec_to_proto(sim.basket))
@@ -240,6 +242,8 @@ def sim_params_from_proto(
                 # 0 = absent (pre-round-3 checkpoint) -> the default degree
                 lsmc_basis_degree=proto.lsmc_basis_degree or 5,
                 lsmc_exercise_every=proto.lsmc_exercise_every or 1,
+                # "" = pre-QMC checkpoint -> the pseudo stream it was trained on
+                sampling=SamplingKind(proto.sampling or "pseudo"),
             )
         )
     except (KeyError, ValueError) as exc:

@@ -53,6 +53,7 @@ def build_simulation_effects(
                 barrier_rel=sim.barrier_rel or 0.0,
                 lsmc_basis_degree=sim.lsmc_basis_degree,
                 lsmc_exercise_every=sim.lsmc_exercise_every,
+                sampling=sim.sampling.value,
                 out_id=out_id,
             ),
             ComputeFFT(

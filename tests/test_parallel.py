@@ -172,13 +172,19 @@ def test_sharded_contract_chunking_is_bit_transparent() -> None:
         np.testing.assert_array_equal(sa.model_state[key], sb.model_state[key])
 
 
+@pytest.mark.timeout_s(360)  # five families x (single + sharded) compiles
 def test_sharded_matches_single_device_new_families() -> None:
     """The round-2 extension families run through the SAME sharded segment:
     basket dynamics, barrier payoffs and antithetic pairing must all match
     single-device training to float tolerance over a (2, 4) mesh — pairing
     and knockout state are per-row, so paths-axis sharding crosses both."""
     from spectralmc_tpu.ops.basket import build_basket_spec
-    from spectralmc_tpu.ops.gbm import ForwardNormalization, ModelKind, PayoffKind
+    from spectralmc_tpu.ops.gbm import (
+        ForwardNormalization,
+        ModelKind,
+        PayoffKind,
+        SamplingKind,
+    )
 
     spec = expect_success(build_mesh_spec(batch_shards=2, paths_shards=4))
     cases = {
@@ -196,6 +202,10 @@ def test_sharded_matches_single_device_new_families() -> None:
             normalization=ForwardNormalization.NONE,
         ),
         "antithetic": dict(antithetic=True),
+        # round 3: QMC paths — the Sobol point index is a pure function of
+        # the GLOBAL path index, so a paths shard generates exactly its slice
+        # of the net (ops/qmc.py docstring)
+        "qmc": dict(sampling=SamplingKind.SOBOL_BB),
         # round 3: the LSMC regression couples ALL paths — the psum'd moment
         # sums must make every paths-shard solve the IDENTICAL system
         "american": dict(

@@ -146,7 +146,7 @@ def basket_cholesky(spec: BasketSpec) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "spec", "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
-        "antithetic_half",
+        "antithetic_half", "sampling", "mc_seed",
     ),
 )
 def simulate_basket_underlier_rows(
@@ -162,6 +162,8 @@ def simulate_basket_underlier_rows(
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
+    sampling: "object | None" = None,
+    mc_seed: int = 0,
 ) -> jax.Array:
     """``[rows, cols]`` basket-payoff underliers under log-Euler dynamics.
 
@@ -169,7 +171,9 @@ def simulate_basket_underlier_rows(
     ``a`` starts at ``spot·spot_multipliers[a]`` with vol
     ``vol·vol_multipliers[a]``; normals keyed by
     (contract_key, global row, timestep, asset) then Cholesky-mixed along the
-    asset axis (one MXU contraction per step).
+    asset axis (one MXU contraction per step). With
+    ``sampling=SamplingKind.SOBOL_BB`` the pre-mix normals come from the
+    n_assets-factor Brownian-bridge Sobol net (ops/qmc.py).
     """
     from spectralmc_tpu.ops.gbm import PayoffKind
 
@@ -184,27 +188,46 @@ def simulate_basket_underlier_rows(
     chol = jnp.asarray(basket_cholesky(spec), dtype)  # [A, A]
     drift = (rate - div_yield - 0.5 * sigmas * sigmas) * dt  # [A]
 
-    from spectralmc_tpu.ops.gbm import _row_streams
+    from spectralmc_tpu.ops.gbm import SamplingKind, _row_streams
 
-    row_keys, sign = _row_streams(
-        contract_key,
-        rows=rows,
-        row_offset=row_offset,
-        antithetic_half=antithetic_half,
-        dtype=dtype,
-    )
+    if sampling == SamplingKind.SOBOL_BB:
+        from spectralmc_tpu.ops.qmc import qmc_effective_normals_multi
 
-    def normals(t: jax.Array) -> jax.Array:
-        # [A, rows, cols] iid, keyed (key, row, t, asset); antithetic flips
-        # the whole A-dimensional Gaussian (valid pair, correlation intact)
-        def per_row(k: jax.Array) -> jax.Array:
-            kt = jax.random.fold_in(k, t)
-            return jax.vmap(
-                lambda a: jax.random.normal(jax.random.fold_in(kt, a), (cols,), dtype)
-            )(jnp.arange(a_n, dtype=jnp.uint32))
+        assert antithetic_half is None  # enforced by build_simulation_params
+        zq = qmc_effective_normals_multi(
+            contract_key,
+            timesteps=timesteps,
+            factors=a_n,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            mc_seed=mc_seed,
+            row_offset=row_offset,
+        )
 
-        z = jnp.transpose(jax.vmap(per_row)(row_keys), (1, 0, 2))
-        return z if sign is None else sign[None, :, :] * z
+        def normals(t: jax.Array) -> jax.Array:
+            return zq[t]  # [A, rows, cols]
+
+    else:
+        row_keys, sign = _row_streams(
+            contract_key,
+            rows=rows,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            dtype=dtype,
+        )
+
+        def normals(t: jax.Array) -> jax.Array:
+            # [A, rows, cols] iid, keyed (key, row, t, asset); antithetic flips
+            # the whole A-dimensional Gaussian (valid pair, correlation intact)
+            def per_row(k: jax.Array) -> jax.Array:
+                kt = jax.random.fold_in(k, t)
+                return jax.vmap(
+                    lambda a: jax.random.normal(jax.random.fold_in(kt, a), (cols,), dtype)
+                )(jnp.arange(a_n, dtype=jnp.uint32))
+
+            z = jnp.transpose(jax.vmap(per_row)(row_keys), (1, 0, 2))
+            return z if sign is None else sign[None, :, :] * z
 
     from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
 

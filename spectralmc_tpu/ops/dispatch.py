@@ -101,8 +101,21 @@ def make_underlier_simulator(
 
         return simulate_american
 
+    # QMC sampling always routes to the XLA simulators (the bridge matmul is
+    # MXU-shaped work; resolve_implementation is the checkpoint-facing source
+    # of truth — this mirrors it for direct callers), and only they take the
+    # sampling knob.
+    use_pallas = (
+        sim.implementation == SimImplementation.PALLAS
+        and sim.sampling == SamplingKind.PSEUDO
+    )
+    sampling_kwargs: dict[str, object] = {}
+    if sim.sampling != SamplingKind.PSEUDO:
+        sampling_kwargs["sampling"] = sim.sampling
+        sampling_kwargs["mc_seed"] = sim.mc_seed
+
     if sim.model == ModelKind.BASKET_GBM:
-        if sim.implementation == SimImplementation.PALLAS:
+        if use_pallas:
             from spectralmc_tpu.ops.gbm_pallas import (
                 simulate_basket_underlier_rows_pallas as _sim_basket,
             )
@@ -129,12 +142,13 @@ def make_underlier_simulator(
                 row_offset=row_offset,
                 barrier_rel=sim.barrier_rel,
                 antithetic_half=anti_half,
+                **sampling_kwargs,
             )
 
         return simulate
 
     if sim.model == ModelKind.HESTON:
-        if sim.implementation == SimImplementation.PALLAS:
+        if use_pallas:
             from spectralmc_tpu.ops.gbm_pallas import (
                 simulate_heston_underlier_rows_pallas as _sim_heston,
             )
@@ -157,28 +171,19 @@ def make_underlier_simulator(
                 row_offset=row_offset,
                 barrier_rel=sim.barrier_rel,
                 antithetic_half=anti_half,
+                **sampling_kwargs,
             )
 
         return simulate
 
-    if (
-        sim.implementation == SimImplementation.PALLAS
-        and sim.sampling == SamplingKind.PSEUDO
-    ):
+    if use_pallas:
         from spectralmc_tpu.ops.gbm_pallas import (
             simulate_underlier_rows_pallas as _sim_gbm,
         )
     else:
-        # QMC sampling always routes XLA (resolve_implementation is the
-        # checkpoint-facing source of truth; this mirrors it for direct callers)
         _sim_gbm = simulate_underlier_rows
 
-    gbm_kwargs: dict[str, object] = {}
-    if sim.sampling != SamplingKind.PSEUDO:
-        # only the XLA GBM engine takes the sampling knob (resolve_implementation
-        # routes QMC there); keep the Pallas call signature untouched
-        gbm_kwargs["sampling"] = sim.sampling
-        gbm_kwargs["mc_seed"] = sim.mc_seed
+    gbm_kwargs = sampling_kwargs
 
     def simulate(
         key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0

@@ -385,15 +385,6 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
             )
         )
     if params.sampling == SamplingKind.SOBOL_BB:
-        if params.model != ModelKind.GBM:
-            return Failure(
-                InvalidSimulationParams(
-                    field="sampling",
-                    value=params.sampling.value,
-                    reason=f"QMC path sampling covers GBM dynamics; "
-                    f"model={params.model.value!r} draws its own streams",
-                )
-            )
         if params.payoff in AMERICAN_PAYOFFS:
             return Failure(
                 InvalidSimulationParams(

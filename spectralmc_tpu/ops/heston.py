@@ -144,7 +144,8 @@ def heston_euler_step(
 @partial(
     jax.jit,
     static_argnames=(
-        "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel", "antithetic_half"
+        "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
+        "antithetic_half", "sampling", "mc_seed",
     ),
 )
 def simulate_heston_underlier_rows(
@@ -159,6 +160,8 @@ def simulate_heston_underlier_rows(
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
+    sampling: "object | None" = None,
+    mc_seed: int = 0,
 ) -> jax.Array:
     """``[rows, cols]`` payoff underliers under full-truncation Euler Heston.
 
@@ -167,6 +170,9 @@ def simulate_heston_underlier_rows(
     drives the variance, 1 the orthogonal part of the spot. Barrier kinds
     knock on the discrete spot grid and emit strike on knocked paths
     (the shared masked-underlier convention, ops/gbm.py::PayoffKind).
+    With ``sampling=SamplingKind.SOBOL_BB`` both components come from the
+    2-factor Brownian-bridge Sobol net (ops/qmc.py; variance = factor 0, so
+    its coarse levels take the even Sobol dimensions).
     """
     (spot, _, maturity, rate, div_yield, v0, kappa, theta, xi, rho) = (
         contract[i].astype(dtype) for i in range(10)
@@ -176,15 +182,37 @@ def simulate_heston_underlier_rows(
     sqrt_dt = jnp.sqrt(dt)
     rho_bar = jnp.sqrt(1.0 - rho * rho)
 
-    from spectralmc_tpu.ops.gbm import _row_streams
+    from spectralmc_tpu.ops.gbm import SamplingKind, _row_streams
 
-    row_keys, sign = _row_streams(
-        contract_key,
-        rows=rows,
-        row_offset=row_offset,
-        antithetic_half=antithetic_half,
-        dtype=dtype,
-    )
+    if sampling == SamplingKind.SOBOL_BB:
+        from spectralmc_tpu.ops.qmc import qmc_effective_normals_multi
+
+        assert antithetic_half is None  # enforced by build_simulation_params
+        zq = qmc_effective_normals_multi(
+            contract_key,
+            timesteps=timesteps,
+            factors=2,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            mc_seed=mc_seed,
+            row_offset=row_offset,
+        )
+
+        def component_normals(t: jax.Array, comp: int) -> jax.Array:
+            return zq[t, comp]
+
+    else:
+        row_keys, sign = _row_streams(
+            contract_key,
+            rows=rows,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            dtype=dtype,
+        )
+
+        def component_normals(t: jax.Array, comp: int) -> jax.Array:
+            return heston_component_normals(row_keys, sign, t, comp, cols, dtype)
 
     from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
 
@@ -199,8 +227,8 @@ def simulate_heston_underlier_rows(
 
     def body(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
         logx, v, acc = carry
-        z_v = heston_component_normals(row_keys, sign, t, 0, cols, dtype)
-        z_orth = heston_component_normals(row_keys, sign, t, 1, cols, dtype)
+        z_v = component_normals(t, 0)
+        z_orth = component_normals(t, 1)
         logx, v = heston_euler_step(logx, v, z_v, z_orth, **step_consts)
         if barrier:
             acc = extreme_fn(acc, logx)

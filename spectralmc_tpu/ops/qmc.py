@@ -105,9 +105,14 @@ def _qmc_tables(dim: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return _lms_scramble(direction_numbers(dim), rng)
 
 
-def qmc_sobol_dims(timesteps: int) -> int:
-    """How many bridge levels the Sobol net covers (the rest are padded)."""
-    return min(timesteps, MAX_DIMENSION)
+def qmc_sobol_dims(timesteps: int, factors: int = 1) -> int:
+    """How many flat (level, factor) dimensions the Sobol net covers.
+
+    Multi-factor dynamics interleave factors within each bridge level
+    (flat index = level·factors + factor) so the coarse levels of EVERY
+    factor get the well-distributed dimensions; the remainder are padded.
+    """
+    return min(timesteps * factors, MAX_DIMENSION)
 
 
 # --------------------------------------------------------------------------
@@ -115,25 +120,31 @@ def qmc_sobol_dims(timesteps: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def qmc_effective_normals(
+def qmc_effective_normals_multi(
     contract_key: jax.Array,
     *,
     timesteps: int,
+    factors: int,
     rows: int,
     cols: int,
     dtype: jnp.dtype,
     mc_seed: int,
     row_offset: jax.Array | int = 0,
 ) -> jax.Array:
-    """``[timesteps, rows, cols]`` unit-variance per-step effective normals.
+    """``[timesteps, factors, rows, cols]`` unit-variance effective normals.
 
-    Drop-in replacement for the pseudo engine's per-step
-    ``normal(fold_in(row_key, t), (cols,))`` draws: same shape, same marginal
-    distribution, same shard-stability in ``row_offset`` — but the joint
-    sample over timesteps is a Brownian-bridge-ordered scrambled Sobol point
-    per path. Deterministic in (contract_key, mc_seed, global row range).
+    The multi-factor generalization (Heston: 2 factors, baskets: one per
+    asset): each factor gets its own Brownian bridge; the Sobol point's flat
+    dimensions interleave factors within each bridge level
+    (flat = level·factors + factor) so every factor's coarse levels land on
+    well-distributed dimensions. Factor f's bridge variates are contiguous
+    in level order after de-interleaving, and the same ``[T, T]`` orthogonal
+    map applies to all factors in one einsum. Deterministic in
+    (contract_key, mc_seed, global row range); shard-stable via global path
+    index exactly like the single-factor path.
     """
-    sdims = qmc_sobol_dims(timesteps)
+    flat_total = timesteps * factors
+    sdims = qmc_sobol_dims(timesteps, factors)
     directions_np, host_shift_np = _qmc_tables(sdims, mc_seed)
     directions = jnp.asarray(directions_np)
     host_shift = jnp.asarray(host_shift_np)
@@ -152,8 +163,9 @@ def qmc_effective_normals(
     z_sobol = jax.scipy.special.ndtri(u).astype(dtype)  # [count, sdims]
     z_sobol = z_sobol.reshape(rows, cols, sdims).transpose(2, 0, 1)
 
-    if sdims < timesteps:
-        # fine bridge levels: threefry pad keyed by (pad_key, GLOBAL row, level)
+    if sdims < flat_total:
+        # fine (level, factor) tail: threefry pad keyed by
+        # (pad_key, GLOBAL row, flat dimension)
         row_idx = jnp.asarray(row_offset, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
         row_keys = jax.vmap(lambda r: jax.random.fold_in(pad_key, r))(row_idx)
 
@@ -162,20 +174,54 @@ def qmc_effective_normals(
                 lambda k: jax.random.normal(jax.random.fold_in(k, j), (cols,), dtype)
             )(row_keys)
 
-        z_pad = jax.vmap(pad_level)(jnp.arange(sdims, timesteps))
-        z_all = jnp.concatenate([z_sobol, z_pad], axis=0)  # [T, rows, cols]
+        z_pad = jax.vmap(pad_level)(jnp.arange(sdims, flat_total))
+        z_all = jnp.concatenate([z_sobol, z_pad], axis=0)  # [T·F, rows, cols]
     else:
         z_all = z_sobol
 
+    # de-interleave flat (level·F + factor) -> [levels, factors, rows, cols]
+    z_lvl = z_all.reshape(timesteps, factors, rows, cols)
     bb = jnp.asarray(brownian_bridge_matrix(timesteps), dtype=dtype)
-    # one [T, T] x [T, rows*cols] contraction — MXU work
+    # one [T, T] x [T, F·rows·cols] contraction — MXU work
     return jnp.einsum(
-        "td,drc->trc", bb, z_all, precision=jax.lax.Precision.HIGHEST
+        "td,dfrc->tfrc", bb, z_lvl, precision=jax.lax.Precision.HIGHEST
     )
+
+
+def qmc_effective_normals(
+    contract_key: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    mc_seed: int,
+    row_offset: jax.Array | int = 0,
+) -> jax.Array:
+    """``[timesteps, rows, cols]`` single-factor effective normals.
+
+    Drop-in replacement for the pseudo engine's per-step
+    ``normal(fold_in(row_key, t), (cols,))`` draws: same shape, same marginal
+    distribution, same shard-stability in ``row_offset`` — but the joint
+    sample over timesteps is a Brownian-bridge-ordered scrambled Sobol point
+    per path. The factors=1 slice of the multi-factor generator (bit-exact:
+    the flat interleave is the identity at one factor).
+    """
+    return qmc_effective_normals_multi(
+        contract_key,
+        timesteps=timesteps,
+        factors=1,
+        rows=rows,
+        cols=cols,
+        dtype=dtype,
+        mc_seed=mc_seed,
+        row_offset=row_offset,
+    )[:, 0]
 
 
 __all__ = [
     "brownian_bridge_matrix",
     "qmc_effective_normals",
+    "qmc_effective_normals_multi",
     "qmc_sobol_dims",
 ]

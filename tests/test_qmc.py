@@ -230,21 +230,10 @@ def test_resolve_implementation_routes_qmc_to_xla() -> None:
     "overrides",
     [
         dict(antithetic=True),
-        dict(model="heston"),
         dict(payoff="american_put"),
-        dict(
-            model="basket_gbm",
-            basket=None,  # placeholder; replaced below
-        ),
     ],
 )
 def test_qmc_refusal_matrix(overrides: dict) -> None:
-    if overrides.get("model") == "basket_gbm":
-        from spectralmc_tpu.ops.basket import build_basket_spec
-
-        overrides["basket"] = expect_success(
-            build_basket_spec(weights=(0.5, 0.5), correlation=((1.0, 0.3), (0.3, 1.0)))
-        )
     err = expect_failure(
         build_simulation_params(
             timesteps=16,
@@ -282,6 +271,158 @@ def test_qmc_barrier_payoff_prices_near_oracle() -> None:
     )
     hp, _ = BlackScholes(params).price_to_host(CONTRACT)
     assert hp.call == pytest.approx(float(truth.call), abs=max(0.03 * float(truth.call), 0.05))
+
+
+# --------------------------------------------------------------------------
+# Multi-factor QMC (Heston, baskets)
+# --------------------------------------------------------------------------
+
+
+def test_multi_factor_normals_shapes_and_single_factor_slice() -> None:
+    from spectralmc_tpu.ops.qmc import qmc_effective_normals_multi
+
+    key = jax.random.PRNGKey(4)
+    kw = dict(timesteps=8, rows=4, cols=64, dtype=jnp.float32, mc_seed=9)
+    z2 = qmc_effective_normals_multi(key, factors=2, **kw)
+    assert z2.shape == (8, 2, 4, 64)
+    # factors=1 is bit-exactly the single-factor generator
+    z1 = qmc_effective_normals_multi(key, factors=1, **kw)
+    zs = qmc_effective_normals(key, **kw)
+    assert (z1[:, 0] == zs).all()
+    # shard stability holds for the multi-factor net too
+    lo = qmc_effective_normals_multi(key, factors=2, timesteps=8, rows=2, cols=64,
+                                     dtype=jnp.float32, mc_seed=9, row_offset=0)
+    hi = qmc_effective_normals_multi(key, factors=2, timesteps=8, rows=2, cols=64,
+                                     dtype=jnp.float32, mc_seed=9, row_offset=2)
+    assert (jnp.concatenate([lo, hi], axis=2) == z2).all()
+    # factors are decorrelated (the interleaved dims are distinct)
+    flat = np.asarray(z2.reshape(8 * 2, -1))
+    c = np.corrcoef(np.asarray(z2[:, 0].reshape(8, -1)), np.asarray(z2[:, 1].reshape(8, -1)))
+    assert np.abs(c[:8, 8:]).max() < 0.1, "cross-factor correlation leaked"
+    del flat
+
+
+def test_heston_qmc_variance_reduction_and_accuracy() -> None:
+    """Heston under 2-factor QMC: replicate spread collapses vs pseudo (the
+    oracle-free gate — the Euler bias is common to both streams), and the
+    estimate stays within bias+SE distance of the semi-analytic price."""
+    from spectralmc_tpu.ops.heston import HestonContract, heston_call_price
+    from spectralmc_tpu.ops.heston import simulate_heston_underlier_rows
+
+    c = HestonContract(
+        spot=100.0, strike=100.0, maturity=1.0, rate=0.03, div_yield=0.01,
+        v0=0.04, kappa=1.5, theta=0.04, xi=0.4, rho=-0.6,
+    )
+    dtype = jnp.float32
+    arr = c.as_array(dtype)
+    base = jax.random.PRNGKey(55)
+
+    def estimates(sampling: SamplingKind) -> np.ndarray:
+        out = []
+        for i in range(8):
+            rows = simulate_heston_underlier_rows(
+                jax.random.fold_in(base, i),
+                arr,
+                timesteps=16,
+                rows=16,
+                cols=256,
+                dtype=dtype,
+                payoff=PayoffKind.TERMINAL,
+                sampling=sampling if sampling == SamplingKind.SOBOL_BB else None,
+                mc_seed=13,
+            )
+            prices = terminal_to_prices(rows.reshape(-1), arr, normalize=False, dtype=dtype)
+            out.append(float(jnp.mean(prices.call_payoffs)))
+        return np.array(out)
+
+    qmc = estimates(SamplingKind.SOBOL_BB)
+    mc = estimates(SamplingKind.PSEUDO)
+    assert qmc.std() < mc.std() / 2.5, f"qmc std {qmc.std()} vs pseudo {mc.std()}"
+    truth, _ = heston_call_price(
+        spot=100.0, strike=100.0, maturity=1.0, rate=0.03, div_yield=0.01,
+        v0=0.04, kappa=1.5, theta=0.04, xi=0.4, rho=-0.6,
+    )
+    # 16-step full-truncation Euler bias dominates the QMC noise here; the
+    # band is bias-width, the point is the mean is NOT drifting off
+    assert abs(qmc.mean() - truth) < 0.05 * truth
+
+
+def test_basket_qmc_beats_pseudo_on_geometric_oracle() -> None:
+    """Geometric basket has an EXACT discrete-grid closed form — gate the
+    n_assets-factor bridge end to end on RMSE like the GBM vanilla test."""
+    from spectralmc_tpu.ops.analytic import geometric_basket_price
+    from spectralmc_tpu.ops.basket import (
+        BasketCombine,
+        build_basket_spec,
+        simulate_basket_underlier_rows,
+    )
+
+    spec = expect_success(
+        build_basket_spec(
+            weights=(0.5, 0.3, 0.2),
+            correlation=(
+                (1.0, 0.4, 0.2),
+                (0.4, 1.0, 0.3),
+                (0.2, 0.3, 1.0),
+            ),
+            combine=BasketCombine.GEOMETRIC,
+        )
+    )
+    dtype = jnp.float32
+    arr = CONTRACT.as_array(dtype)
+    truth = float(
+        geometric_basket_price(
+            100.0, 100.0, 1.0, 0.03, 0.01, 0.25, spec=spec
+        ).call
+    )
+    base = jax.random.PRNGKey(99)
+
+    def estimates(sampling) -> np.ndarray:
+        out = []
+        for i in range(8):
+            rows = simulate_basket_underlier_rows(
+                jax.random.fold_in(base, i),
+                arr,
+                spec=spec,
+                timesteps=8,
+                rows=16,
+                cols=256,
+                dtype=dtype,
+                payoff=PayoffKind.TERMINAL,
+                sampling=sampling,
+                mc_seed=17,
+            )
+            prices = terminal_to_prices(rows.reshape(-1), arr, normalize=False, dtype=dtype)
+            out.append(float(jnp.mean(prices.call_payoffs)))
+        return np.array(out)
+
+    qmc = estimates(SamplingKind.SOBOL_BB)
+    mc = estimates(None)
+    rmse_q = float(np.sqrt(np.mean((qmc - truth) ** 2)))
+    rmse_p = float(np.sqrt(np.mean((mc - truth) ** 2)))
+    assert rmse_q < rmse_p / 3.0, f"qmc rmse {rmse_q} vs pseudo {rmse_p}"
+
+
+def test_heston_and_basket_qmc_configs_build() -> None:
+    """build_simulation_params accepts QMC for all three model families."""
+    from spectralmc_tpu.ops.basket import build_basket_spec
+
+    heston = build_simulation_params(
+        timesteps=8, network_size=64, batches_per_mc_run=8, mc_seed=3,
+        model="heston", sampling=SamplingKind.SOBOL_BB,
+    )
+    assert isinstance(heston, Success)
+    spec = expect_success(
+        build_basket_spec(weights=(0.5, 0.5), correlation=((1.0, 0.3), (0.3, 1.0)))
+    )
+    basket = build_simulation_params(
+        timesteps=8, network_size=64, batches_per_mc_run=8, mc_seed=3,
+        model="basket_gbm", basket=spec, sampling=SamplingKind.SOBOL_BB,
+    )
+    assert isinstance(basket, Success)
+    assert resolve_implementation(
+        basket.value.model_copy(update={"implementation": SimImplementation.PALLAS})
+    ) == SimImplementation.XLA
 
 
 # --------------------------------------------------------------------------

@@ -26,6 +26,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import jax
 
@@ -653,6 +654,69 @@ def bench_greeks_throughput(*, tiny: bool) -> tuple[float, float]:
     return rate_for("pallas"), rate_for("xla")
 
 
+def bench_qmc(*, tiny: bool) -> tuple[float, float]:
+    """Quasi-Monte-Carlo extras: (qmc_path_steps_per_sec, qmc_rmse_reduction).
+
+    Throughput is the SOBOL_BB sampling path at the headline MC shape — the
+    Sobol-generation + ndtri + Brownian-bridge matmul cost is real and must
+    be published, not implied. The quality number is the measured RMSE ratio
+    pseudo/QMC at an equal 4096-path budget on the vanilla call (the factor
+    the ~50x claim in ops/gbm.py rests on), vs the analytic Black price.
+    """
+    import numpy as np
+
+    from spectralmc_tpu.ops.analytic import black_scholes_price
+    from spectralmc_tpu.ops.gbm import (
+        PathScheme,
+        SamplingKind,
+        simulate_terminal_rows,
+    )
+
+    if tiny:
+        kw = dict(timesteps=16, rows=64, cols=256, reps=2)
+        q_reps, q_rows, q_cols, q_steps = 4, 4, 256, 8
+    else:
+        kw = dict(timesteps=64, rows=8192, cols=256, reps=20)  # 2M paths/rep
+        q_reps, q_rows, q_cols, q_steps = 16, 16, 256, 16
+
+    def qmc_fn(key, contract):
+        return simulate_terminal_rows(
+            key, contract, timesteps=kw["timesteps"], rows=kw["rows"],
+            cols=kw["cols"], dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            sampling=SamplingKind.SOBOL_BB, mc_seed=31,
+        )
+
+    qmc_ps = bench_mc(qmc_fn, **kw)
+
+    # RMSE reduction at equal budget: discounted mean call payoff over
+    # q_reps independent scrambles/key streams, vs the closed form.
+    contract = jnp.array(CONTRACT, dtype=jnp.float32)
+    s, k, t, r, q, _v = CONTRACT
+    truth = float(black_scholes_price(*CONTRACT).call)
+    df = float(jnp.exp(jnp.float32(-r * t)))
+
+    @partial(jax.jit, static_argnames=("sampling",))
+    def estimate(key, *, sampling):
+        rows = simulate_terminal_rows(
+            key, contract, timesteps=q_steps, rows=q_rows, cols=q_cols,
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            sampling=sampling, mc_seed=31,
+        )
+        return df * jnp.mean(jnp.maximum(rows - contract[1], 0.0))
+
+    base = jax.random.PRNGKey(77)
+
+    def rmse(sampling) -> float:
+        est = np.array([
+            float(estimate(jax.random.fold_in(base, i), sampling=sampling))
+            for i in range(q_reps)
+        ])
+        return float(np.sqrt(np.mean((est - truth) ** 2)))
+
+    reduction = rmse(SamplingKind.PSEUDO) / max(rmse(SamplingKind.SOBOL_BB), 1e-12)
+    return qmc_ps, reduction
+
+
 def main() -> None:
     from spectralmc_tpu.ops.gbm import PathScheme, simulate_terminal_rows
     from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_rows_pallas
@@ -726,6 +790,7 @@ def main() -> None:
     heston_mae, heston_rel_mae = bench_family_quality(tiny=tiny, family="heston")
     basket_mae, basket_rel_mae = bench_family_quality(tiny=tiny, family="basket")
     american_mae, american_rel_mae = bench_family_quality(tiny=tiny, family="american")
+    qmc_ps, qmc_rmse_reduction = bench_qmc(tiny=tiny)
     inference_cps = bench_inference(tiny=tiny)
 
     print(
@@ -747,6 +812,8 @@ def main() -> None:
         f"heston_price_rel_mae={heston_rel_mae:.4f} "
         f"basket_price_rel_mae={basket_rel_mae:.4f} "
         f"american_price_rel_mae={american_rel_mae:.4f} "
+        f"qmc_path_steps_per_sec={qmc_ps:.3e} "
+        f"qmc_rmse_reduction={qmc_rmse_reduction:.1f} "
         f"inference_contracts_per_sec={inference_cps:.3e}",
         file=sys.stderr,
     )
@@ -802,6 +869,12 @@ def main() -> None:
                     "basket_price_rel_mae": basket_rel_mae,
                     "american_price_mae": american_mae,
                     "american_price_rel_mae": american_rel_mae,
+                    # randomized QMC path sampling (SamplingKind.SOBOL_BB):
+                    # throughput at the headline shape (Sobol + ndtri +
+                    # bridge matmul included) and the measured RMSE factor
+                    # vs the pseudo stream at an equal 4096-path budget
+                    "qmc_path_steps_per_sec": qmc_ps,
+                    "qmc_rmse_reduction": qmc_rmse_reduction,
                     "inference_contracts_per_sec": inference_cps,
                 },
             }

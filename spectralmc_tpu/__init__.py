@@ -34,6 +34,8 @@ _EXPORTS = {
     "SimImplementation": "spectralmc_tpu.ops.gbm",
     "SamplingKind": "spectralmc_tpu.ops.gbm",
     "HestonContract": "spectralmc_tpu.ops.heston",
+    "MertonContract": "spectralmc_tpu.ops.merton",
+    "merton_call_price": "spectralmc_tpu.ops.merton",
     "BasketSpec": "spectralmc_tpu.ops.basket",
     "build_basket_spec": "spectralmc_tpu.ops.basket",
     "BasketCombine": "spectralmc_tpu.ops.basket",

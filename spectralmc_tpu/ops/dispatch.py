@@ -34,6 +34,10 @@ def contract_class(sim: SimulationParams) -> type:
         from spectralmc_tpu.ops.heston import HestonContract
 
         return HestonContract
+    if sim.model == ModelKind.MERTON_JUMP:
+        from spectralmc_tpu.ops.merton import MertonContract
+
+        return MertonContract
     return BlackScholesContract
 
 
@@ -42,6 +46,10 @@ def contract_dim(sim: SimulationParams) -> int:
         from spectralmc_tpu.ops.heston import HESTON_CONTRACT_DIM
 
         return HESTON_CONTRACT_DIM
+    if sim.model == ModelKind.MERTON_JUMP:
+        from spectralmc_tpu.ops.merton import MERTON_CONTRACT_DIM
+
+        return MERTON_CONTRACT_DIM
     return CONTRACT_DIM
 
 
@@ -147,6 +155,28 @@ def make_underlier_simulator(
 
         return simulate
 
+    if sim.model == ModelKind.MERTON_JUMP:
+        from spectralmc_tpu.ops.merton import simulate_merton_underlier_rows
+
+        def simulate(
+            key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
+        ) -> jax.Array:
+            return simulate_merton_underlier_rows(
+                key,
+                contract,
+                timesteps=sim.timesteps,
+                rows=rows,
+                cols=sim.network_size,
+                dtype=dtype,
+                payoff=sim.payoff,
+                row_offset=row_offset,
+                barrier_rel=sim.barrier_rel,
+                antithetic_half=anti_half,
+                **sampling_kwargs,
+            )
+
+        return simulate
+
     if sim.model == ModelKind.HESTON:
         if use_pallas:
             from spectralmc_tpu.ops.gbm_pallas import (
@@ -226,6 +256,8 @@ def make_mean_target(
 
     if sim.model == ModelKind.HESTON:
         from spectralmc_tpu.ops.heston import heston_expected_underlier_mean as _mean
+    elif sim.model == ModelKind.MERTON_JUMP:
+        from spectralmc_tpu.ops.merton import merton_expected_underlier_mean as _mean
     else:
         _mean = expected_underlier_mean
 

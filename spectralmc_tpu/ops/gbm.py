@@ -118,11 +118,13 @@ class ModelKind(enum.Enum):
     GBM reproduces the reference (its only dynamics); HESTON is the
     stochastic-volatility extension (ops/heston.py); BASKET_GBM is the
     multi-asset correlated extension (ops/basket.py, requires
-    ``SimulationParams.basket``)."""
+    ``SimulationParams.basket``); MERTON_JUMP is the jump-diffusion
+    extension (ops/merton.py, exact per-step transition sampling)."""
 
     GBM = "gbm"
     HESTON = "heston"
     BASKET_GBM = "basket_gbm"
+    MERTON_JUMP = "merton_jump"
 
 
 class SimImplementation(enum.Enum):
@@ -296,6 +298,15 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                 reason=f"model={params.model.value!r} takes no BasketSpec",
             )
         )
+    if params.model == ModelKind.MERTON_JUMP and params.scheme != PathScheme.LOG_EULER:
+        return Failure(
+            InvalidSimulationParams(
+                field="scheme",
+                value=params.scheme.value,
+                reason="Merton jump-diffusion samples the exact log-space "
+                "transition; only log-Euler is defined",
+            )
+        )
     if params.payoff in BARRIER_PAYOFFS:
         if params.barrier_rel is None:
             return Failure(
@@ -332,13 +343,13 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
             )
         )
     if params.payoff in AMERICAN_PAYOFFS:
-        if params.model == ModelKind.BASKET_GBM:
+        if params.model in (ModelKind.BASKET_GBM, ModelKind.MERTON_JUMP):
             return Failure(
                 InvalidSimulationParams(
                     field="payoff",
                     value=params.payoff.value,
                     reason="LSMC early exercise covers GBM and Heston dynamics; "
-                    "baskets have no LSMC basis defined",
+                    f"{params.model.value} has no LSMC forward defined",
                 )
             )
         if params.scheme != PathScheme.LOG_EULER:
@@ -443,7 +454,9 @@ def has_closed_form_mean(
         # the synthetic LSMC underlier's mean is strike − price/df — exactly
         # the unknown being estimated; and early exercise breaks parity anyway
         return False
-    if model == ModelKind.HESTON:
+    if model in (ModelKind.HESTON, ModelKind.MERTON_JUMP):
+        # both keep the discounted spot a martingale (Heston by construction,
+        # Merton via the -lam*m compensator) but lose the geometric average
         return payoff != PayoffKind.ASIAN_GEOMETRIC
     if model == ModelKind.BASKET_GBM and combine == BasketCombine.ARITHMETIC:
         return payoff != PayoffKind.ASIAN_GEOMETRIC
@@ -473,6 +486,10 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
         # the Brownian-bridge contraction is a [T, T] x [T, paths] matmul —
         # MXU-shaped work the XLA engine expresses directly; the Pallas
         # kernels' in-register streaming RNG has no Sobol counterpart
+        return SimImplementation.XLA
+    if params.model == ModelKind.MERTON_JUMP:
+        # no fused kernel yet: the Poisson count draw (rejection/Knuth) has
+        # no fixed-iteration in-register form the streaming kernels use
         return SimImplementation.XLA
     from spectralmc_tpu.ops.gbm_pallas import pallas_supported
 

@@ -274,9 +274,18 @@ def mc_greeks(
     """Pathwise MC Greeks for one contract (any ModelKind; any NON-BARRIER
     payoff kind — knockouts are refused, see ``make_mc_price_fn``).
 
-    ``contract`` is a ``BlackScholesContract`` / ``HestonContract`` (anything
-    with ``as_array`` + the sim's field set). ``draw_index`` defaults to the
-    sim's checkpointed ``skip`` — the same draw the pricer would consume next.
+    ``contract`` is a ``BlackScholesContract`` / ``HestonContract`` /
+    ``MertonContract`` (anything with ``as_array`` + the sim's field set).
+    ``draw_index`` defaults to the sim's checkpointed ``skip`` — the same
+    draw the pricer would consume next.
+
+    MERTON_JUMP caveat: the Poisson counts are sampled under
+    ``stop_gradient`` (ops/merton.py), so ``by_field["lam"]`` is the
+    fixed-count envelope derivative — it carries the compensator channel
+    but not the discrete count channel. Under MEAN forward normalization
+    the envelope is exactly ~0: the compensator is a uniform path rescale
+    the normalization cancels. Use ``bump_greeks`` for the full lam
+    sensitivity; every other Merton field is exact pathwise.
     """
     from spectralmc_tpu.ops.dispatch import contract_class
 

@@ -1,0 +1,356 @@
+"""Merton jump-diffusion model family — extension beyond the reference.
+
+The reference supports exactly one dynamics (GBM, gbm.py:224-257). This
+module adds the canonical jump extension: Merton (1976), where the spot
+diffuses as GBM between lognormal jumps arriving at Poisson times,
+
+    dS/S = (r - q - lam*m) dt + vol dW + (e^Y - 1) dN,
+    N ~ Poisson(lam t),  Y ~ Normal(jump_mean, jump_std^2),
+    m  = E[e^Y] - 1 = exp(jump_mean + jump_std^2/2) - 1,
+
+with the -lam*m compensator keeping the discounted spot a martingale under
+the pricing measure. Thematically this is, like Heston, home turf for the
+spectrum learner: the model is *defined* by its characteristic function, and
+the European price has Merton's exact series representation — each Poisson
+count n contributes a Black price at jump-adjusted rate/vol — which is the
+oracle here (``merton_call_price``).
+
+Discretization: exact in distribution per step. Over one step dt the log
+increment is (r - q - lam*m - vol^2/2) dt + vol sqrt(dt) z_d + J where,
+conditional on the Poisson count N ~ Poisson(lam dt), the jump sum J is
+Normal(N*jump_mean, N*jump_std^2) = N*jump_mean + jump_std*sqrt(N)*z_j.
+No Euler bias exists for path-independent payoffs: the scheme samples the
+true transition law (the only discretization effect is the monitoring grid
+for path-dependent payoffs, exactly as with GBM's log-Euler).
+
+Determinism: the same key discipline as GBM/Heston — draws addressed by
+(contract_key, global row, timestep, component): component 0 the diffusion
+normal, component 1 the jump-size normal, component 2 the Poisson count.
+Resume is a counter; a mesh shard reproduces exactly the rows it owns
+(row_offset). Antithetic pairs mirror BOTH normals and share the partner
+row's Poisson counts (negating the Gaussian pair conditional on N is a
+valid antithetic transform; the counts are common random numbers).
+
+Pathwise-Greeks note: the Poisson rate is wrapped in ``stop_gradient``
+inside the sampler, so ``jax.grad`` through the simulator yields the
+fixed-count (envelope) derivative — exact for every field except ``lam``,
+whose count-channel sensitivity is not pathwise-differentiable (the count
+is discrete). ``ops.greeks.bump_greeks`` measures the full lam Greek under
+common random numbers; ``mc_greeks`` documents the same caveat.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel, ConfigDict
+
+from spectralmc_tpu.core.errors.gbm import GBMError, InvalidContract
+from spectralmc_tpu.core.result import Failure, Result, Success
+from spectralmc_tpu.ops.gbm import ModelKind, PayoffKind  # noqa: F401 — re-exported
+
+
+class MertonContract(BaseModel):
+    """One Merton market scenario: the 6 Black-Scholes fields (same order as
+    ``BlackScholesContract``) + 3 jump fields."""
+
+    model_config = ConfigDict(frozen=True)
+
+    spot: float
+    strike: float
+    maturity: float
+    rate: float
+    div_yield: float
+    vol: float  # diffusion volatility (between jumps)
+    lam: float  # jump intensity (expected jumps per year)
+    jump_mean: float  # mean of the log jump size Y
+    jump_std: float  # std of the log jump size Y
+
+    def as_array(self, dtype: jnp.dtype = jnp.float32) -> jax.Array:
+        return jnp.array(
+            [
+                self.spot,
+                self.strike,
+                self.maturity,
+                self.rate,
+                self.div_yield,
+                self.vol,
+                self.lam,
+                self.jump_mean,
+                self.jump_std,
+            ],
+            dtype=dtype,
+        )
+
+
+MERTON_CONTRACT_FIELDS: tuple[str, ...] = tuple(MertonContract.model_fields.keys())
+MERTON_CONTRACT_DIM = len(MERTON_CONTRACT_FIELDS)
+
+
+def validate_merton_contract(c: MertonContract) -> Result[MertonContract, GBMError]:
+    for field in ("spot", "strike", "maturity", "vol", "jump_std"):
+        if getattr(c, field) <= 0:
+            return Failure(
+                InvalidContract(field=field, value=getattr(c, field), reason="must be > 0")
+            )
+    if c.lam < 0:
+        return Failure(InvalidContract(field="lam", value=c.lam, reason="must be >= 0"))
+    return Success(c)
+
+
+def merton_component_normals(
+    row_keys: jax.Array,
+    sign: jax.Array | None,
+    t: jax.Array,
+    comp: int,
+    cols: int,
+    dtype: jnp.dtype,
+) -> jax.Array:
+    """One Gaussian component's draws, keyed (row key, timestep, component).
+
+    THE Merton normal-stream definition (component 0 = diffusion, 1 = jump
+    size) — mirrors ``heston_component_normals`` so a future LSMC forward
+    pass shares the bit stream by construction. Antithetic flips both
+    components (a valid pair conditional on the shared Poisson counts).
+    """
+    z = jax.vmap(
+        lambda k: jax.random.normal(
+            jax.random.fold_in(jax.random.fold_in(k, t), comp), (cols,), dtype
+        )
+    )(row_keys)
+    return z if sign is None else sign * z
+
+
+def merton_jump_counts(
+    row_keys: jax.Array,
+    t: jax.Array,
+    rate_dt: jax.Array,
+    cols: int,
+    dtype: jnp.dtype,
+) -> jax.Array:
+    """Poisson jump counts for one step, keyed (row key, timestep, comp=2).
+
+    The rate is ``stop_gradient``-ed: counts are common random numbers for
+    pathwise differentiation (see module docstring). Antithetic partners
+    share counts automatically — partner rows reuse the first half's keys
+    (gbm._row_streams), and no sign applies to a count.
+    """
+    lam_dt = jax.lax.stop_gradient(rate_dt)
+    return jax.vmap(
+        lambda k: jax.random.poisson(
+            jax.random.fold_in(jax.random.fold_in(k, t), 2), lam_dt, (cols,)
+        )
+    )(row_keys).astype(dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
+        "antithetic_half", "sampling", "mc_seed",
+    ),
+)
+def simulate_merton_underlier_rows(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    payoff: PayoffKind,
+    row_offset: jax.Array | int = 0,
+    barrier_rel: float | None = None,
+    antithetic_half: int | None = None,
+    sampling: "object | None" = None,
+    mc_seed: int = 0,
+) -> jax.Array:
+    """``[rows, cols]`` payoff underliers under exact-transition Merton.
+
+    ``contract`` is the 9-vector of ``MertonContract.as_array``. Barrier
+    kinds knock on the discrete spot grid (jumps included — a jump through
+    the barrier knocks) and emit strike on knocked paths (the shared
+    masked-underlier convention, ops/gbm.py::PayoffKind).
+
+    With ``sampling=SamplingKind.SOBOL_BB`` the DIFFUSION normals come from
+    the single-factor Brownian-bridge Sobol net (ops/qmc.py) while the jump
+    channel stays pseudo — hybrid RQMC: the net stratifies the Brownian
+    skeleton (where most of the variance lives at moderate ``lam``), and the
+    jump channel's independence keeps the estimator unbiased.
+    """
+    (spot, _, maturity, rate, div_yield, vol, lam, jump_mean, jump_std) = (
+        contract[i].astype(dtype) for i in range(9)
+    )
+    n = jnp.asarray(timesteps, dtype)
+    dt = maturity / n
+    sqrt_dt = jnp.sqrt(dt)
+    # m = E[e^Y] - 1; the -lam*m compensator keeps E[S_t] = S e^{(r-q)t}
+    m = jnp.exp(jump_mean + 0.5 * jump_std * jump_std) - 1.0
+    drift = (rate - div_yield - lam * m - 0.5 * vol * vol) * dt
+    lam_dt = lam * dt
+
+    from spectralmc_tpu.ops.gbm import SamplingKind, _row_streams
+
+    row_keys, sign = _row_streams(
+        contract_key,
+        rows=rows,
+        row_offset=row_offset,
+        antithetic_half=antithetic_half,
+        dtype=dtype,
+    )
+
+    if sampling == SamplingKind.SOBOL_BB:
+        from spectralmc_tpu.ops.qmc import qmc_effective_normals
+
+        assert antithetic_half is None  # enforced by build_simulation_params
+        zq = qmc_effective_normals(
+            contract_key,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            mc_seed=mc_seed,
+            row_offset=row_offset,
+        )
+
+        def diffusion_normals(t: jax.Array) -> jax.Array:
+            return zq[t]
+
+    else:
+
+        def diffusion_normals(t: jax.Array) -> jax.Array:
+            return merton_component_normals(row_keys, sign, t, 0, cols, dtype)
+
+    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
+
+    barrier = payoff in BARRIER_PAYOFFS
+    up = payoff == PayoffKind.BARRIER_UP_OUT
+    geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
+    extreme_fn = jnp.maximum if up else jnp.minimum
+
+    def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+        logx, acc = carry
+        z_d = diffusion_normals(t)
+        z_j = merton_component_normals(row_keys, sign, t, 1, cols, dtype)
+        counts = merton_jump_counts(row_keys, t, lam_dt, cols, dtype)
+        # conditional on the count, the jump sum is exactly Gaussian
+        jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
+        logx = logx + drift + vol * sqrt_dt * z_d + jump
+        if barrier:
+            acc = extreme_fn(acc, logx)
+        elif payoff != PayoffKind.TERMINAL:
+            acc = acc + (logx if geometric else jnp.exp(logx))
+        return (logx, acc), None
+
+    shape = (rows, cols)
+    log0 = jnp.full(shape, 0.0, dtype) + jnp.log(spot)
+    (logx, acc), _ = jax.lax.scan(
+        body, (log0, log0 if barrier else jnp.zeros(shape, dtype)),
+        jnp.arange(timesteps),
+    )
+    if barrier:
+        assert barrier_rel is not None
+        strike = contract[1].astype(dtype)
+        level = jnp.log(spot * jnp.asarray(barrier_rel, dtype))
+        knocked = acc >= level if up else acc <= level
+        return jnp.where(knocked, strike, jnp.exp(logx))
+    if payoff == PayoffKind.TERMINAL:
+        return jnp.exp(logx)
+    mean = acc / n
+    return jnp.exp(mean) if geometric else mean
+
+
+def merton_expected_underlier_mean(
+    contract: jax.Array, *, timesteps: int, payoff: PayoffKind, dtype: jnp.dtype
+) -> jax.Array | None:
+    """Analytic E[underlier], or None when no closed form exists.
+
+    The compensator makes the discounted spot a martingale, so
+    E[S_t] = S·e^{(r−q)t} exactly as under GBM/Heston — TERMINAL and
+    ASIAN_ARITHMETIC reuse those formulas; the geometric average's mean has
+    no usable closed form (enforced at config build time).
+    """
+    spot, _, maturity, rate, div_yield = (contract[i].astype(dtype) for i in range(5))
+    n = jnp.asarray(timesteps, dtype)
+    dt = maturity / n
+    if payoff == PayoffKind.TERMINAL:
+        return spot * jnp.exp((rate - div_yield) * maturity)
+    if payoff == PayoffKind.ASIAN_ARITHMETIC:
+        g = jnp.exp((rate - div_yield) * dt)
+        series = jnp.where(jnp.abs(g - 1.0) < 1e-12, n, g * (g**n - 1.0) / (g - 1.0))
+        return spot * series / n
+    return None
+
+
+# --------------------------------------------------------------------------
+# Exact series oracle (host-side, float64 numpy — test/validation path)
+# --------------------------------------------------------------------------
+
+
+def merton_call_price(
+    *,
+    spot: float,
+    strike: float,
+    maturity: float,
+    rate: float,
+    div_yield: float,
+    vol: float,
+    lam: float,
+    jump_mean: float,
+    jump_std: float,
+    max_terms: int | None = None,
+) -> tuple[float, float]:
+    """(call, put) by Merton's (1976) exact series.
+
+    Conditional on N = n jumps, ln S_T is Gaussian, so the price is a
+    Poisson mixture of Black prices:
+
+        price = sum_n e^{-lam' T} (lam' T)^n / n! · Black(S, K, T, r_n, q, s_n)
+
+    with lam' = lam (1 + m), m = exp(jump_mean + jump_std^2/2) - 1,
+    s_n^2 = vol^2 + n jump_std^2 / T and
+    r_n = r - lam m + n ln(1 + m) / T. The series is truncated where the
+    Poisson tail is negligible (lam'T + 12 sqrt(lam'T) + 24 terms); at
+    lam = 0 the single surviving term is the plain Black price (the GBM
+    identity tests pin this).
+    """
+    from math import erf
+
+    m = float(np.exp(jump_mean + 0.5 * jump_std * jump_std) - 1.0)
+    lam_p = lam * (1.0 + m)
+    mean_terms = lam_p * maturity
+    if mean_terms <= 0.0:
+        n_terms = 1  # lam = 0: the n = 0 term IS the Black price
+    elif max_terms is not None:
+        n_terms = max_terms
+    else:
+        n_terms = int(np.ceil(mean_terms + 12.0 * np.sqrt(max(mean_terms, 1.0)))) + 24
+
+    def _ncdf(x: float) -> float:
+        return 0.5 * (1.0 + erf(x / np.sqrt(2.0)))
+
+    def _black_call(s: float, k: float, t: float, r: float, q: float, v: float) -> float:
+        fwd = s * np.exp((r - q) * t)
+        df = np.exp(-r * t)
+        tv = v * np.sqrt(t)
+        d1 = (np.log(fwd / k) + 0.5 * tv * tv) / tv
+        d2 = d1 - tv
+        return float(df * (fwd * _ncdf(d1) - k * _ncdf(d2)))
+
+    log_weight = -mean_terms  # ln of e^{-lam'T} (lam'T)^n / n!, built iteratively
+    call = 0.0
+    ln1m = float(np.log1p(m))
+    for n_jumps in range(n_terms):
+        if n_jumps > 0:
+            log_weight += float(np.log(mean_terms)) - float(np.log(n_jumps))
+        weight = float(np.exp(log_weight))
+        s_n = float(np.sqrt(vol * vol + n_jumps * jump_std * jump_std / maturity))
+        r_n = rate - lam * m + n_jumps * ln1m / maturity
+        call += weight * _black_call(spot, strike, maturity, r_n, div_yield, s_n)
+    df_r = float(np.exp(-rate * maturity))
+    df_q = float(np.exp(-div_yield * maturity))
+    put = call - df_q * spot + df_r * strike  # parity (compensated martingale)
+    return call, put

@@ -503,6 +503,31 @@ def bench_family_quality(*, tiny: bool, family: str) -> tuple[float, float]:
             )
 
         channel = "put"
+    elif family == "merton":
+        from spectralmc_tpu.ops.merton import merton_call_price
+
+        bounds = {
+            **market_bounds,
+            "vol": BoundSpec(lower=0.15, upper=0.25),
+            "lam": BoundSpec(lower=0.1, upper=0.8),
+            "jump_mean": BoundSpec(lower=-0.15, upper=0.0),
+            "jump_std": BoundSpec(lower=0.1, upper=0.25),
+        }
+        # the per-step transition is exact, so timesteps only set the grid
+        sim = build_simulation_params(
+            timesteps=8, network_size=32, batches_per_mc_run=64,
+            mc_seed=7, model="merton_jump",
+        ).expect("sim")
+
+        def oracle(c):
+            call, _put = merton_call_price(
+                spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+                div_yield=c.div_yield, vol=c.vol, lam=c.lam,
+                jump_mean=c.jump_mean, jump_std=c.jump_std,
+            )
+            return call
+
+        channel = "call"  # parity route exists (compensated martingale spot)
     elif family == "american":
         from spectralmc_tpu.ops.american import bermudan_tree_price
 
@@ -776,6 +801,23 @@ def main() -> None:
 
     heston_ps = bench_mc(heston_fn, **kw)
 
+    # Merton family throughput (XLA engine — no fused kernel for the
+    # Poisson channel; the per-step transition is exact)
+    from spectralmc_tpu.ops.merton import MertonContract, simulate_merton_underlier_rows
+
+    merton_arr = MertonContract(
+        spot=100.0, strike=100.0, maturity=1.0, rate=0.03, div_yield=0.01,
+        vol=0.2, lam=0.5, jump_mean=-0.1, jump_std=0.25,
+    ).as_array(jnp.float32)
+
+    def merton_fn(key, _contract):
+        return simulate_merton_underlier_rows(
+            key, merton_arr, timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"],
+            dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
+        )
+
+    merton_ps = bench_mc(merton_fn, **kw)
+
     engine = "pallas" if on_tpu else "xla"
     # BASELINE configs 3-5 (SURVEY §6 / BASELINE.json):
     prod_ps, prod_steps, prod_steps_extrap = bench_production_batch(
@@ -790,6 +832,7 @@ def main() -> None:
     heston_mae, heston_rel_mae = bench_family_quality(tiny=tiny, family="heston")
     basket_mae, basket_rel_mae = bench_family_quality(tiny=tiny, family="basket")
     american_mae, american_rel_mae = bench_family_quality(tiny=tiny, family="american")
+    merton_mae, merton_rel_mae = bench_family_quality(tiny=tiny, family="merton")
     qmc_ps, qmc_rmse_reduction = bench_qmc(tiny=tiny)
     inference_cps = bench_inference(tiny=tiny)
 
@@ -812,6 +855,8 @@ def main() -> None:
         f"heston_price_rel_mae={heston_rel_mae:.4f} "
         f"basket_price_rel_mae={basket_rel_mae:.4f} "
         f"american_price_rel_mae={american_rel_mae:.4f} "
+        f"merton_path_steps_per_sec={merton_ps:.3e} "
+        f"merton_price_rel_mae={merton_rel_mae:.4f} "
         f"qmc_path_steps_per_sec={qmc_ps:.3e} "
         f"qmc_rmse_reduction={qmc_rmse_reduction:.1f} "
         f"inference_contracts_per_sec={inference_cps:.3e}",
@@ -869,6 +914,13 @@ def main() -> None:
                     "basket_price_rel_mae": basket_rel_mae,
                     "american_price_mae": american_mae,
                     "american_price_rel_mae": american_rel_mae,
+                    # Merton jump-diffusion (4th family): XLA-engine path
+                    # throughput at the headline shape (Poisson channel
+                    # included) + the held-out quality gate vs the exact
+                    # series oracle
+                    "merton_path_steps_per_sec": merton_ps,
+                    "merton_price_mae": merton_mae,
+                    "merton_price_rel_mae": merton_rel_mae,
                     # randomized QMC path sampling (SamplingKind.SOBOL_BB):
                     # throughput at the headline shape (Sobol + ndtri +
                     # bridge matmul included) and the measured RMSE factor

@@ -304,3 +304,75 @@ def test_american_family_commit_reload_serve(tmp_path) -> None:
             assert np.isfinite(greeks.put_gamma).all()
 
     asyncio.run(serve())
+
+
+def test_merton_family_commit_reload_serve(tmp_path) -> None:
+    """Round 3: the Merton family through the FULL production shell — a
+    jump-diffusion pricer with the hybrid-QMC sampling knob trains, commits
+    to the chain, reloads through a pinned InferenceClient, and the served
+    config reproduces the live trainer's predictions AND Greeks bit-for-bit
+    (the 9-field contract marshalling and the sampling/model enums all
+    survive the proto chain round trip)."""
+    from spectralmc_tpu.ops.gbm import ModelKind, SamplingKind
+    from spectralmc_tpu.ops.merton import MertonContract
+    from spectralmc_tpu.storage.inference import InferenceClient, PinnedMode
+    from spectralmc_tpu.training.trainer import FinalCommit
+
+    sim = expect_success(
+        build_simulation_params(
+            mc_seed=11, timesteps=4, network_size=32, batches_per_mc_run=4,
+            model=ModelKind.MERTON_JUMP, sampling=SamplingKind.SOBOL_BB,
+        )
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)], seed=9
+        )
+    )
+    merton_bounds = {
+        **BOUNDS,
+        "vol": BoundSpec(lower=0.15, upper=0.3),
+        "lam": BoundSpec(lower=0.05, upper=1.0),
+        "jump_mean": BoundSpec(lower=-0.2, upper=0.05),
+        "jump_std": BoundSpec(lower=0.1, upper=0.3),
+    }
+    cfg = GbmCVNNPricerConfig(sim=sim, bounds=merton_bounds, cvnn=cvnn,
+                              normalize_inputs=True)
+    store = AsyncBlockchainModelStore(FileSystemObjectStore(str(tmp_path), "mert"))
+    trainer = expect_success(GbmCVNNPricer.create(cfg))
+    tc = expect_success(
+        build_training_config(num_batches=6, batch_size=4, learning_rate=2e-3)
+    )
+    expect_success(
+        trainer.train(tc, commit_plan=FinalCommit(), commit_fn=make_commit_fn(store))
+    )
+    contracts = [
+        MertonContract(spot=100.0, strike=k, maturity=1.0, rate=0.03,
+                       div_yield=0.01, vol=0.2, lam=0.4, jump_mean=-0.08,
+                       jump_std=0.18)
+        for k in (95.0, 105.0)
+    ]
+    live = trainer.predict_price(contracts)
+    live_greeks = trainer.predict_greeks(contracts)
+
+    async def serve() -> None:
+        async with InferenceClient(store, PinnedMode(counter=0)) as client:
+            loaded = client.get_model()
+            assert loaded is not None
+            served_cfg = loaded.config
+            # the Merton knobs survived the chain round trip
+            assert served_cfg.sim.model == ModelKind.MERTON_JUMP
+            assert served_cfg.sim.sampling == SamplingKind.SOBOL_BB
+            served = expect_success(GbmCVNNPricer.create(served_cfg))
+            pred = served.predict_price(contracts)
+            np.testing.assert_array_equal(pred.put, live.put)
+            np.testing.assert_array_equal(pred.call, live.call)
+            assert np.isfinite(pred.call).all()  # martingale spot: parity holds
+            greeks = served.predict_greeks(contracts)
+            np.testing.assert_array_equal(greeks.put, live_greeks.put)
+            np.testing.assert_array_equal(
+                greeks.put_jacobian, live_greeks.put_jacobian
+            )
+            assert greeks.put_jacobian.shape == (2, 9)  # 9-field Jacobian
+
+    asyncio.run(serve())

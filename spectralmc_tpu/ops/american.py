@@ -59,8 +59,9 @@ def _lsmc_backward(
     Basis: powers of (S/K − 1). Centered moneyness keeps the Gram matrix
     well-conditioned in float32 (ITM region maps into (−1, 1)-ish), unlike
     raw m^j whose degree-10+ cross moments overflow the mantissa. With
-    ``extra_rows`` (the Heston instantaneous variance) the basis is augmented
-    with [v, v·x, v²] — the standard stochastic-vol LSMC regressors: the
+    ``extra_rows`` (the Heston instantaneous variance, or the arithmetic
+    basket's log dispersion ln(B_arith/B_geom)) the basis is augmented with
+    [v, v·x, v²] — the standard second-state-variable LSMC regressors: the
     continuation value depends on BOTH state variables.
     """
     base_k = basis_degree + 1
@@ -408,6 +409,274 @@ def simulate_heston_american_underlier_rows(
     )
 
 
+def merton_state_rows(
+    row_keys: jax.Array,
+    sign: jax.Array | None,
+    *,
+    spot: jax.Array,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    drift: jax.Array,
+    vol_sqdt: jax.Array,
+    lam_dt: jax.Array,
+    jump_mean: jax.Array,
+    jump_std: jax.Array,
+) -> jax.Array:
+    """``[timesteps, rows, cols]`` log-spot at every monitor date under
+    MERTON dynamics, drawn through the shared stream helpers
+    (``ops/merton.py::merton_component_normals`` / ``merton_jump_counts``) —
+    exposed so tests can pin the American forward pass bit-exactly against
+    the European simulator's terminal values (the heston_state_rows
+    contract)."""
+    from spectralmc_tpu.ops.merton import merton_component_normals, merton_jump_counts
+
+    def fwd(logx: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array]:
+        z_d = merton_component_normals(row_keys, sign, t, 0, cols, dtype)
+        z_j = merton_component_normals(row_keys, sign, t, 1, cols, dtype)
+        counts = merton_jump_counts(row_keys, t, lam_dt, cols, dtype)
+        jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
+        nxt = logx + drift + vol_sqdt * z_d + jump
+        return nxt, nxt
+
+    log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
+    _, log_rows = jax.lax.scan(fwd, log0, jnp.arange(timesteps))
+    return log_rows
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "timesteps",
+        "rows",
+        "cols",
+        "dtype",
+        "option",
+        "basis_degree",
+        "exercise_every",
+        "antithetic_half",
+        "axis_name",
+    ),
+)
+def simulate_merton_american_underlier_rows(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    option: OptionSide,
+    basis_degree: int = 5,
+    exercise_every: int = 1,
+    row_offset: jax.Array | int = 0,
+    antithetic_half: int | None = None,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """``[rows, cols]`` synthetic American underliers under MERTON dynamics.
+
+    Same encoding and shard discipline as the GBM variant; ``contract`` is
+    the 9-vector of ``MertonContract.as_array``. The forward pass replays
+    ``ops/merton.py::simulate_merton_underlier_rows``'s exact stream —
+    diffusion normal (component 0), jump-size normal (component 1), Poisson
+    count (component 2). The spot alone is Markov (jumps are memoryless), so
+    the plain moneyness basis applies unchanged — no state augmentation.
+
+    Oracle identities (no jump Bermudan tree exists in closed form):
+    r = 0 ⟹ American put ≡ European put and q = 0 ⟹ American call ≡
+    European call (both model-independent martingale arguments — validated
+    against the exact series ``merton_call_price``); American ⩾ European.
+    """
+    from spectralmc_tpu.ops.gbm import _row_streams
+
+    (spot, strike, maturity, rate, div_yield, vol, lam, jump_mean, jump_std) = (
+        contract[i].astype(dtype) for i in range(9)
+    )
+    dt = maturity / jnp.asarray(timesteps, dtype)
+    m = jnp.exp(jump_mean + 0.5 * jump_std * jump_std) - 1.0
+
+    row_keys, sign = _row_streams(
+        contract_key,
+        rows=rows,
+        row_offset=row_offset,
+        antithetic_half=antithetic_half,
+        dtype=dtype,
+    )
+    log_rows = merton_state_rows(
+        row_keys,
+        sign,
+        spot=spot,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        dtype=dtype,
+        drift=(rate - div_yield - lam * m - 0.5 * vol * vol) * dt,
+        vol_sqdt=vol * jnp.sqrt(dt),
+        lam_dt=lam * dt,
+        jump_mean=jump_mean,
+        jump_std=jump_std,
+    )
+
+    return _american_encode(
+        log_rows,
+        timesteps=timesteps,
+        exercise_every=exercise_every,
+        strike=strike,
+        maturity=maturity,
+        rate=rate,
+        dt=dt,
+        dtype=dtype,
+        put=option == OptionSide.PUT,
+        basis_degree=basis_degree,
+        axis_name=axis_name,
+    )
+
+
+def basket_state_rows(
+    row_keys: jax.Array,
+    sign: jax.Array | None,
+    *,
+    log_spots: jax.Array,  # [A] per-asset initial log-spot
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    drift: jax.Array,
+    sig_sqdt: jax.Array,
+    chol: jax.Array,
+    weights: jax.Array,
+    geometric: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """(lb_rows, disp_rows), each ``[timesteps, rows, cols]`` — the log
+    BASKET value (and, for arithmetic combines, the log arithmetic/geometric
+    dispersion ln(B_arith/B_geom)) at every monitor date, drawn through the
+    shared stream/step (``ops/basket.py::basket_component_normals`` /
+    ``basket_euler_step``) — exposed so tests can pin the American forward
+    pass bit-exactly against the European simulator's terminal values (the
+    heston_state_rows contract). For geometric combines disp_rows is zeros
+    (ln B IS Markov; no augmentation needed)."""
+    from spectralmc_tpu.ops.basket import basket_component_normals, basket_euler_step
+
+    a_n = log_spots.shape[0]
+
+    def fwd(logx: jax.Array, t: jax.Array):
+        z = basket_component_normals(row_keys, sign, t, a_n, cols, dtype)
+        nxt = basket_euler_step(logx, z, drift=drift, sig_sqdt=sig_sqdt, chol=chol)
+        lg = jnp.einsum("a,arc->rc", weights, nxt)  # log geometric basket
+        if geometric:
+            return nxt, (lg, jnp.zeros_like(lg))
+        lb = jnp.log(jnp.einsum("a,arc->rc", weights, jnp.exp(nxt)))
+        return nxt, (lb, lb - lg)  # ln(B_arith/B_geom) >= 0 (Jensen)
+
+    log0 = jnp.zeros((a_n, rows, cols), dtype) + log_spots[:, None, None]
+    _, (lb_rows, disp_rows) = jax.lax.scan(fwd, log0, jnp.arange(timesteps))
+    return lb_rows, disp_rows
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec",
+        "timesteps",
+        "rows",
+        "cols",
+        "dtype",
+        "option",
+        "basis_degree",
+        "exercise_every",
+        "antithetic_half",
+        "axis_name",
+    ),
+)
+def simulate_basket_american_underlier_rows(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    spec: "object",
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    option: OptionSide,
+    basis_degree: int = 5,
+    exercise_every: int = 1,
+    row_offset: jax.Array | int = 0,
+    antithetic_half: int | None = None,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """``[rows, cols]`` synthetic American underliers under BASKET dynamics.
+
+    ``contract`` is the 6-vector of ``BlackScholesContract.as_array``;
+    ``spec`` the static checkpointed ``BasketSpec``. The forward pass replays
+    ``ops/basket.py::simulate_basket_underlier_rows``'s exact stream and step
+    (``basket_component_normals`` / ``basket_euler_step``), storing the log
+    BASKET value per date; exercise compares strike against the combined
+    basket (the traded instrument).
+
+    Regression state:
+    * GEOMETRIC combine — ln B is itself an arithmetic Brownian motion
+      (drift μ̄, variance s̄², ``basket_log_moments``), so B is Markov and
+      the plain moneyness basis is the EXACT state. This also yields a
+      sharp oracle: the geometric-basket Bermudan equals a single-asset GBM
+      Bermudan at (G₀, σ_G = s̄, δ_eff = r − μ̄ − s̄²/2) — gated against
+      ``bermudan_tree_price`` in tests/test_american.py.
+    * ARITHMETIC combine — B alone is not Markov (the same basket value can
+      hide different asset dispersions with different continuation values);
+      the basis is augmented with the log arithmetic/geometric dispersion
+      d = ln(B_arith/B_geom) ⩾ 0 (Jensen), the standard one-dimensional
+      summary of cross-sectional spread, via ``_lsmc_backward``'s
+      ``extra_rows`` columns [d, d·x, d²]. Gates: r = 0 put / q = 0 call
+      no-early-exercise identities vs the same-stream European MC.
+    """
+    from spectralmc_tpu.ops.basket import BasketCombine, basket_cholesky
+    from spectralmc_tpu.ops.gbm import _row_streams
+
+    spot, strike, maturity, rate, div_yield, vol = (
+        contract[i].astype(dtype) for i in range(6)
+    )
+    dt = maturity / jnp.asarray(timesteps, dtype)
+    sigmas = vol * jnp.asarray(spec.vol_multipliers, dtype)
+    geometric = spec.combine == BasketCombine.GEOMETRIC
+
+    row_keys, sign = _row_streams(
+        contract_key,
+        rows=rows,
+        row_offset=row_offset,
+        antithetic_half=antithetic_half,
+        dtype=dtype,
+    )
+    lb_rows, disp_rows = basket_state_rows(
+        row_keys,
+        sign,
+        log_spots=jnp.log(spot * jnp.asarray(spec.spot_multipliers, dtype)),
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        dtype=dtype,
+        drift=(rate - div_yield - 0.5 * sigmas * sigmas) * dt,
+        sig_sqdt=sigmas * jnp.sqrt(dt),
+        chol=jnp.asarray(basket_cholesky(spec), dtype),
+        weights=jnp.asarray(spec.weights, dtype),
+        geometric=geometric,
+    )
+
+    return _american_encode(
+        lb_rows,
+        timesteps=timesteps,
+        exercise_every=exercise_every,
+        strike=strike,
+        maturity=maturity,
+        rate=rate,
+        dt=dt,
+        dtype=dtype,
+        put=option == OptionSide.PUT,
+        basis_degree=basis_degree,
+        axis_name=axis_name,
+        extra_rows=None if geometric else disp_rows,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("timesteps", "paths", "dtype", "option", "basis_degree"),
@@ -596,8 +865,12 @@ def bermudan_tree_price(
 __all__ = [
     "AmericanPrice",
     "bermudan_tree_price",
+    "basket_state_rows",
     "lsmc_cashflows",
     "lsmc_price",
+    "merton_state_rows",
     "simulate_american_underlier_rows",
+    "simulate_basket_american_underlier_rows",
     "simulate_heston_american_underlier_rows",
+    "simulate_merton_american_underlier_rows",
 ]

@@ -142,6 +142,50 @@ def basket_cholesky(spec: BasketSpec) -> np.ndarray:
     return np.linalg.cholesky(np.asarray(spec.correlation, dtype=np.float64))
 
 
+def basket_component_normals(
+    row_keys: jax.Array,
+    sign: jax.Array | None,
+    t: jax.Array,
+    a_n: int,
+    cols: int,
+    dtype: jnp.dtype,
+) -> jax.Array:
+    """``[A, rows, cols]`` iid draws keyed (row key, timestep, asset).
+
+    THE basket stream definition — the European simulator below and the
+    American LSMC forward (ops/american.py) must both draw through this
+    function so their bit streams stay identical by construction (the same
+    contract ``heston_component_normals`` enforces for Heston). Antithetic
+    flips the whole A-dimensional Gaussian (valid pair, correlation intact).
+    """
+
+    def per_row(k: jax.Array) -> jax.Array:
+        kt = jax.random.fold_in(k, t)
+        return jax.vmap(
+            lambda a: jax.random.normal(jax.random.fold_in(kt, a), (cols,), dtype)
+        )(jnp.arange(a_n, dtype=jnp.uint32))
+
+    z = jnp.transpose(jax.vmap(per_row)(row_keys), (1, 0, 2))
+    return z if sign is None else sign[None, :, :] * z
+
+
+def basket_euler_step(
+    logx: jax.Array,
+    z: jax.Array,
+    *,
+    drift: jax.Array,
+    sig_sqdt: jax.Array,
+    chol: jax.Array,
+) -> jax.Array:
+    """ONE log-Euler step for all assets — the single source of the recursion
+    (shared by the European simulator and the American LSMC forward so a
+    discretization change cannot silently desync their bit streams).
+    ``z`` is the pre-mix ``[A, rows, cols]`` Gaussian; the Cholesky mix is
+    one MXU contraction."""
+    mixed = jnp.einsum("ab,brc->arc", chol, z)
+    return logx + drift[:, None, None] + sig_sqdt[:, None, None] * mixed
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -218,16 +262,7 @@ def simulate_basket_underlier_rows(
         )
 
         def normals(t: jax.Array) -> jax.Array:
-            # [A, rows, cols] iid, keyed (key, row, t, asset); antithetic flips
-            # the whole A-dimensional Gaussian (valid pair, correlation intact)
-            def per_row(k: jax.Array) -> jax.Array:
-                kt = jax.random.fold_in(k, t)
-                return jax.vmap(
-                    lambda a: jax.random.normal(jax.random.fold_in(kt, a), (cols,), dtype)
-                )(jnp.arange(a_n, dtype=jnp.uint32))
-
-            z = jnp.transpose(jax.vmap(per_row)(row_keys), (1, 0, 2))
-            return z if sign is None else sign[None, :, :] * z
+            return basket_component_normals(row_keys, sign, t, a_n, cols, dtype)
 
     from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
 
@@ -243,10 +278,11 @@ def simulate_basket_underlier_rows(
             return jnp.exp(jnp.einsum("a,arc->rc", weights, logx))
         return jnp.einsum("a,arc->rc", weights, jnp.exp(logx))
 
+    sig_sqdt = sigmas * sqrt_dt
+
     def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
         logx, acc = carry
-        z = jnp.einsum("ab,brc->arc", chol, normals(t))
-        logx = logx + drift[:, None, None] + (sigmas * sqrt_dt)[:, None, None] * z
+        logx = basket_euler_step(logx, normals(t), drift=drift, sig_sqdt=sig_sqdt, chol=chol)
         if barrier:
             # knockout monitors the BASKET value (standard basket-barrier)
             acc = extreme_fn(acc, basket_value(logx))
@@ -297,6 +333,26 @@ def basket_g0(contract: jax.Array, spec: BasketSpec, *, dtype: jnp.dtype) -> jax
     return jnp.exp(jnp.sum(w * jnp.log(spots)))
 
 
+def geometric_basket_effective_gbm(
+    contract: jax.Array, spec: BasketSpec, *, dtype: jnp.dtype = jnp.float64
+) -> tuple[float, float, float]:
+    """(G₀, σ_eff, δ_eff): the single-asset GBM the geometric basket IS.
+
+    ln B_t = ln G₀ + μ̄ t + s̄ W_t exactly (``basket_log_moments``), i.e. the
+    geometric basket follows GBM with vol σ_eff = s̄ and dividend yield
+    δ_eff = r − μ̄ − s̄²/2. Any single-asset oracle then prices basket
+    claims exactly — in particular ``ops/american.py::bermudan_tree_price``
+    at (G₀, σ_eff, δ_eff) is a SHARP Bermudan-basket oracle (used by
+    tests/test_american.py for the basket LSMC policy).
+    """
+    rate = float(contract[3])
+    mu_bar, s2_bar = basket_log_moments(contract, spec, dtype=dtype)
+    g0 = basket_g0(contract, spec, dtype=dtype)
+    vol_eff = float(jnp.sqrt(s2_bar))
+    div_eff = rate - float(mu_bar) - 0.5 * float(s2_bar)
+    return float(g0), vol_eff, div_eff
+
+
 def expected_basket_underlier_mean(
     contract: jax.Array,
     spec: BasketSpec,
@@ -317,8 +373,7 @@ def expected_basket_underlier_mean(
 
     if payoff in BARRIER_PAYOFFS or payoff in AMERICAN_PAYOFFS:
         # knocked-out means have no closed form; the American synthetic
-        # underlier's mean IS the unknown price (and baskets reject the
-        # AMERICAN kinds at config build time anyway)
+        # underlier's mean IS the unknown price being estimated
         return None
     spot, _, maturity, rate, div_yield, _ = (contract[i].astype(dtype) for i in range(6))
     n = jnp.asarray(timesteps, dtype)
@@ -351,9 +406,12 @@ __all__ = [
     "BasketCombine",
     "BasketSpec",
     "basket_cholesky",
+    "basket_component_normals",
+    "basket_euler_step",
     "basket_g0",
     "basket_log_moments",
     "build_basket_spec",
+    "geometric_basket_effective_gbm",
     "expected_basket_underlier_mean",
     "simulate_basket_underlier_rows",
 ]

@@ -74,10 +74,22 @@ def make_underlier_simulator(
     if sim.payoff in AMERICAN_PAYOFFS:
         from spectralmc_tpu.ops.greeks import OptionSide
 
+        american_kwargs: dict[str, object] = {}
         if sim.model == ModelKind.HESTON:
             from spectralmc_tpu.ops.american import (
                 simulate_heston_american_underlier_rows as _sim_american,
             )
+        elif sim.model == ModelKind.MERTON_JUMP:
+            from spectralmc_tpu.ops.american import (
+                simulate_merton_american_underlier_rows as _sim_american,
+            )
+        elif sim.model == ModelKind.BASKET_GBM:
+            from spectralmc_tpu.ops.american import (
+                simulate_basket_american_underlier_rows as _sim_american,
+            )
+
+            assert sim.basket is not None  # enforced by build_simulation_params
+            american_kwargs["spec"] = sim.basket
         else:
             from spectralmc_tpu.ops.american import (
                 simulate_american_underlier_rows as _sim_american,
@@ -105,6 +117,7 @@ def make_underlier_simulator(
                 row_offset=row_offset,
                 antithetic_half=anti_half,
                 axis_name=axis_name,
+                **american_kwargs,
             )
 
         return simulate_american

@@ -100,10 +100,13 @@ class PayoffKind(enum.Enum):
     # the IFFT predictor all work unchanged. The learned channel is the
     # configured side's American price; the other side has no parity route
     # (early exercise breaks put-call parity), so it reports NaN.
-    # GBM and Heston dynamics (the Heston regression adds variance basis
-    # terms); no closed-form E[underlier] (MEAN normalization gated off).
-    # Oracles: ops/american.py::bermudan_tree_price (GBM) and the q=0
-    # no-early-exercise identity vs heston_call_price (Heston).
+    # ALL four dynamics (the Heston regression adds variance basis terms,
+    # the arithmetic basket a dispersion term; Merton/geometric-basket spots
+    # are Markov so the plain basis is exact state); no closed-form
+    # E[underlier] (MEAN normalization gated off). Oracles:
+    # ops/american.py::bermudan_tree_price (GBM, and geometric baskets via
+    # the effective-GBM mapping), the q=0/r=0 no-early-exercise identities
+    # vs heston_call_price / merton_call_price / the same-stream European.
     AMERICAN_PUT = "american_put"
     AMERICAN_CALL = "american_call"
 
@@ -343,15 +346,6 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
             )
         )
     if params.payoff in AMERICAN_PAYOFFS:
-        if params.model in (ModelKind.BASKET_GBM, ModelKind.MERTON_JUMP):
-            return Failure(
-                InvalidSimulationParams(
-                    field="payoff",
-                    value=params.payoff.value,
-                    reason="LSMC early exercise covers GBM and Heston dynamics; "
-                    f"{params.model.value} has no LSMC forward defined",
-                )
-            )
         if params.scheme != PathScheme.LOG_EULER:
             return Failure(
                 InvalidSimulationParams(

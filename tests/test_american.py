@@ -497,22 +497,321 @@ def test_heston_american_family_trains_and_serves() -> None:
     assert np.isfinite(pred.put).all() and np.isnan(pred.call).all()
 
 
-def test_american_basket_rejected() -> None:
-    from spectralmc_tpu.core.result import Failure
+# --------------------------------------------------------------------------
+# Round 3 completion: American exercise under BASKET and MERTON dynamics
+# (closes the support matrix — every model family x every payoff kind)
+# --------------------------------------------------------------------------
+
+
+def _basket_spec(combine):
     from spectralmc_tpu.ops.basket import build_basket_spec
-    from spectralmc_tpu.ops.gbm import ModelKind, PayoffKind, build_simulation_params
     from tests.helpers import expect_success
 
-    spec = expect_success(
-        build_basket_spec(weights=(0.5, 0.5), correlation=((1.0, 0.3), (0.3, 1.0)))
+    return expect_success(
+        build_basket_spec(
+            weights=(0.5, 0.3, 0.2),
+            correlation=((1.0, 0.5, 0.2), (0.5, 1.0, 0.3), (0.2, 0.3, 1.0)),
+            spot_multipliers=(1.0, 0.9, 1.1),
+            vol_multipliers=(1.0, 1.3, 0.7),
+            combine=combine,
+        )
     )
-    res = build_simulation_params(
-        timesteps=4, network_size=16, batches_per_mc_run=4, mc_seed=1,
-        model=ModelKind.BASKET_GBM, basket=spec,
+
+
+def _merton_contract(**overrides):
+    from spectralmc_tpu.ops.merton import MertonContract
+
+    base = dict(
+        spot=100.0, strike=105.0, maturity=1.0, rate=0.05, div_yield=0.0,
+        vol=0.2, lam=0.4, jump_mean=-0.1, jump_std=0.2,
+    )
+    base.update(overrides)
+    return MertonContract(**base)
+
+
+def test_geometric_basket_american_matches_effective_gbm_tree() -> None:
+    """SHARP oracle: ln B_geo is an arithmetic Brownian motion, so the
+    geometric-basket Bermudan IS a single-asset GBM Bermudan at
+    (G0, sigma_eff, delta_eff) — priced by the same-grid CRR tree."""
+    from spectralmc_tpu.ops.american import simulate_basket_american_underlier_rows
+    from spectralmc_tpu.ops.basket import BasketCombine, geometric_basket_effective_gbm
+
+    spec = _basket_spec(BasketCombine.GEOMETRIC)
+    c = make_contract(spot=100.0, strike=100.0, maturity=1.0, rate=0.05,
+                      div_yield=0.0, vol=0.25)
+    arr = c.as_array(jnp.float32)
+    u = simulate_basket_american_underlier_rows(
+        jax.random.PRNGKey(7), arr, spec=spec, option=OptionSide.PUT,
+        timesteps=16, rows=256, cols=256, dtype=jnp.float32,
+    )
+    df = np.exp(-c.rate * c.maturity)
+    cf = df * np.maximum(c.strike - np.asarray(u), 0.0)
+    amer, se = cf.mean(), cf.std() / np.sqrt(cf.size)
+    g0, vol_eff, div_eff = geometric_basket_effective_gbm(
+        arr, spec, dtype=jnp.float64
+    )
+    tree = bermudan_tree_price(
+        spot=g0, strike=c.strike, maturity=c.maturity, rate=c.rate,
+        div_yield=div_eff, vol=vol_eff, exercise_dates=16, option="put",
+    )
+    assert abs(amer - tree) < 4.0 * se + 0.01 * tree, f"mc={amer} tree={tree}"
+
+
+def test_arithmetic_basket_american_identities_and_premium() -> None:
+    """No sharp arithmetic oracle exists; gate with the model-independent
+    identities: r=0 put has NO early-exercise premium (equals the
+    same-stream European MC leg tightly), and at r=5% the put premium over
+    the same-stream European is strictly positive."""
+    from spectralmc_tpu.ops.american import simulate_basket_american_underlier_rows
+    from spectralmc_tpu.ops.basket import BasketCombine, simulate_basket_underlier_rows
+    from spectralmc_tpu.ops.gbm import PayoffKind
+
+    spec = _basket_spec(BasketCombine.ARITHMETIC)
+    kw = dict(timesteps=16, rows=256, cols=256, dtype=jnp.float32)
+
+    def legs(rate: float):
+        c = make_contract(spot=100.0, strike=105.0, maturity=1.0, rate=rate,
+                          div_yield=0.0, vol=0.25)
+        arr = c.as_array(jnp.float32)
+        u = simulate_basket_american_underlier_rows(
+            jax.random.PRNGKey(11), arr, spec=spec, option=OptionSide.PUT, **kw
+        )
+        df = np.exp(-rate * c.maturity)
+        cf = df * np.maximum(c.strike - np.asarray(u), 0.0)
+        term = simulate_basket_underlier_rows(
+            jax.random.PRNGKey(11), arr, spec=spec, payoff=PayoffKind.TERMINAL, **kw
+        )
+        eur = (df * np.maximum(c.strike - np.asarray(term), 0.0)).mean()
+        return cf.mean(), cf.std() / np.sqrt(cf.size), eur
+
+    amer0, se0, eur0 = legs(0.0)
+    assert abs(amer0 - eur0) < max(3.0 * se0, 0.005 * eur0)
+    amer5, _, eur5 = legs(0.05)
+    assert amer5 > eur5 + 0.05  # real early-exercise premium at r=5%
+
+
+def test_basket_american_forward_stream_bit_parity() -> None:
+    """basket_state_rows (the American forward) and the European simulator
+    share ONE stream + ONE step helper; pin it: exp(terminal log-basket)
+    equals the European TERMINAL underlier bit-for-bit, both combines."""
+    from spectralmc_tpu.ops.american import basket_state_rows
+    from spectralmc_tpu.ops.basket import (
+        BasketCombine,
+        basket_cholesky,
+        simulate_basket_underlier_rows,
+    )
+    from spectralmc_tpu.ops.gbm import PayoffKind, _row_streams
+
+    c = make_contract(spot=100.0, strike=100.0, maturity=1.0, rate=0.03,
+                      div_yield=0.01, vol=0.25)
+    arr = c.as_array(jnp.float32)
+    n, rows, cols = 6, 16, 128
+    for combine in (BasketCombine.GEOMETRIC, BasketCombine.ARITHMETIC):
+        spec = _basket_spec(combine)
+        row_keys, sign = _row_streams(
+            jax.random.PRNGKey(9), rows=rows, row_offset=0,
+            antithetic_half=None, dtype=jnp.float32,
+        )
+        dt = jnp.float32(c.maturity / n)
+        sigmas = jnp.float32(c.vol) * jnp.asarray(spec.vol_multipliers, jnp.float32)
+        lb_rows, disp_rows = basket_state_rows(
+            row_keys, sign,
+            log_spots=jnp.log(
+                jnp.float32(c.spot) * jnp.asarray(spec.spot_multipliers, jnp.float32)
+            ),
+            timesteps=n, rows=rows, cols=cols, dtype=jnp.float32,
+            drift=(jnp.float32(c.rate - c.div_yield) - 0.5 * sigmas * sigmas) * dt,
+            sig_sqdt=sigmas * jnp.sqrt(dt),
+            chol=jnp.asarray(basket_cholesky(spec), jnp.float32),
+            weights=jnp.asarray(spec.weights, jnp.float32),
+            geometric=combine == BasketCombine.GEOMETRIC,
+        )
+        term = simulate_basket_underlier_rows(
+            jax.random.PRNGKey(9), arr, spec=spec, timesteps=n, rows=rows,
+            cols=cols, dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
+        )
+        if combine == BasketCombine.GEOMETRIC:
+            # identical compute graph -> bit-for-bit
+            np.testing.assert_array_equal(
+                np.asarray(jnp.exp(lb_rows[-1])), np.asarray(term)
+            )
+        else:
+            # the American forward stores ln B (the LSMC encode needs the
+            # log); exp(ln B) costs <= a few ulps vs the European's direct
+            # B — rtol 2e-6 is ~20 float32 ulps, far below any stream
+            # divergence (different normals shift values at O(1) rel)
+            np.testing.assert_allclose(
+                np.asarray(jnp.exp(lb_rows[-1])), np.asarray(term), rtol=2e-6
+            )
+        disp = np.asarray(disp_rows)
+        if combine == BasketCombine.ARITHMETIC:
+            assert (disp > -1e-5).all()  # Jensen: ln(B_arith/B_geom) >= 0
+        else:
+            assert (disp == 0.0).all()
+
+
+def test_merton_american_q0_call_and_r0_put_have_no_premium() -> None:
+    """Model-independent no-early-exercise identities under jumps: the
+    American leg must match BOTH the same-stream European MC (tight) and
+    Merton's exact series price (z-gate)."""
+    from spectralmc_tpu.ops.american import simulate_merton_american_underlier_rows
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.merton import merton_call_price, simulate_merton_underlier_rows
+
+    kw = dict(timesteps=16, rows=256, cols=256, dtype=jnp.float32)
+    for option, c in (
+        (OptionSide.CALL, _merton_contract(strike=95.0, rate=0.03, div_yield=0.0)),
+        (OptionSide.PUT, _merton_contract(strike=105.0, rate=0.0, div_yield=0.02)),
+    ):
+        arr = c.as_array(jnp.float32)
+        u = simulate_merton_american_underlier_rows(
+            jax.random.PRNGKey(3), arr, option=option, **kw
+        )
+        df = np.exp(-c.rate * c.maturity)
+        cf = df * np.maximum(c.strike - np.asarray(u), 0.0)
+        amer, se = cf.mean(), cf.std() / np.sqrt(cf.size)
+        call_ser, put_ser = merton_call_price(
+            spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+            div_yield=c.div_yield, vol=c.vol, lam=c.lam,
+            jump_mean=c.jump_mean, jump_std=c.jump_std,
+        )
+        eur_series = call_ser if option == OptionSide.CALL else put_ser
+        assert abs(amer - eur_series) < 4.0 * se + 0.02 * eur_series
+        term = np.asarray(
+            simulate_merton_underlier_rows(
+                jax.random.PRNGKey(3), arr, payoff=PayoffKind.TERMINAL, **kw
+            )
+        )
+        intrinsic = (
+            term - c.strike if option == OptionSide.CALL else c.strike - term
+        )
+        eur_mc = (df * np.maximum(intrinsic, 0.0)).mean()
+        assert abs(amer - eur_mc) < max(3.0 * se, 0.005 * eur_mc)
+
+
+def test_merton_american_put_premium_positive() -> None:
+    from spectralmc_tpu.ops.american import simulate_merton_american_underlier_rows
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.merton import simulate_merton_underlier_rows
+
+    c = _merton_contract(strike=105.0, rate=0.07)
+    arr = c.as_array(jnp.float32)
+    kw = dict(timesteps=16, rows=256, cols=256, dtype=jnp.float32)
+    u = simulate_merton_american_underlier_rows(
+        jax.random.PRNGKey(5), arr, option=OptionSide.PUT, **kw
+    )
+    df = np.exp(-c.rate * c.maturity)
+    amer = (df * np.maximum(c.strike - np.asarray(u), 0.0)).mean()
+    term = simulate_merton_underlier_rows(
+        jax.random.PRNGKey(5), arr, payoff=PayoffKind.TERMINAL, **kw
+    )
+    eur = (df * np.maximum(c.strike - np.asarray(term), 0.0)).mean()
+    assert amer > eur + 0.1  # real early-exercise premium at r=7%
+
+
+def test_merton_american_forward_stream_bit_parity() -> None:
+    """merton_state_rows (the American forward) replays the European
+    simulator's exact stream: terminal exp(log-spot) equals the European
+    TERMINAL underlier bit-for-bit."""
+    import math
+
+    from spectralmc_tpu.ops.american import merton_state_rows
+    from spectralmc_tpu.ops.gbm import PayoffKind, _row_streams
+    from spectralmc_tpu.ops.merton import simulate_merton_underlier_rows
+
+    c = _merton_contract()
+    arr = c.as_array(jnp.float32)
+    n, rows, cols = 6, 16, 128
+    row_keys, sign = _row_streams(
+        jax.random.PRNGKey(13), rows=rows, row_offset=0, antithetic_half=None,
+        dtype=jnp.float32,
+    )
+    dt = c.maturity / n
+    m = math.exp(c.jump_mean + 0.5 * c.jump_std**2) - 1.0
+    log_rows = merton_state_rows(
+        row_keys, sign, spot=jnp.float32(c.spot), timesteps=n, rows=rows,
+        cols=cols, dtype=jnp.float32,
+        drift=jnp.float32(
+            (c.rate - c.div_yield - c.lam * m - 0.5 * c.vol**2) * dt
+        ),
+        vol_sqdt=jnp.float32(c.vol * math.sqrt(dt)),
+        lam_dt=jnp.float32(c.lam * dt),
+        jump_mean=jnp.float32(c.jump_mean),
+        jump_std=jnp.float32(c.jump_std),
+    )
+    term = simulate_merton_underlier_rows(
+        jax.random.PRNGKey(13), arr, timesteps=n, rows=rows, cols=cols,
+        dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
+    )
+    np.testing.assert_array_equal(np.asarray(jnp.exp(log_rows[-1])), np.asarray(term))
+
+
+@pytest.mark.parametrize("model_name", ["basket_gbm", "merton_jump"])
+def test_new_dynamics_american_family_trains_and_serves(model_name) -> None:
+    """model=basket/merton + payoff=american_put through the standard
+    create -> train -> snapshot -> resume-bit-exact -> predict pipeline."""
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.ops.basket import BasketCombine
+    from spectralmc_tpu.ops.gbm import ModelKind, PayoffKind, build_simulation_params
+    from spectralmc_tpu.ops.sobol import BoundSpec
+    from spectralmc_tpu.training.trainer import (
+        GbmCVNNPricer,
+        GbmCVNNPricerConfig,
+        build_training_config,
+    )
+    from tests.helpers import expect_success
+
+    bounds = {
+        "spot": BoundSpec(lower=95.0, upper=105.0),
+        "strike": BoundSpec(lower=95.0, upper=105.0),
+        "maturity": BoundSpec(lower=0.5, upper=1.5),
+        "rate": BoundSpec(lower=0.01, upper=0.05),
+        "div_yield": BoundSpec(lower=0.0, upper=0.02),
+        "vol": BoundSpec(lower=0.15, upper=0.3),
+    }
+    sim_kwargs: dict[str, object] = dict(
+        timesteps=4, network_size=16, batches_per_mc_run=8, mc_seed=3,
         payoff=PayoffKind.AMERICAN_PUT, normalization="none",
     )
-    assert isinstance(res, Failure)
-    assert "LSMC" in res.error.reason
+    if model_name == "basket_gbm":
+        sim_kwargs.update(
+            model=ModelKind.BASKET_GBM, basket=_basket_spec(BasketCombine.ARITHMETIC)
+        )
+        contract = make_contract(strike=102.0)
+    else:
+        sim_kwargs.update(model=ModelKind.MERTON_JUMP)
+        bounds.update(
+            lam=BoundSpec(lower=0.05, upper=1.0),
+            jump_mean=BoundSpec(lower=-0.2, upper=0.05),
+            jump_std=BoundSpec(lower=0.1, upper=0.3),
+        )
+        contract = _merton_contract(strike=102.0)
+    sim = expect_success(build_simulation_params(**sim_kwargs))
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)], seed=5
+        )
+    )
+    pricer = expect_success(
+        GbmCVNNPricer.create(
+            GbmCVNNPricerConfig(sim=sim, bounds=bounds, cvnn=cvnn, normalize_inputs=True)
+        )
+    )
+    tc = expect_success(
+        build_training_config(num_batches=4, batch_size=8, learning_rate=2e-3)
+    )
+    res = expect_success(pricer.train(tc))
+    assert np.isfinite(res.losses).all()
+    snap = pricer.snapshot()
+    resumed = expect_success(GbmCVNNPricer.create(snap))
+    t2 = expect_success(
+        build_training_config(num_batches=2, batch_size=8, learning_rate=2e-3)
+    )
+    a = expect_success(pricer.train(t2))
+    b = expect_success(resumed.train(t2))
+    np.testing.assert_array_equal(a.losses, b.losses)
+    pred = pricer.predict_price([contract])
+    assert np.isfinite(pred.put).all() and np.isnan(pred.call).all()
 
 
 def test_heston_american_forward_stream_bit_parity() -> None:

@@ -183,12 +183,11 @@ def test_config_gates() -> None:
     )
     # only the exact log-space transition is defined
     assert isinstance(build_simulation_params(**base, scheme="euler"), Failure)
-    # no LSMC forward defined (yet) for jumps
-    assert isinstance(
+    # American kinds are supported under jumps (ops/american.py)
+    expect_success(
         build_simulation_params(
             **base, payoff=PayoffKind.AMERICAN_PUT, normalization="none"
-        ),
-        Failure,
+        )
     )
     # no fused kernel: a PALLAS request resolves to the XLA engine
     sim = expect_success(build_simulation_params(**base, implementation="pallas"))

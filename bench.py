@@ -801,8 +801,10 @@ def main() -> None:
 
     heston_ps = bench_mc(heston_fn, **kw)
 
-    # Merton family throughput (XLA engine — no fused kernel for the
-    # Poisson channel; the per-step transition is exact)
+    # Merton family throughput: fused Pallas kernel (exact in-register
+    # inverse-CDF Poisson, merton v1) on TPU; the wrapper falls back to the
+    # XLA scan elsewhere. Both engines reported (the basket precedent).
+    from spectralmc_tpu.ops.gbm_pallas import simulate_merton_underlier_rows_pallas
     from spectralmc_tpu.ops.merton import MertonContract, simulate_merton_underlier_rows
 
     merton_arr = MertonContract(
@@ -811,12 +813,19 @@ def main() -> None:
     ).as_array(jnp.float32)
 
     def merton_fn(key, _contract):
+        return simulate_merton_underlier_rows_pallas(
+            key, merton_arr, timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"],
+            dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
+        )
+
+    def merton_xla_fn(key, _contract):
         return simulate_merton_underlier_rows(
             key, merton_arr, timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"],
             dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
         )
 
     merton_ps = bench_mc(merton_fn, **kw)
+    merton_xla_ps = merton_ps if not on_tpu else bench_mc(merton_xla_fn, **kw)
 
     engine = "pallas" if on_tpu else "xla"
     # BASELINE configs 3-5 (SURVEY §6 / BASELINE.json):
@@ -919,6 +928,7 @@ def main() -> None:
                     # included) + the held-out quality gate vs the exact
                     # series oracle
                     "merton_path_steps_per_sec": merton_ps,
+                    "merton_xla_path_steps_per_sec": merton_xla_ps,
                     "merton_price_mae": merton_mae,
                     "merton_price_rel_mae": merton_rel_mae,
                     # randomized QMC path sampling (SamplingKind.SOBOL_BB):

@@ -169,12 +169,19 @@ def make_underlier_simulator(
         return simulate
 
     if sim.model == ModelKind.MERTON_JUMP:
-        from spectralmc_tpu.ops.merton import simulate_merton_underlier_rows
+        if use_pallas:
+            from spectralmc_tpu.ops.gbm_pallas import (
+                simulate_merton_underlier_rows_pallas as _sim_merton,
+            )
+        else:
+            from spectralmc_tpu.ops.merton import (
+                simulate_merton_underlier_rows as _sim_merton,
+            )
 
         def simulate(
             key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
         ) -> jax.Array:
-            return simulate_merton_underlier_rows(
+            return _sim_merton(
                 key,
                 contract,
                 timesteps=sim.timesteps,

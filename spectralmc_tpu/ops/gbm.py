@@ -481,10 +481,6 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
         # MXU-shaped work the XLA engine expresses directly; the Pallas
         # kernels' in-register streaming RNG has no Sobol counterpart
         return SimImplementation.XLA
-    if params.model == ModelKind.MERTON_JUMP:
-        # no fused kernel yet: the Poisson count draw (rejection/Knuth) has
-        # no fixed-iteration in-register form the streaming kernels use
-        return SimImplementation.XLA
     from spectralmc_tpu.ops.gbm_pallas import pallas_supported
 
     effective_rows = params.batches_per_mc_run if rows is None else rows

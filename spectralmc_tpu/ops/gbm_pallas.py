@@ -64,7 +64,15 @@ _HALF_ULP = float(2.0**-25)
 #   heston v2 — round 2 (fused _sincos_turns + hoisted variance scalars);
 #               shares the v2 radius, same defensive bump rationale.
 #   basket v1 — round 3 (paired sincos normals + static Cholesky mix).
-PALLAS_STREAM_VERSIONS: dict[str, int] = {"gbm": 2, "heston": 3, "basket_gbm": 1}
+#   merton v1 — round 3 (sincos Gaussian pair + scalar-cdf inverse-CDF
+#               Poisson from one extra uniform; counts shared across
+#               antithetic partners).
+PALLAS_STREAM_VERSIONS: dict[str, int] = {
+    "gbm": 2,
+    "heston": 3,
+    "basket_gbm": 1,
+    "merton_jump": 1,
+}
 
 
 def pallas_stream_version(model: "object") -> int:
@@ -1141,6 +1149,255 @@ def simulate_basket_underlier_rows_pallas(
         contract_key,
         contract,
         spec=spec,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        payoff=payoff,
+        barrier_rel=barrier_rel,
+        antithetic=antithetic_half is not None,
+        row_offset=row_offset,
+        interpret=interpret,
+    )
+
+# --------------------------------------------------------------------------
+# Merton kernel (fourth model family; ops/merton.py defines the XLA path)
+# --------------------------------------------------------------------------
+
+
+# Static inverse-CDF depth: counts cap at 16 per step. For lam*dt <= ~3.2
+# the cap is UNREACHABLE — P(N > 16) < 2^-24, and a 24-bit uniform can never
+# land in tail mass below 2^-24, so the capped sampler emits exactly the
+# counts an unbounded inverse CDF would. Beyond that (> 3.2 expected jumps
+# PER STEP — a grid coarser than any sane config) counts saturate at 16 with
+# bias P(N > 16). Chosen over the exact-any-mu while_loop form after
+# on-chip ablation (benchmarks/merton_lab.py): Mosaic's while machinery cost
+# 45% of kernel throughput even at zero tail iterations (3.0e10 vs 4.4e10
+# path-steps/s); static unrolling restores MXU/VPU pipelining.
+_POISSON_TERMS = 16
+
+
+def _poisson_counts(u: jax.Array, mu: jax.Array) -> jax.Array:
+    """Inverse-CDF Poisson(mu) counts from one uniform per lane.
+
+    The pmf recursion p_k = p_{k-1}*mu/k and its running cdf are SCALARS
+    (they depend only on mu), so each of the ``_POISSON_TERMS`` statically
+    unrolled levels costs ONE vector compare+add: a lane's count is the
+    number of cdf levels at or below its uniform. See the cap note above —
+    THE merton v1 count definition.
+
+    jax.random.poisson (the XLA path) uses Knuth/transformed-rejection — a
+    different bit stream entirely; the engines are separately versioned
+    (PALLAS_STREAM_VERSIONS["merton_jump"]).
+    """
+    p = jnp.exp(-mu)
+    cdf = p
+    cnt = jnp.zeros_like(u)
+    for k in range(1, _POISSON_TERMS + 1):
+        cnt = cnt + (u >= cdf).astype(jnp.float32)
+        p = p * mu / jnp.float32(k)
+        cdf = cdf + p
+    return cnt
+
+
+def _merton_block_kernel(
+    params_ref,  # SMEM (1, 9): spot strike T r q vol lam jump_mean jump_std
+    seeds_ref,  # SMEM (1, 3) int32: key words + row-block offset
+    out_ref,  # VMEM (rows_per_block, cols_per_block)
+    *,
+    timesteps: int,
+    payoff: PayoffKind,
+    rows_per_block: int,
+    cols_per_block: int,
+    barrier_rel: float | None = None,
+    antithetic: bool = False,
+) -> None:
+    """Fused Merton jump-diffusion: exact transition, in-register Poisson.
+
+    Per step, ONE Box-Muller pair supplies both Gaussians — z_d = r*cos
+    drives the diffusion, z_j = r*sin the jump size (independent normals,
+    the Heston kernel's trick) — and ONE extra uniform drives the
+    inverse-CDF Poisson count (``_poisson_counts``). Conditional on the
+    count the jump sum is exactly Gaussian (ops/merton.py:239), so the step
+    is bias-free like the XLA path. Draw order per step: (u1, u2) then u_c —
+    THE merton_jump v1 stream definition.
+
+    Antithetic pairing mirrors the XLA convention in-block: the Gaussian
+    pair flips sign, the Poisson counts are SHARED (common random numbers
+    for the jump channel — a partner with its own counts would break the
+    pathwise-Greeks CRN contract, ops/merton.py:134-146).
+    """
+    i = pl.program_id(0) + seeds_ref[0, 2]
+    j = pl.program_id(1)
+    seed_a = seeds_ref[0, 0] ^ (
+        (i + 1) * jnp.int32(0x9E3779B1 & 0x7FFFFFFF) + j * jnp.int32(0x85EBCA6B & 0x7FFFFFFF)
+    )
+    seed_b = seeds_ref[0, 1] ^ (
+        (j + 1) * jnp.int32(0xC2B2AE35 & 0x7FFFFFFF) + i * jnp.int32(0x27D4EB2F)
+    )
+    pltpu.prng_seed(seed_a, seed_b)
+
+    spot = params_ref[0, 0]
+    maturity = params_ref[0, 2]
+    rate = params_ref[0, 3]
+    div_yield = params_ref[0, 4]
+    vol = params_ref[0, 5]
+    lam = params_ref[0, 6]
+    jump_mean = params_ref[0, 7]
+    jump_std = params_ref[0, 8]
+    dt = maturity / jnp.float32(timesteps)
+    vol_sdt = vol * jnp.sqrt(dt)
+    # -lam*m compensator keeps the discounted spot a martingale (merton.py:190)
+    m = jnp.exp(jump_mean + jnp.float32(0.5) * jump_std * jump_std) - jnp.float32(1.0)
+    drift = (rate - div_yield - lam * m - jnp.float32(0.5) * vol * vol) * dt
+    lam_dt = lam * dt
+    shape = (rows_per_block, cols_per_block)
+    gen_shape = (rows_per_block // 2, cols_per_block) if antithetic else shape
+
+    def _mirror(z: jax.Array) -> jax.Array:
+        return jnp.concatenate([z, -z], axis=0) if antithetic else z
+
+    def _share(c: jax.Array) -> jax.Array:
+        return jnp.concatenate([c, c], axis=0) if antithetic else c
+
+    geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
+    barrier = payoff in BARRIER_PAYOFFS
+    up = payoff == PayoffKind.BARRIER_UP_OUT
+    extreme_fn = jnp.maximum if up else jnp.minimum
+    inv_n = jnp.float32(1.0 / timesteps)
+
+    def step(carry):
+        logx, acc = carry
+        u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(gen_shape)
+        radius = _bm_radius(u1)
+        sin_t, cos_t = _sincos_turns(u2)
+        z_d = _mirror(radius * cos_t)
+        z_j = _mirror(radius * sin_t)
+        counts = _share(_poisson_counts(_uniform_24bit(gen_shape), lam_dt))
+        jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
+        logx = logx + drift + vol_sdt * z_d + jump
+        if barrier:
+            acc = extreme_fn(acc, logx)
+        elif payoff != PayoffKind.TERMINAL:
+            acc = acc + (logx if geometric else jnp.exp(logx))
+        return (logx, acc)
+
+    log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
+    logx, acc = _fori_unrolled(
+        timesteps, step, (log0, log0 if barrier else jnp.zeros(shape, jnp.float32))
+    )
+    if barrier:
+        level = jnp.log(spot * jnp.float32(barrier_rel))
+        knocked = acc >= level if up else acc <= level
+        out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
+    elif payoff == PayoffKind.TERMINAL:
+        out_ref[:, :] = jnp.exp(logx)
+    elif geometric:
+        out_ref[:, :] = jnp.exp(acc * inv_n)
+    else:
+        out_ref[:, :] = acc * inv_n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "timesteps", "rows", "cols", "payoff", "barrier_rel", "antithetic", "interpret"
+    ),
+)
+def _simulate_merton_rows_pallas_f32(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    payoff: PayoffKind,
+    barrier_rel: float | None = None,
+    antithetic: bool = False,
+    row_offset: jax.Array | int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    block_rows = min(BLOCK_ROWS, rows)
+    block_cols = min(BLOCK_COLS, cols)
+    key_data = jax.random.key_data(contract_key)
+    row_block = (
+        jnp.asarray(row_offset, jnp.uint32) // jnp.uint32(block_rows)
+    ).astype(jnp.int32)
+    seeds = jnp.concatenate(
+        [key_data.astype(jnp.int32).reshape(2), row_block.reshape(1)]
+    ).reshape(1, 3)
+    params = contract.astype(jnp.float32).reshape(1, 9)
+    kernel = functools.partial(
+        _merton_block_kernel,
+        timesteps=timesteps,
+        payoff=payoff,
+        rows_per_block=block_rows,
+        cols_per_block=block_cols,
+        barrier_rel=barrier_rel,
+        antithetic=antithetic,
+    )
+    grid = (rows // block_rows, cols // block_cols)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 9), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rows, block_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=24 * rows * cols * timesteps,
+            bytes_accessed=rows * cols * 4,
+            transcendentals=5 * rows * cols * timesteps,
+        ),
+        interpret=interpret,
+    )(params, seeds)
+
+
+def simulate_merton_underlier_rows_pallas(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    payoff: PayoffKind,
+    row_offset: jax.Array | int = 0,
+    barrier_rel: float | None = None,
+    antithetic_half: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused Merton kernel; falls back to the XLA scan when unsupported."""
+    interpretable = (
+        interpret
+        and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        and rows % min(BLOCK_ROWS, rows) == 0
+        and cols % min(BLOCK_COLS, cols) == 0
+    )
+    if not (interpretable or pallas_supported(dtype=dtype, rows=rows, cols=cols)):
+        from spectralmc_tpu.ops.merton import simulate_merton_underlier_rows
+
+        return simulate_merton_underlier_rows(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            payoff=payoff,
+            row_offset=row_offset,
+            barrier_rel=barrier_rel,
+            antithetic_half=antithetic_half,
+        )
+    return _simulate_merton_rows_pallas_f32(
+        contract_key,
+        contract,
         timesteps=timesteps,
         rows=rows,
         cols=cols,

@@ -354,3 +354,117 @@ def test_basket_pallas_resolves_and_dispatches() -> None:
     out = simulate(jax.random.PRNGKey(0), CONTRACT.as_array(jnp.float32))
     assert out.shape == (8, 128) and bool(jnp.isfinite(out).all())
     assert pallas_stream_version(ModelKind.BASKET_GBM) >= 1
+
+
+# --------------------------------------------------------------------------
+# Round 3: Merton kernel (in-register Poisson + structure + fallbacks)
+# --------------------------------------------------------------------------
+
+
+def _merton_contract():
+    from spectralmc_tpu.ops.merton import MertonContract
+
+    return MertonContract(
+        spot=100.0, strike=100.0, maturity=1.0, rate=0.03, div_yield=0.01,
+        vol=0.2, lam=0.5, jump_mean=-0.1, jump_std=0.25,
+    )
+
+
+@pytest.mark.parametrize("mu", [0.03, 0.5, 3.0])
+def test_poisson_counts_exact_inverse_cdf(mu: float) -> None:
+    """_poisson_counts is plain jax (runs anywhere): feed the EXACT uniform
+    grid the 24-bit generator can emit and compare against the float64
+    inverse CDF. The float32 scalar cdf recursion may disagree only where a
+    uniform lands within one ulp of a cdf boundary — vanishingly rare and
+    off by at most 1 count."""
+    from spectralmc_tpu.ops.gbm_pallas import _poisson_counts
+
+    n = 1 << 16
+    k = np.arange(n, dtype=np.float64) / n
+    u = jnp.asarray(k, jnp.float32)
+    got = np.asarray(_poisson_counts(u, jnp.float32(mu)))
+    # float64 reference inverse CDF
+    pmf = [np.exp(-mu)]
+    while sum(pmf) < 1.0 - 1e-12:
+        pmf.append(pmf[-1] * mu / len(pmf))
+    cdf = np.cumsum(pmf)
+    want = np.searchsorted(cdf, k, side="right").astype(np.float64)
+    mismatch = got != want
+    assert mismatch.mean() < 1e-3, f"mu={mu}: {mismatch.mean():.2e} mismatch"
+    assert np.abs(got[mismatch] - want[mismatch]).max(initial=0.0) <= 1.0
+    # structural exactness at the ends
+    assert got[k < np.exp(-mu) - 1e-6].max(initial=0.0) == 0.0
+    assert float(_poisson_counts(jnp.zeros((4,), jnp.float32), jnp.float32(0.0)).max()) == 0.0
+
+
+def test_merton_interpret_zero_bits_matches_closed_form() -> None:
+    """Stubbed (all-zero) RNG: u1 = half-ulp -> radius r, u2 = 0 ->
+    (sin, cos) = (0, 1) so z_d = r and z_j = 0; the count uniform is 0 <
+    e^{-lam dt} so every count is 0 and the jump term vanishes. The terminal
+    value is then the deterministic drift+diffusion closed form INCLUDING
+    the -lam*m compensator — a sharp check of the whole kernel skeleton
+    except the RNG distribution."""
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.gbm_pallas import simulate_merton_underlier_rows_pallas
+
+    c = _merton_contract()
+    arr = c.as_array(jnp.float32)
+    T_STEPS, ROWS, COLS = 6, 8, 128
+    with pltpu.force_tpu_interpret_mode():
+        rows = simulate_merton_underlier_rows_pallas(
+            jax.random.PRNGKey(1), arr, timesteps=T_STEPS, rows=ROWS, cols=COLS,
+            dtype=jnp.float32, payoff=PayoffKind.TERMINAL, interpret=True,
+        )
+    t = np.asarray(rows)
+    assert t.shape == (ROWS, COLS)
+    assert np.all(np.isfinite(t)) and np.allclose(t, t[0, 0], rtol=1e-5)
+    r = np.sqrt(-2.0 * np.log(np.float32(2.0**-25)))
+    dt = c.maturity / T_STEPS
+    m = np.exp(c.jump_mean + 0.5 * c.jump_std**2) - 1.0
+    drift = (c.rate - c.div_yield - c.lam * m - 0.5 * c.vol**2) * dt
+    want = c.spot * np.exp(T_STEPS * (drift + c.vol * np.sqrt(dt) * r))
+    assert t[0, 0] == pytest.approx(want, rel=1e-4)
+
+
+def test_merton_pallas_fallback_matches_xla() -> None:
+    """Off-TPU/odd shapes the merton kernel must route to the XLA path."""
+    from spectralmc_tpu.ops.gbm import PayoffKind
+    from spectralmc_tpu.ops.gbm_pallas import simulate_merton_underlier_rows_pallas
+    from spectralmc_tpu.ops.merton import simulate_merton_underlier_rows
+
+    arr = _merton_contract().as_array(jnp.float32)
+    key = jax.random.PRNGKey(5)
+    kw = dict(timesteps=2, rows=7, cols=100, dtype=jnp.float32,
+              payoff=PayoffKind.ASIAN_ARITHMETIC)
+    got = simulate_merton_underlier_rows_pallas(key, arr, **kw)
+    want = simulate_merton_underlier_rows(key, arr, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_merton_pallas_resolves_and_dispatches() -> None:
+    """resolve_implementation no longer short-circuits merton to XLA; the
+    dispatch seam selects the pallas function for PALLAS sims (which itself
+    falls back off-TPU), and the stream-version table covers the family."""
+    from spectralmc_tpu.ops.dispatch import make_underlier_simulator
+    from spectralmc_tpu.ops.gbm import (
+        ModelKind,
+        SimImplementation,
+        build_simulation_params,
+        resolve_implementation,
+    )
+    from spectralmc_tpu.ops.gbm_pallas import pallas_stream_version
+
+    sim = build_simulation_params(
+        timesteps=2, network_size=128, batches_per_mc_run=8, mc_seed=1,
+        model=ModelKind.MERTON_JUMP, implementation=SimImplementation.PALLAS,
+    ).expect("sim")
+    expected = (
+        SimImplementation.PALLAS
+        if jax.default_backend() == "tpu"
+        else SimImplementation.XLA
+    )
+    assert resolve_implementation(sim) == expected
+    simulate = make_underlier_simulator(sim, rows=8)
+    out = simulate(jax.random.PRNGKey(0), _merton_contract().as_array(jnp.float32))
+    assert out.shape == (8, 128) and bool(jnp.isfinite(out).all())
+    assert pallas_stream_version(ModelKind.MERTON_JUMP) >= 1

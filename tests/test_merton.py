@@ -189,9 +189,22 @@ def test_config_gates() -> None:
             **base, payoff=PayoffKind.AMERICAN_PUT, normalization="none"
         )
     )
-    # no fused kernel: a PALLAS request resolves to the XLA engine
+    # PALLAS at a non-tileable shape (cols % 128 != 0) resolves to XLA ...
     sim = expect_success(build_simulation_params(**base, implementation="pallas"))
     assert resolve_implementation(sim) == SimImplementation.XLA
+    # ... and at kernel shapes the fused merton kernel honors PALLAS on TPU
+    sim_ok = expect_success(
+        build_simulation_params(
+            **{**base, "network_size": 128, "batches_per_mc_run": 8},
+            implementation="pallas",
+        )
+    )
+    expected = (
+        SimImplementation.PALLAS
+        if jax.default_backend() == "tpu"
+        else SimImplementation.XLA
+    )
+    assert resolve_implementation(sim_ok) == expected
 
 
 def test_asian_and_barrier_smoke() -> None:

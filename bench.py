@@ -611,26 +611,37 @@ def bench_basket_throughput(*, tiny: bool) -> tuple[float, float]:
     return pallas_rate, xla_rate
 
 
-def bench_american_throughput(*, tiny: bool) -> float:
+def bench_american_throughput(*, tiny: bool) -> tuple[float, float]:
     """LSMC early-exercise pricing throughput: path-steps/s through the
     family simulator (forward paths + backward induction with per-date
     regressions) at the production American shape — the measured version of
-    the '1M paths x 16 dates in ~120 ms' figure."""
+    the '1M paths x 16 dates in ~120 ms' figure. Returns
+    (pallas_rate, xla_rate): the Pallas engine fuses the monitor-row
+    forward (gbm_pallas._gbm_monitor_block_kernel) and reuses the identical
+    XLA backward induction; off-TPU both run the XLA path."""
     from spectralmc_tpu.ops.american import simulate_american_underlier_rows
+    from spectralmc_tpu.ops.gbm_pallas import simulate_american_underlier_rows_pallas
     from spectralmc_tpu.ops.greeks import OptionSide
 
     if tiny:
         kw = dict(timesteps=4, rows=32, cols=128, reps=2)
     else:
         kw = dict(timesteps=16, rows=4096, cols=256, reps=20)  # 1.05M paths
+    common = dict(
+        timesteps=kw["timesteps"], rows=kw["rows"], cols=kw["cols"],
+        dtype=jnp.float32, option=OptionSide.PUT,
+    )
 
-    def american_fn(key, contract):
-        return simulate_american_underlier_rows(
-            key, contract, timesteps=kw["timesteps"], rows=kw["rows"],
-            cols=kw["cols"], dtype=jnp.float32, option=OptionSide.PUT,
-        )
+    def xla_fn(key, contract):
+        return simulate_american_underlier_rows(key, contract, **common)
 
-    return bench_mc(american_fn, **kw)
+    def pallas_fn(key, contract):
+        return simulate_american_underlier_rows_pallas(key, contract, **common)
+
+    xla_rate = bench_mc(xla_fn, **kw)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    pallas_rate = bench_mc(pallas_fn, **kw) if on_tpu else xla_rate
+    return pallas_rate, xla_rate
 
 
 def bench_greeks_throughput(*, tiny: bool) -> tuple[float, float]:
@@ -835,7 +846,8 @@ def main() -> None:
     wide_steps = bench_wide_spectrum(tiny=tiny, implementation=engine)
     basket_pallas_ps, basket_xla_ps = bench_basket_throughput(tiny=tiny)
     basket_ps = basket_pallas_ps if on_tpu else basket_xla_ps
-    american_ps = bench_american_throughput(tiny=tiny)
+    american_pallas_ps, american_xla_ps = bench_american_throughput(tiny=tiny)
+    american_ps = american_pallas_ps if on_tpu else american_xla_ps
     greeks_pallas, greeks_xla = bench_greeks_throughput(tiny=tiny)
     charfn_mae, charfn_rel_mae = bench_charfn_quality(tiny=tiny)
     heston_mae, heston_rel_mae = bench_family_quality(tiny=tiny, family="heston")
@@ -890,8 +902,11 @@ def main() -> None:
                     "basket3_xla_path_steps_per_sec": basket_xla_ps,
                     # LSMC American family: forward paths + backward
                     # induction (per-date regressions) at 1M paths x 16
-                    # dates on the XLA engine
+                    # dates. The headline number is the Pallas engine
+                    # (fused monitor-row forward kernel + the identical XLA
+                    # backward); the xla figure is the scan-based engine.
                     "american_lsmc_path_steps_per_sec": american_ps,
+                    "american_lsmc_xla_path_steps_per_sec": american_xla_ps,
                     "train_steps_per_sec": steps_per_sec,
                     # BASELINE config 3: 8192 contracts x 1.05M paths, 512-pt
                     # FFT, deep CVNN — chunk-streamed (contract_chunk=256).

@@ -140,6 +140,59 @@ def _lsmc_backward(
     return disc * cf_1  # discounted to t = 0
 
 
+def check_monitor_grid(timesteps: int, exercise_every: int) -> None:
+    """Trace-time guards on the static monitor grid: ``exercise_every`` must
+    divide ``timesteps`` (else maturity silently drops off the monitor set)
+    and the grid must keep >= 2 monitor dates (1 date IS the European option
+    — the same contract build_simulation_params and the effect route
+    enforce). Shared by the XLA encode and the Pallas monitor-row engine
+    (``ops/gbm_pallas.py``) so both reject the same grids."""
+    if exercise_every < 1 or timesteps % exercise_every:
+        raise ValueError(
+            f"exercise_every={exercise_every} must divide timesteps={timesteps}"
+        )
+    if timesteps // exercise_every < 2:
+        raise ValueError(
+            f"early exercise needs >= 2 monitor dates; timesteps={timesteps} "
+            f"with exercise_every={exercise_every} leaves "
+            f"{timesteps // exercise_every}"
+        )
+
+
+def encode_monitor_prices(
+    price_rows: jax.Array,  # [monitor dates, ...path dims...] PRICE space
+    *,
+    strike: jax.Array,
+    maturity: jax.Array,
+    rate: jax.Array,
+    disc_monitor: jax.Array,  # one-MONITOR-step discount e^{-r*dt*every}
+    dtype: jnp.dtype,
+    put: bool,
+    basis_degree: int,
+    axis_name: str | None = None,
+    extra_rows: jax.Array | None = None,
+) -> jax.Array:
+    """Backward induction + synthetic-underlier encode from MONITOR-date
+    price rows. The Bermudan cashflow cf (discounted to t=0) is re-encoded
+    as ``u = strike − cf/df`` so the framework's put-payoff pipeline
+    ``df·max(strike − u, 0)`` reproduces cf exactly for both option sides
+    (``PayoffKind`` docstring in ops/gbm.py). Split out of
+    ``_american_encode`` so the Pallas engine — whose fused forward kernel
+    emits monitor-date prices directly — runs the IDENTICAL estimator."""
+    cf = _lsmc_backward(
+        price_rows,
+        strike=strike,
+        disc=disc_monitor,
+        dtype=dtype,
+        put=put,
+        basis_degree=basis_degree,
+        axis_name=axis_name,
+        extra_rows=extra_rows,
+    )
+    df = jnp.exp(-rate * maturity)
+    return strike - cf / df
+
+
 def _american_encode(
     log_rows: jax.Array,
     *,
@@ -156,43 +209,29 @@ def _american_encode(
     extra_rows: jax.Array | None = None,
 ) -> jax.Array:
     """Monitor-grid slice + backward induction + synthetic-underlier encode —
-    the ONE Bermudan tail both dynamics share (a divergence here would let
+    the ONE Bermudan tail every dynamics shares (a divergence here would let
     GBM and Heston silently disagree about monitor semantics).
 
-    Trace-time guards on the static grid: ``exercise_every`` must divide
-    ``timesteps`` (else maturity silently drops off the monitor set) and the
-    grid must keep >= 2 monitor dates (1 date IS the European option — the
-    same contract build_simulation_params and the effect route enforce).
     Slicing the stored rows and compounding the one-step discount is exact:
     dates between monitors carry no decision, only discounting.
     """
-    if exercise_every < 1 or timesteps % exercise_every:
-        raise ValueError(
-            f"exercise_every={exercise_every} must divide timesteps={timesteps}"
-        )
-    if timesteps // exercise_every < 2:
-        raise ValueError(
-            f"early exercise needs >= 2 monitor dates; timesteps={timesteps} "
-            f"with exercise_every={exercise_every} leaves "
-            f"{timesteps // exercise_every}"
-        )
+    check_monitor_grid(timesteps, exercise_every)
     price_rows = jnp.exp(log_rows[exercise_every - 1 :: exercise_every])
     monitor_extra = (
         None if extra_rows is None else extra_rows[exercise_every - 1 :: exercise_every]
     )
-    disc_monitor = jnp.exp(-rate * dt * exercise_every)
-    cf = _lsmc_backward(
+    return encode_monitor_prices(
         price_rows,
         strike=strike,
-        disc=disc_monitor,
+        maturity=maturity,
+        rate=rate,
+        disc_monitor=jnp.exp(-rate * dt * exercise_every),
         dtype=dtype,
         put=put,
         basis_degree=basis_degree,
         axis_name=axis_name,
         extra_rows=monitor_extra,
     )
-    df = jnp.exp(-rate * maturity)
-    return strike - cf / df
 
 
 @partial(
@@ -866,6 +905,8 @@ __all__ = [
     "AmericanPrice",
     "bermudan_tree_price",
     "basket_state_rows",
+    "check_monitor_grid",
+    "encode_monitor_prices",
     "lsmc_cashflows",
     "lsmc_price",
     "merton_state_rows",

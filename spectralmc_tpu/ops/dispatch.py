@@ -75,7 +75,16 @@ def make_underlier_simulator(
         from spectralmc_tpu.ops.greeks import OptionSide
 
         american_kwargs: dict[str, object] = {}
-        if sim.model == ModelKind.HESTON:
+        if (
+            sim.model == ModelKind.GBM
+            and sim.implementation == SimImplementation.PALLAS
+        ):
+            # fused monitor-row forward + identical XLA backward induction;
+            # the wrapper itself falls back off-TPU / unsupported shapes
+            from spectralmc_tpu.ops.gbm_pallas import (
+                simulate_american_underlier_rows_pallas as _sim_american,
+            )
+        elif sim.model == ModelKind.HESTON:
             from spectralmc_tpu.ops.american import (
                 simulate_heston_american_underlier_rows as _sim_american,
             )

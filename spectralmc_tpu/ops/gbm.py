@@ -471,10 +471,23 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
     if params.implementation != SimImplementation.PALLAS:
         return params.implementation
     if params.payoff in AMERICAN_PAYOFFS:
-        # LSMC needs the full [timesteps, rows, cols] path matrix plus a
-        # cross-path regression per exercise date — the backward induction is
-        # matmul/solve-shaped (MXU work), not a VPU streaming loop, so the
-        # XLA path is the native engine for this payoff
+        # The Pallas engine for LSMC is the GBM monitor-row kernel (fused
+        # forward emitting exp(log S) per exercise date) + the XLA backward
+        # induction over the emitted rows (tiny k×k solves — <1% of runtime
+        # at the production shape). Other dynamics have no monitor kernel
+        # yet and stay on the XLA path.
+        if params.model != ModelKind.GBM:
+            return SimImplementation.XLA
+        from spectralmc_tpu.ops.gbm_pallas import pallas_american_supported
+
+        if pallas_american_supported(
+            dtype=params.precision.to_jnp(),
+            rows=params.batches_per_mc_run if rows is None else rows,
+            cols=params.network_size,
+            timesteps=params.timesteps,
+            exercise_every=params.lsmc_exercise_every,
+        ):
+            return SimImplementation.PALLAS
         return SimImplementation.XLA
     if params.sampling == SamplingKind.SOBOL_BB:
         # the Brownian-bridge contraction is a [T, T] x [T, paths] matmul —

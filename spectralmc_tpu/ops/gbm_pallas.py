@@ -67,17 +67,32 @@ _HALF_ULP = float(2.0**-25)
 #   merton v1 — round 3 (sincos Gaussian pair + scalar-cdf inverse-CDF
 #               Poisson from one extra uniform; counts shared across
 #               antithetic partners).
+#   american_gbm v1 — round 3 monitor-row kernel (pair-step within a monitor
+#               segment + one single step on odd segment lengths; the
+#               backward induction consumes the emitted rows in XLA and is
+#               not part of the bit stream).
 PALLAS_STREAM_VERSIONS: dict[str, int] = {
     "gbm": 2,
     "heston": 3,
     "basket_gbm": 1,
     "merton_jump": 1,
+    "american_gbm": 1,
 }
 
 
-def pallas_stream_version(model: "object") -> int:
-    """Current stream version for a ModelKind (by value, avoids an import)."""
-    return PALLAS_STREAM_VERSIONS[getattr(model, "value", str(model))]
+def pallas_stream_version(model: "object", payoff: "object | None" = None) -> int:
+    """Current stream version for a (ModelKind[, PayoffKind]) pair — by value,
+    avoids an import. The AMERICAN payoff kinds run a DIFFERENT forward
+    kernel (monitor rows, not terminal values), so their stream is versioned
+    under its own ``american_{family}`` key: a rebuild of the European
+    terminal kernel must not invalidate American checkpoints or vice versa.
+    """
+    family = getattr(model, "value", str(model))
+    if payoff is not None and str(
+        getattr(payoff, "value", payoff)
+    ).startswith("american"):
+        return PALLAS_STREAM_VERSIONS[f"american_{family}"]
+    return PALLAS_STREAM_VERSIONS[family]
 
 
 def pallas_supported(*, dtype: jnp.dtype, rows: int, cols: int) -> bool:
@@ -682,6 +697,282 @@ def simulate_underlier_rows_pallas(
         barrier_rel=barrier_rel,
         antithetic=antithetic_half is not None,
         row_offset=row_offset,
+        interpret=interpret,
+    )
+
+
+# --------------------------------------------------------------------------
+# American (LSMC) monitor-row kernel — the forward pass of the Bermudan
+# pricer (ops/american.py). The backward induction is a handful of tiny
+# k×k solves over the emitted rows and stays in XLA; the forward path
+# matrix — ~all of the LSMC runtime (measured: the backward costs <1% at
+# the production shape) — is exactly the VPU streaming work the terminal
+# kernel already does, plus one VMEM row store per monitor date.
+# --------------------------------------------------------------------------
+
+
+# Out-block VMEM budget for the [n_monitor, block_rows, block_cols] emission:
+# half a v5e core's 16 MiB VMEM, leaving room for the state block and the
+# random-bit buffers. Block rows shrink (256 -> 8) until the block fits.
+_MONITOR_VMEM_BUDGET = 8 * 1024 * 1024
+# Full static unroll of the monitor loop caps code size here; production
+# American grids are 8-64 dates (bench: 16).
+_MONITOR_MAX_DATES = 128
+
+
+def _monitor_block_rows(rows: int, block_cols: int, n_monitor: int) -> int | None:
+    """Largest block-row count whose out block fits the VMEM budget."""
+    for br in (256, 128, 64, 32, 16, 8):
+        if rows % br == 0 and n_monitor * br * block_cols * 4 <= _MONITOR_VMEM_BUDGET:
+            return br
+    return None
+
+
+def pallas_american_supported(
+    *, dtype: jnp.dtype, rows: int, cols: int, timesteps: int, exercise_every: int
+) -> bool:
+    """Whether the fused American monitor-row kernel can honor this request.
+
+    Single source of truth for ``gbm.resolve_implementation``'s AMERICAN
+    branch and the wrapper's own fallback (the ``pallas_supported``
+    contract: the engine recorded in a checkpoint must be the one that ran).
+    """
+    if exercise_every < 1 or timesteps % exercise_every:
+        return False
+    n_monitor = timesteps // exercise_every
+    return (
+        pallas_supported(dtype=dtype, rows=rows, cols=cols)
+        and 2 <= n_monitor <= _MONITOR_MAX_DATES
+        and _monitor_block_rows(rows, min(BLOCK_COLS, cols), n_monitor) is not None
+    )
+
+
+def _gbm_monitor_block_kernel(
+    params_ref,  # SMEM (1, 6): spot, strike, maturity, rate, div, vol
+    seeds_ref,  # SMEM (1, 3) int32: threefry key words + row-block offset
+    out_ref,  # VMEM (n_monitor, block_rows, block_cols) PRICE rows
+    *,
+    timesteps: int,
+    exercise_every: int,
+    rows_per_block: int,
+    cols_per_block: int,
+    antithetic: bool,
+) -> None:
+    """Log-Euler GBM emitting exp(log S) at every monitor date.
+
+    Within a monitor segment only the segment END is observed, so log-Euler's
+    additive increments admit the terminal kernel's pair-step shortcut:
+    ``exercise_every // 2`` pair steps (one Box–Muller draw advances two
+    timesteps via z1+z2 = r·√2·sin(θ+π/4)) plus one single step on odd
+    segment lengths. The monitor loop is statically unrolled
+    (n_monitor <= _MONITOR_MAX_DATES). Draw order per segment — pairs then
+    the odd single — IS the american_gbm v1 stream definition.
+    """
+    i = pl.program_id(0) + seeds_ref[0, 2]
+    j = pl.program_id(1)
+    seed_a = seeds_ref[0, 0] ^ (
+        (i + 1) * jnp.int32(0x9E3779B1 & 0x7FFFFFFF) + j * jnp.int32(0x85EBCA6B & 0x7FFFFFFF)
+    )
+    seed_b = seeds_ref[0, 1] ^ (
+        (j + 1) * jnp.int32(0xC2B2AE35 & 0x7FFFFFFF) + i * jnp.int32(0x27D4EB2F)
+    )
+    pltpu.prng_seed(seed_a, seed_b)
+
+    spot = params_ref[0, 0]
+    maturity = params_ref[0, 2]
+    rate = params_ref[0, 3]
+    div_yield = params_ref[0, 4]
+    vol = params_ref[0, 5]
+    dt = maturity / jnp.float32(timesteps)
+    vol_sdt = vol * jnp.sqrt(dt)
+    drift = (rate - div_yield - jnp.float32(0.5) * vol * vol) * dt
+    shape = (rows_per_block, cols_per_block)
+    gen_shape = (rows_per_block // 2, cols_per_block) if antithetic else shape
+
+    def _mirror(z: jax.Array) -> jax.Array:
+        return jnp.concatenate([z, -z], axis=0) if antithetic else z
+
+    def step_single(logx: jax.Array) -> jax.Array:
+        u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(gen_shape)
+        z = _mirror(_bm_radius(u1) * _sin_turns(u2 + jnp.float32(0.25)))
+        return logx + drift + vol_sdt * z
+
+    def step_pair(logx: jax.Array) -> jax.Array:
+        u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(gen_shape)
+        z_sum = _mirror(
+            _bm_radius(u1)
+            * jnp.float32(math.sqrt(2.0))
+            * _sin_turns(u2 + jnp.float32(0.125))
+        )
+        return logx + jnp.float32(2.0) * drift + vol_sdt * z_sum
+
+    logx = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
+    for d in range(timesteps // exercise_every):
+        logx = _fori_unrolled(exercise_every // 2, step_pair, logx)
+        if exercise_every % 2:
+            logx = step_single(logx)
+        out_ref[d, :, :] = jnp.exp(logx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "timesteps", "rows", "cols", "put", "basis_degree", "exercise_every",
+        "antithetic", "axis_name", "interpret",
+    ),
+)
+def _simulate_american_rows_pallas_f32(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    put: bool,
+    basis_degree: int,
+    exercise_every: int,
+    antithetic: bool = False,
+    row_offset: jax.Array | int = 0,
+    axis_name: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    from spectralmc_tpu.ops.american import check_monitor_grid, encode_monitor_prices
+
+    check_monitor_grid(timesteps, exercise_every)
+    n_monitor = timesteps // exercise_every
+    block_cols = min(BLOCK_COLS, cols)
+    block_rows = _monitor_block_rows(rows, block_cols, n_monitor)
+    if block_rows is None or cols % block_cols:
+        raise ValueError(
+            f"pallas american path needs rows with a VMEM-fitting block "
+            f"(rows={rows}, cols={cols}, monitors={n_monitor})"
+        )
+    key_data = jax.random.key_data(contract_key)
+    row_block = (
+        jnp.asarray(row_offset, jnp.uint32) // jnp.uint32(block_rows)
+    ).astype(jnp.int32)
+    seeds = jnp.concatenate(
+        [key_data.astype(jnp.int32).reshape(2), row_block.reshape(1)]
+    ).reshape(1, 3)
+    params = contract.astype(jnp.float32).reshape(1, 6)
+    kernel = functools.partial(
+        _gbm_monitor_block_kernel,
+        timesteps=timesteps,
+        exercise_every=exercise_every,
+        rows_per_block=block_rows,
+        cols_per_block=block_cols,
+        antithetic=antithetic,
+    )
+    price_rows = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_monitor, rows, cols), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(rows // block_rows, cols // block_cols),
+            in_specs=[
+                pl.BlockSpec((1, 6), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (n_monitor, block_rows, block_cols),
+                lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rows * cols * timesteps,
+            bytes_accessed=n_monitor * rows * cols * 4,
+            transcendentals=3 * rows * cols * timesteps,
+        ),
+        interpret=interpret,
+    )(params, seeds)
+
+    strike, maturity, rate = (contract[i].astype(jnp.float32) for i in (1, 2, 3))
+    dt = maturity / jnp.asarray(timesteps, jnp.float32)
+    return encode_monitor_prices(
+        price_rows,
+        strike=strike,
+        maturity=maturity,
+        rate=rate,
+        disc_monitor=jnp.exp(-rate * dt * jnp.float32(exercise_every)),
+        dtype=jnp.float32,
+        put=put,
+        basis_degree=basis_degree,
+        axis_name=axis_name,
+    )
+
+
+def simulate_american_underlier_rows_pallas(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    option: "object",
+    basis_degree: int = 5,
+    exercise_every: int = 1,
+    row_offset: jax.Array | int = 0,
+    antithetic_half: int | None = None,
+    axis_name: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """``[rows, cols]`` synthetic AMERICAN underliers with the fused
+    monitor-row kernel as the forward pass (ops/american.py docstring for
+    the encoding contract). The backward induction — ``encode_monitor_prices``
+    — is byte-for-byte the XLA engine's estimator, so the two engines differ
+    ONLY in the forward bit stream (hardware PRNG vs threefry), exactly the
+    terminal kernels' contract. Falls back to the XLA path when unsupported.
+    """
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    n_monitor = timesteps // exercise_every if exercise_every >= 1 else 0
+    interpretable = (
+        interpret
+        and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        and exercise_every >= 1
+        and timesteps % exercise_every == 0
+        and 2 <= n_monitor <= _MONITOR_MAX_DATES
+        and cols % min(BLOCK_COLS, cols) == 0
+        and _monitor_block_rows(rows, min(BLOCK_COLS, cols), n_monitor) is not None
+    )
+    if not (
+        interpretable
+        or pallas_american_supported(
+            dtype=dtype, rows=rows, cols=cols,
+            timesteps=timesteps, exercise_every=exercise_every,
+        )
+    ):
+        from spectralmc_tpu.ops.american import simulate_american_underlier_rows
+
+        return simulate_american_underlier_rows(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            option=option,
+            basis_degree=basis_degree,
+            exercise_every=exercise_every,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            axis_name=axis_name,
+        )
+    return _simulate_american_rows_pallas_f32(
+        contract_key,
+        contract,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        put=option == OptionSide.PUT,
+        basis_degree=basis_degree,
+        exercise_every=exercise_every,
+        antithetic=antithetic_half is not None,
+        row_offset=row_offset,
+        axis_name=axis_name,
         interpret=interpret,
     )
 

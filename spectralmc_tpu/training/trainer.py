@@ -489,7 +489,9 @@ class GbmCVNNPricer:
         if effective == SimImplementation.PALLAS:
             from spectralmc_tpu.ops.gbm_pallas import pallas_stream_version
 
-            stream_version = pallas_stream_version(config.sim.model)
+            stream_version = pallas_stream_version(
+                config.sim.model, config.sim.payoff
+            )
             recorded = config.pallas_stream_version or (1 if mid_stream else stream_version)
             if mid_stream and recorded != stream_version and not allow_engine_fallback:
                 return Failure(

@@ -468,3 +468,137 @@ def test_merton_pallas_resolves_and_dispatches() -> None:
     out = simulate(jax.random.PRNGKey(0), _merton_contract().as_array(jnp.float32))
     assert out.shape == (8, 128) and bool(jnp.isfinite(out).all())
     assert pallas_stream_version(ModelKind.MERTON_JUMP) >= 1
+
+# --------------------------------------------------------------------------
+# Round 3: American monitor-row kernel (deterministic DP + fallbacks)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "timesteps,every,side",
+    [(8, 1, "call"), (8, 2, "call"), (6, 3, "call"), (8, 1, "put")],
+)
+def test_american_interpret_zero_bits_matches_deterministic_dp(
+    timesteps: int, every: int, side: str
+) -> None:
+    """Stubbed (all-zero) RNG makes every path the SAME deterministic path
+    (z = r per draw, r = sqrt(-2 ln 2^-25)), so the LSMC regression's
+    continuation fit is exact (up to the relative ridge) and the Bermudan
+    value reduces to the deterministic dynamic program
+    v_d = max-if-ITM(payoff(S_d), disc * v_{d+1}) — a sharp host-replayable
+    check of the monitor emission, segment pair-stepping, backward induction
+    and the strike - cf/df encode, everything except the RNG distribution.
+    The upward drift makes the put OTM everywhere (cf = 0, u = strike) —
+    the ITM-masking edge."""
+    from spectralmc_tpu.ops.gbm_pallas import simulate_american_underlier_rows_pallas
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    c = CONTRACT
+    arr = c.as_array(jnp.float32)
+    option = OptionSide.CALL if side == "call" else OptionSide.PUT
+    with pltpu.force_tpu_interpret_mode():
+        u = simulate_american_underlier_rows_pallas(
+            jax.random.PRNGKey(1), arr, timesteps=timesteps, rows=8, cols=128,
+            dtype=jnp.float32, option=option, exercise_every=every,
+            interpret=True,
+        )
+    u = np.asarray(u)
+    assert u.shape == (8, 128)
+    assert np.all(np.isfinite(u)) and np.allclose(u, u[0, 0], rtol=1e-5)
+
+    # host replay: per-segment increment = every*drift + n_draws*vol*sqrt(dt)*r
+    r = np.sqrt(-2.0 * np.log(np.float32(2.0**-25)))
+    dt = c.maturity / timesteps
+    drift = (c.rate - c.div_yield - 0.5 * c.vol**2) * dt
+    n_draws = every // 2 + every % 2
+    seg = every * drift + n_draws * c.vol * np.sqrt(dt) * r
+    n_mon = timesteps // every
+    s = c.spot * np.exp(seg * np.arange(1, n_mon + 1))
+    disc = np.exp(-c.rate * dt * every)
+
+    def payoff(x: float) -> float:
+        return max(x - c.strike, 0.0) if side == "call" else max(c.strike - x, 0.0)
+
+    v = payoff(s[-1])
+    for d in range(n_mon - 2, -1, -1):
+        ex = payoff(s[d])
+        v = ex if (ex > 0.0 and ex > disc * v) else disc * v
+    expected = c.strike - (disc * v) / np.exp(-c.rate * c.maturity)
+    assert u[0, 0] == pytest.approx(expected, rel=1e-4)
+
+
+def test_american_pallas_fallback_matches_xla() -> None:
+    """Off-TPU (and odd shapes) the wrapper must route to the XLA LSMC path
+    bit-for-bit, including the axis-less regression and antithetic halves."""
+    from spectralmc_tpu.ops.american import simulate_american_underlier_rows
+    from spectralmc_tpu.ops.gbm_pallas import simulate_american_underlier_rows_pallas
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    arr = CONTRACT.as_array(jnp.float32)
+    key = jax.random.PRNGKey(5)
+    kw = dict(
+        timesteps=4, rows=8, cols=128, dtype=jnp.float32,
+        option=OptionSide.PUT, exercise_every=2, antithetic_half=4,
+    )
+    got = simulate_american_underlier_rows_pallas(key, arr, **kw)
+    want = simulate_american_underlier_rows(key, arr, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_american_pallas_resolves_and_dispatches() -> None:
+    """resolve_implementation no longer short-circuits GBM-American to XLA;
+    the dispatch seam selects the pallas wrapper for PALLAS sims (which
+    itself falls back off-TPU); non-GBM dynamics still resolve to XLA; and
+    the American stream is versioned under its own key."""
+    from spectralmc_tpu.ops.dispatch import make_underlier_simulator
+    from spectralmc_tpu.ops.gbm import (
+        ModelKind,
+        PayoffKind,
+        SimImplementation,
+        build_simulation_params,
+        resolve_implementation,
+    )
+    from spectralmc_tpu.ops.gbm_pallas import pallas_stream_version
+
+    sim = build_simulation_params(
+        timesteps=4, network_size=128, batches_per_mc_run=8, mc_seed=1,
+        payoff=PayoffKind.AMERICAN_PUT, normalization="none",
+        implementation=SimImplementation.PALLAS,
+    ).expect("sim")
+    expected = (
+        SimImplementation.PALLAS
+        if jax.default_backend() == "tpu"
+        else SimImplementation.XLA
+    )
+    assert resolve_implementation(sim) == expected
+    simulate = make_underlier_simulator(sim, rows=8)
+    out = simulate(jax.random.PRNGKey(0), CONTRACT.as_array(jnp.float32))
+    assert out.shape == (8, 128) and bool(jnp.isfinite(out).all())
+    # separate stream key: an American rebuild never invalidates European
+    # checkpoints and vice versa
+    assert pallas_stream_version(ModelKind.GBM, PayoffKind.AMERICAN_PUT) >= 1
+    assert pallas_stream_version(ModelKind.GBM) >= 1
+    # Heston-American has no monitor kernel: must stay on XLA everywhere
+    heston_sim = build_simulation_params(
+        timesteps=4, network_size=128, batches_per_mc_run=8, mc_seed=1,
+        model=ModelKind.HESTON, payoff=PayoffKind.AMERICAN_PUT,
+        normalization="none", implementation=SimImplementation.PALLAS,
+    ).expect("heston sim")
+    assert resolve_implementation(heston_sim) == SimImplementation.XLA
+
+
+def test_american_monitor_block_vmem_budget() -> None:
+    """The out-block VMEM fit drives block-row selection; the support
+    predicate rejects grids the kernel cannot honor."""
+    from spectralmc_tpu.ops.gbm_pallas import (
+        _monitor_block_rows,
+        pallas_american_supported,
+    )
+
+    assert _monitor_block_rows(4096, 256, 16) == 256  # 4 MiB fits whole
+    assert _monitor_block_rows(4096, 256, 128) == 64  # shrinks to fit 8 MiB
+    assert _monitor_block_rows(8, 128, 16) == 8  # small rows cap the block
+    kw = dict(dtype=jnp.float32, rows=4096, cols=256)
+    assert not pallas_american_supported(timesteps=9, exercise_every=2, **kw)
+    assert not pallas_american_supported(timesteps=4, exercise_every=4, **kw)
+    assert not pallas_american_supported(timesteps=512, exercise_every=1, **kw)

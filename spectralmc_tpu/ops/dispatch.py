@@ -75,30 +75,45 @@ def make_underlier_simulator(
         from spectralmc_tpu.ops.greeks import OptionSide
 
         american_kwargs: dict[str, object] = {}
-        if (
-            sim.model == ModelKind.GBM
-            and sim.implementation == SimImplementation.PALLAS
-        ):
-            # fused monitor-row forward + identical XLA backward induction;
-            # the wrapper itself falls back off-TPU / unsupported shapes
-            from spectralmc_tpu.ops.gbm_pallas import (
-                simulate_american_underlier_rows_pallas as _sim_american,
-            )
-        elif sim.model == ModelKind.HESTON:
-            from spectralmc_tpu.ops.american import (
-                simulate_heston_american_underlier_rows as _sim_american,
-            )
+        # PALLAS sims take the fused monitor-row forward + identical XLA
+        # backward induction; the wrappers fall back off-TPU / unsupported
+        # shapes themselves (gbm_pallas.pallas_american_supported is the
+        # predicate resolve_implementation mirrors).
+        use_pallas_american = sim.implementation == SimImplementation.PALLAS
+        if sim.model == ModelKind.HESTON:
+            if use_pallas_american:
+                from spectralmc_tpu.ops.gbm_pallas import (
+                    simulate_heston_american_underlier_rows_pallas as _sim_american,
+                )
+            else:
+                from spectralmc_tpu.ops.american import (
+                    simulate_heston_american_underlier_rows as _sim_american,
+                )
         elif sim.model == ModelKind.MERTON_JUMP:
-            from spectralmc_tpu.ops.american import (
-                simulate_merton_american_underlier_rows as _sim_american,
-            )
+            if use_pallas_american:
+                from spectralmc_tpu.ops.gbm_pallas import (
+                    simulate_merton_american_underlier_rows_pallas as _sim_american,
+                )
+            else:
+                from spectralmc_tpu.ops.american import (
+                    simulate_merton_american_underlier_rows as _sim_american,
+                )
         elif sim.model == ModelKind.BASKET_GBM:
-            from spectralmc_tpu.ops.american import (
-                simulate_basket_american_underlier_rows as _sim_american,
-            )
+            if use_pallas_american:
+                from spectralmc_tpu.ops.gbm_pallas import (
+                    simulate_basket_american_underlier_rows_pallas as _sim_american,
+                )
+            else:
+                from spectralmc_tpu.ops.american import (
+                    simulate_basket_american_underlier_rows as _sim_american,
+                )
 
             assert sim.basket is not None  # enforced by build_simulation_params
             american_kwargs["spec"] = sim.basket
+        elif use_pallas_american:
+            from spectralmc_tpu.ops.gbm_pallas import (
+                simulate_american_underlier_rows_pallas as _sim_american,
+            )
         else:
             from spectralmc_tpu.ops.american import (
                 simulate_american_underlier_rows as _sim_american,

@@ -471,21 +471,25 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
     if params.implementation != SimImplementation.PALLAS:
         return params.implementation
     if params.payoff in AMERICAN_PAYOFFS:
-        # The Pallas engine for LSMC is the GBM monitor-row kernel (fused
-        # forward emitting exp(log S) per exercise date) + the XLA backward
-        # induction over the emitted rows (tiny k×k solves — <1% of runtime
-        # at the production shape). Other dynamics have no monitor kernel
-        # yet and stay on the XLA path.
-        if params.model != ModelKind.GBM:
-            return SimImplementation.XLA
+        # The Pallas engine for LSMC is a monitor-row kernel per dynamics
+        # (fused forward emitting the exercise-date state) + the XLA
+        # backward induction over the emitted rows (tiny k×k solves — <1%
+        # of runtime at the production shape). Heston and arithmetic
+        # baskets emit a second state row-set (variance / dispersion) for
+        # the augmented regression basis, which halves the VMEM-fitting
+        # monitor budget (n_state=2).
         from spectralmc_tpu.ops.gbm_pallas import pallas_american_supported
 
+        # baskets allocate both out blocks regardless of combine (the
+        # geometric kernel writes zero dispersion rows), so they budget as 2
+        n_state = 2 if params.model in (ModelKind.HESTON, ModelKind.BASKET_GBM) else 1
         if pallas_american_supported(
             dtype=params.precision.to_jnp(),
             rows=params.batches_per_mc_run if rows is None else rows,
             cols=params.network_size,
             timesteps=params.timesteps,
             exercise_every=params.lsmc_exercise_every,
+            n_state=n_state,
         ):
             return SimImplementation.PALLAS
         return SimImplementation.XLA

@@ -71,12 +71,20 @@ _HALF_ULP = float(2.0**-25)
 #               segment + one single step on odd segment lengths; the
 #               backward induction consumes the emitted rows in XLA and is
 #               not part of the bit stream).
+#   american_heston / american_merton_jump / american_basket_gbm v1 — round 3
+#               monitor-row variants of the European kernels (per-step draw
+#               order identical to the family kernel; no pair-step — Heston/
+#               basket recursions are state-dependent and Merton keeps the
+#               per-step Poisson semantics).
 PALLAS_STREAM_VERSIONS: dict[str, int] = {
     "gbm": 2,
     "heston": 3,
     "basket_gbm": 1,
     "merton_jump": 1,
     "american_gbm": 1,
+    "american_heston": 1,
+    "american_merton_jump": 1,
+    "american_basket_gbm": 1,
 }
 
 
@@ -720,21 +728,38 @@ _MONITOR_VMEM_BUDGET = 8 * 1024 * 1024
 _MONITOR_MAX_DATES = 128
 
 
-def _monitor_block_rows(rows: int, block_cols: int, n_monitor: int) -> int | None:
-    """Largest block-row count whose out block fits the VMEM budget."""
+def _monitor_block_rows(
+    rows: int, block_cols: int, n_monitor: int, n_state: int = 1
+) -> int | None:
+    """Largest block-row count whose out block(s) fit the VMEM budget.
+
+    ``n_state`` is the number of emitted [n_monitor, rows, cols] row-sets:
+    1 for GBM/Merton (the spot is Markov), 2 for Heston (price + variance)
+    and arithmetic baskets (price + dispersion) whose regression basis needs
+    the second state variable.
+    """
     for br in (256, 128, 64, 32, 16, 8):
-        if rows % br == 0 and n_monitor * br * block_cols * 4 <= _MONITOR_VMEM_BUDGET:
+        if (
+            rows % br == 0
+            and n_state * n_monitor * br * block_cols * 4 <= _MONITOR_VMEM_BUDGET
+        ):
             return br
     return None
 
 
 def pallas_american_supported(
-    *, dtype: jnp.dtype, rows: int, cols: int, timesteps: int, exercise_every: int
+    *,
+    dtype: jnp.dtype,
+    rows: int,
+    cols: int,
+    timesteps: int,
+    exercise_every: int,
+    n_state: int = 1,
 ) -> bool:
-    """Whether the fused American monitor-row kernel can honor this request.
+    """Whether a fused American monitor-row kernel can honor this request.
 
     Single source of truth for ``gbm.resolve_implementation``'s AMERICAN
-    branch and the wrapper's own fallback (the ``pallas_supported``
+    branch and the wrappers' own fallbacks (the ``pallas_supported``
     contract: the engine recorded in a checkpoint must be the one that ran).
     """
     if exercise_every < 1 or timesteps % exercise_every:
@@ -743,7 +768,88 @@ def pallas_american_supported(
     return (
         pallas_supported(dtype=dtype, rows=rows, cols=cols)
         and 2 <= n_monitor <= _MONITOR_MAX_DATES
-        and _monitor_block_rows(rows, min(BLOCK_COLS, cols), n_monitor) is not None
+        and _monitor_block_rows(rows, min(BLOCK_COLS, cols), n_monitor, n_state)
+        is not None
+    )
+
+
+def _american_monitor_interpretable(
+    *,
+    interpret: bool,
+    dtype: jnp.dtype,
+    rows: int,
+    cols: int,
+    timesteps: int,
+    exercise_every: int,
+    n_state: int = 1,
+) -> bool:
+    """Interpreter-mode acceptance — same structural gates minus the TPU."""
+    if not (interpret and jnp.dtype(dtype) == jnp.dtype(jnp.float32)):
+        return False
+    if exercise_every < 1 or timesteps % exercise_every:
+        return False
+    n_monitor = timesteps // exercise_every
+    return (
+        2 <= n_monitor <= _MONITOR_MAX_DATES
+        and cols % min(BLOCK_COLS, cols) == 0
+        and _monitor_block_rows(rows, min(BLOCK_COLS, cols), n_monitor, n_state)
+        is not None
+    )
+
+
+def _american_seeds_params(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    block_rows: int,
+    row_offset: jax.Array | int,
+    param_dim: int,
+) -> tuple[jax.Array, jax.Array]:
+    """(params, seeds) SMEM payloads shared by every monitor-row launch."""
+    key_data = jax.random.key_data(contract_key)
+    row_block = (
+        jnp.asarray(row_offset, jnp.uint32) // jnp.uint32(block_rows)
+    ).astype(jnp.int32)
+    seeds = jnp.concatenate(
+        [key_data.astype(jnp.int32).reshape(2), row_block.reshape(1)]
+    ).reshape(1, 3)
+    params = contract.astype(jnp.float32).reshape(1, param_dim)
+    return params, seeds
+
+
+def _encode_american_rows(
+    price_rows: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    exercise_every: int,
+    put: bool,
+    basis_degree: int,
+    axis_name: str | None,
+    extra_rows: jax.Array | None = None,
+) -> jax.Array:
+    """Backward induction + encode over kernel-emitted monitor rows.
+
+    Every contract layout puts (strike, maturity, rate) at slots 1-3
+    (BlackScholesContract/HestonContract/MertonContract ``as_array``), so
+    one encode serves all four dynamics — and it is byte-identical to the
+    XLA engines' ``ops.american.encode_monitor_prices`` tail.
+    """
+    from spectralmc_tpu.ops.american import encode_monitor_prices
+
+    strike, maturity, rate = (contract[i].astype(jnp.float32) for i in (1, 2, 3))
+    dt = maturity / jnp.asarray(timesteps, jnp.float32)
+    return encode_monitor_prices(
+        price_rows,
+        strike=strike,
+        maturity=maturity,
+        rate=rate,
+        disc_monitor=jnp.exp(-rate * dt * jnp.float32(exercise_every)),
+        dtype=jnp.float32,
+        put=put,
+        basis_degree=basis_degree,
+        axis_name=axis_name,
+        extra_rows=extra_rows,
     )
 
 
@@ -838,7 +944,7 @@ def _simulate_american_rows_pallas_f32(
     axis_name: str | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    from spectralmc_tpu.ops.american import check_monitor_grid, encode_monitor_prices
+    from spectralmc_tpu.ops.american import check_monitor_grid
 
     check_monitor_grid(timesteps, exercise_every)
     n_monitor = timesteps // exercise_every
@@ -849,14 +955,10 @@ def _simulate_american_rows_pallas_f32(
             f"pallas american path needs rows with a VMEM-fitting block "
             f"(rows={rows}, cols={cols}, monitors={n_monitor})"
         )
-    key_data = jax.random.key_data(contract_key)
-    row_block = (
-        jnp.asarray(row_offset, jnp.uint32) // jnp.uint32(block_rows)
-    ).astype(jnp.int32)
-    seeds = jnp.concatenate(
-        [key_data.astype(jnp.int32).reshape(2), row_block.reshape(1)]
-    ).reshape(1, 3)
-    params = contract.astype(jnp.float32).reshape(1, 6)
+    params, seeds = _american_seeds_params(
+        contract_key, contract,
+        block_rows=block_rows, row_offset=row_offset, param_dim=6,
+    )
     kernel = functools.partial(
         _gbm_monitor_block_kernel,
         timesteps=timesteps,
@@ -888,18 +990,10 @@ def _simulate_american_rows_pallas_f32(
         interpret=interpret,
     )(params, seeds)
 
-    strike, maturity, rate = (contract[i].astype(jnp.float32) for i in (1, 2, 3))
-    dt = maturity / jnp.asarray(timesteps, jnp.float32)
-    return encode_monitor_prices(
-        price_rows,
-        strike=strike,
-        maturity=maturity,
-        rate=rate,
-        disc_monitor=jnp.exp(-rate * dt * jnp.float32(exercise_every)),
-        dtype=jnp.float32,
-        put=put,
-        basis_degree=basis_degree,
-        axis_name=axis_name,
+    return _encode_american_rows(
+        price_rows, contract,
+        timesteps=timesteps, exercise_every=exercise_every,
+        put=put, basis_degree=basis_degree, axis_name=axis_name,
     )
 
 
@@ -928,18 +1022,11 @@ def simulate_american_underlier_rows_pallas(
     """
     from spectralmc_tpu.ops.greeks import OptionSide
 
-    n_monitor = timesteps // exercise_every if exercise_every >= 1 else 0
-    interpretable = (
-        interpret
-        and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-        and exercise_every >= 1
-        and timesteps % exercise_every == 0
-        and 2 <= n_monitor <= _MONITOR_MAX_DATES
-        and cols % min(BLOCK_COLS, cols) == 0
-        and _monitor_block_rows(rows, min(BLOCK_COLS, cols), n_monitor) is not None
-    )
     if not (
-        interpretable
+        _american_monitor_interpretable(
+            interpret=interpret, dtype=dtype, rows=rows, cols=cols,
+            timesteps=timesteps, exercise_every=exercise_every,
+        )
         or pallas_american_supported(
             dtype=dtype, rows=rows, cols=cols,
             timesteps=timesteps, exercise_every=exercise_every,
@@ -1184,6 +1271,220 @@ def simulate_heston_underlier_rows_pallas(
         barrier_rel=barrier_rel,
         antithetic=antithetic_half is not None,
         row_offset=row_offset,
+        interpret=interpret,
+    )
+
+
+def _heston_monitor_block_kernel(
+    params_ref,  # SMEM (1, 10): spot strike T r q v0 kappa theta xi rho
+    seeds_ref,  # SMEM (1, 3) int32: key words + row-block offset
+    price_ref,  # VMEM (n_monitor, block_rows, block_cols) PRICE rows
+    var_ref,  # VMEM (n_monitor, block_rows, block_cols) max(v, 0) rows
+    *,
+    timesteps: int,
+    exercise_every: int,
+    rows_per_block: int,
+    cols_per_block: int,
+    antithetic: bool,
+) -> None:
+    """Heston full-truncation Euler emitting (exp(log S), v+) per monitor
+    date — BOTH state variables, because the continuation value depends on
+    the variance too (ops/american.py basis augmentation [v, v·x, v²]).
+    Per-step draw order is the heston v3 kernel's (one Box–Muller pair:
+    z_v = r·cos drives the variance, the orthogonal part r·sin the spot);
+    the stream is versioned separately as american_heston v1."""
+    i = pl.program_id(0) + seeds_ref[0, 2]
+    j = pl.program_id(1)
+    seed_a = seeds_ref[0, 0] ^ (
+        (i + 1) * jnp.int32(0x9E3779B1 & 0x7FFFFFFF) + j * jnp.int32(0x85EBCA6B & 0x7FFFFFFF)
+    )
+    seed_b = seeds_ref[0, 1] ^ (
+        (j + 1) * jnp.int32(0xC2B2AE35 & 0x7FFFFFFF) + i * jnp.int32(0x27D4EB2F)
+    )
+    pltpu.prng_seed(seed_a, seed_b)
+
+    spot = params_ref[0, 0]
+    maturity = params_ref[0, 2]
+    rate = params_ref[0, 3]
+    div_yield = params_ref[0, 4]
+    v0 = params_ref[0, 5]
+    kappa = params_ref[0, 6]
+    theta = params_ref[0, 7]
+    xi = params_ref[0, 8]
+    rho = params_ref[0, 9]
+    dt = maturity / jnp.float32(timesteps)
+    rho_bar = jnp.sqrt(jnp.float32(1.0) - rho * rho)
+    rq_dt = (rate - div_yield) * dt
+    kdt = kappa * dt
+    ktheta_dt = kappa * theta * dt
+    shape = (rows_per_block, cols_per_block)
+    gen_shape = (rows_per_block // 2, cols_per_block) if antithetic else shape
+
+    def _mirror(z: jax.Array) -> jax.Array:
+        return jnp.concatenate([z, -z], axis=0) if antithetic else z
+
+    def step(carry: tuple[jax.Array, jax.Array]) -> tuple[jax.Array, jax.Array]:
+        logx, v = carry
+        u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(gen_shape)
+        radius = _bm_radius(u1)
+        sin_t, cos_t = _sincos_turns(u2)
+        z_v = _mirror(radius * cos_t)
+        z_s = rho * z_v + rho_bar * _mirror(radius * sin_t)
+        v_plus = jnp.maximum(v, jnp.float32(0.0))
+        sqrt_v_sdt = jnp.sqrt(v_plus * dt)
+        logx = logx + rq_dt - jnp.float32(0.5) * v_plus * dt + sqrt_v_sdt * z_s
+        v = v + ktheta_dt - kdt * v_plus + xi * sqrt_v_sdt * z_v
+        return (logx, v)
+
+    logx = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
+    v = jnp.full(shape, 1.0, jnp.float32) * v0
+    for d in range(timesteps // exercise_every):
+        logx, v = _fori_unrolled(exercise_every, step, (logx, v))
+        price_ref[d, :, :] = jnp.exp(logx)
+        var_ref[d, :, :] = jnp.maximum(v, jnp.float32(0.0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "timesteps", "rows", "cols", "put", "basis_degree", "exercise_every",
+        "antithetic", "axis_name", "interpret",
+    ),
+)
+def _simulate_heston_american_rows_pallas_f32(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    put: bool,
+    basis_degree: int,
+    exercise_every: int,
+    antithetic: bool = False,
+    row_offset: jax.Array | int = 0,
+    axis_name: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    from spectralmc_tpu.ops.american import check_monitor_grid
+
+    check_monitor_grid(timesteps, exercise_every)
+    n_monitor = timesteps // exercise_every
+    block_cols = min(BLOCK_COLS, cols)
+    block_rows = _monitor_block_rows(rows, block_cols, n_monitor, n_state=2)
+    if block_rows is None or cols % block_cols:
+        raise ValueError(
+            f"pallas heston-american path needs rows with a VMEM-fitting "
+            f"block (rows={rows}, cols={cols}, monitors={n_monitor})"
+        )
+    params, seeds = _american_seeds_params(
+        contract_key, contract,
+        block_rows=block_rows, row_offset=row_offset, param_dim=10,
+    )
+    kernel = functools.partial(
+        _heston_monitor_block_kernel,
+        timesteps=timesteps,
+        exercise_every=exercise_every,
+        rows_per_block=block_rows,
+        cols_per_block=block_cols,
+        antithetic=antithetic,
+    )
+    out_struct = jax.ShapeDtypeStruct((n_monitor, rows, cols), jnp.float32)
+    out_spec = pl.BlockSpec(
+        (n_monitor, block_rows, block_cols),
+        lambda i, j: (0, i, j),
+        memory_space=pltpu.VMEM,
+    )
+    price_rows, var_rows = pl.pallas_call(
+        kernel,
+        out_shape=(out_struct, out_struct),
+        grid_spec=pl.GridSpec(
+            grid=(rows // block_rows, cols // block_cols),
+            in_specs=[
+                pl.BlockSpec((1, 10), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=(out_spec, out_spec),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=24 * rows * cols * timesteps,
+            bytes_accessed=2 * n_monitor * rows * cols * 4,
+            transcendentals=5 * rows * cols * timesteps,
+        ),
+        interpret=interpret,
+    )(params, seeds)
+
+    return _encode_american_rows(
+        price_rows, contract,
+        timesteps=timesteps, exercise_every=exercise_every,
+        put=put, basis_degree=basis_degree, axis_name=axis_name,
+        extra_rows=var_rows,
+    )
+
+
+def simulate_heston_american_underlier_rows_pallas(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    option: "object",
+    basis_degree: int = 5,
+    exercise_every: int = 1,
+    row_offset: jax.Array | int = 0,
+    antithetic_half: int | None = None,
+    axis_name: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Heston American underliers via the fused monitor-row kernel; falls
+    back to the XLA LSMC path when unsupported. The backward induction —
+    variance-augmented basis included — is byte-identical to the XLA
+    engine's (``_encode_american_rows``)."""
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    if not (
+        _american_monitor_interpretable(
+            interpret=interpret, dtype=dtype, rows=rows, cols=cols,
+            timesteps=timesteps, exercise_every=exercise_every, n_state=2,
+        )
+        or pallas_american_supported(
+            dtype=dtype, rows=rows, cols=cols,
+            timesteps=timesteps, exercise_every=exercise_every, n_state=2,
+        )
+    ):
+        from spectralmc_tpu.ops.american import (
+            simulate_heston_american_underlier_rows,
+        )
+
+        return simulate_heston_american_underlier_rows(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            option=option,
+            basis_degree=basis_degree,
+            exercise_every=exercise_every,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            axis_name=axis_name,
+        )
+    return _simulate_heston_american_rows_pallas_f32(
+        contract_key,
+        contract,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        put=option == OptionSide.PUT,
+        basis_degree=basis_degree,
+        exercise_every=exercise_every,
+        antithetic=antithetic_half is not None,
+        row_offset=row_offset,
+        axis_name=axis_name,
         interpret=interpret,
     )
 
@@ -1450,6 +1751,259 @@ def simulate_basket_underlier_rows_pallas(
         interpret=interpret,
     )
 
+def _basket_monitor_block_kernel(
+    params_ref,  # SMEM (1, 6): spot strike T r q vol
+    seeds_ref,  # SMEM (1, 3) int32: key words + row-block offset
+    price_ref,  # VMEM (n_monitor, block_rows, block_cols) BASKET value rows
+    disp_ref,  # VMEM (n_monitor, ...) ln(B_arith/B_geom) rows (arith only)
+    *,
+    timesteps: int,
+    exercise_every: int,
+    rows_per_block: int,
+    cols_per_block: int,
+    weights: tuple[float, ...],
+    spot_multipliers: tuple[float, ...],
+    vol_multipliers: tuple[float, ...],
+    chol: tuple[tuple[float, ...], ...],
+    geometric_combine: bool,
+    antithetic: bool,
+) -> None:
+    """Correlated multi-asset GBM emitting the combined BASKET value (and,
+    for arithmetic combines, the log dispersion ln(B_arith/B_geom) — the
+    second regression state, ops/american.py) per monitor date. Per-step
+    draw order is the basket v1 kernel's (⌈A/2⌉ shared Box–Muller pairs,
+    static Cholesky FMA mix); versioned american_basket_gbm v1. For
+    geometric combines ``disp_ref`` is written zeros (ln B IS Markov) and
+    the launch drops it."""
+    a_n = len(weights)
+    i = pl.program_id(0) + seeds_ref[0, 2]
+    j = pl.program_id(1)
+    seed_a = seeds_ref[0, 0] ^ (
+        (i + 1) * jnp.int32(0x9E3779B1 & 0x7FFFFFFF) + j * jnp.int32(0x85EBCA6B & 0x7FFFFFFF)
+    )
+    seed_b = seeds_ref[0, 1] ^ (
+        (j + 1) * jnp.int32(0xC2B2AE35 & 0x7FFFFFFF) + i * jnp.int32(0x27D4EB2F)
+    )
+    pltpu.prng_seed(seed_a, seed_b)
+
+    spot = params_ref[0, 0]
+    maturity = params_ref[0, 2]
+    rate = params_ref[0, 3]
+    div_yield = params_ref[0, 4]
+    vol = params_ref[0, 5]
+    dt = maturity / jnp.float32(timesteps)
+    sqrt_dt = jnp.sqrt(dt)
+    sig_sdt = [vol * jnp.float32(m) * sqrt_dt for m in vol_multipliers]
+    drift = [
+        (rate - div_yield - jnp.float32(0.5) * (vol * jnp.float32(m)) ** 2) * dt
+        for m in vol_multipliers
+    ]
+    shape = (rows_per_block, cols_per_block)
+    gen_shape = (rows_per_block // 2, cols_per_block) if antithetic else shape
+
+    def _mirror(z: jax.Array) -> jax.Array:
+        return jnp.concatenate([z, -z], axis=0) if antithetic else z
+
+    def raw_normals() -> list[jax.Array]:
+        z: list[jax.Array] = []
+        for _pair in range((a_n + 1) // 2):
+            u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+            u2 = _uniform_24bit(gen_shape)
+            radius = _bm_radius(u1)
+            sin_t, cos_t = _sincos_turns(u2)
+            z.append(_mirror(radius * cos_t))
+            if len(z) < a_n:
+                z.append(_mirror(radius * sin_t))
+        return z
+
+    def step(logx: tuple) -> tuple:
+        z = raw_normals()
+        new_logx = []
+        for a in range(a_n):
+            zm = jnp.float32(chol[a][0]) * z[0]
+            for b in range(1, a + 1):
+                if chol[a][b] != 0.0:
+                    zm = zm + jnp.float32(chol[a][b]) * z[b]
+            new_logx.append(logx[a] + drift[a] + sig_sdt[a] * zm)
+        return tuple(new_logx)
+
+    logx = tuple(
+        jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot * jnp.float32(m))
+        for m in spot_multipliers
+    )
+    for d in range(timesteps // exercise_every):
+        logx = _fori_unrolled(exercise_every, step, logx)
+        lg = jnp.float32(weights[0]) * logx[0]
+        for a in range(1, a_n):
+            lg = lg + jnp.float32(weights[a]) * logx[a]
+        if geometric_combine:
+            price_ref[d, :, :] = jnp.exp(lg)
+            disp_ref[d, :, :] = jnp.zeros(shape, jnp.float32)
+        else:
+            b_arith = jnp.float32(weights[0]) * jnp.exp(logx[0])
+            for a in range(1, a_n):
+                b_arith = b_arith + jnp.float32(weights[a]) * jnp.exp(logx[a])
+            price_ref[d, :, :] = b_arith
+            disp_ref[d, :, :] = jnp.log(b_arith) - lg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "timesteps", "rows", "cols", "put", "basis_degree",
+        "exercise_every", "antithetic", "axis_name", "interpret",
+    ),
+)
+def _simulate_basket_american_rows_pallas_f32(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    spec: "object",
+    timesteps: int,
+    rows: int,
+    cols: int,
+    put: bool,
+    basis_degree: int,
+    exercise_every: int,
+    antithetic: bool = False,
+    row_offset: jax.Array | int = 0,
+    axis_name: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    from spectralmc_tpu.ops.american import check_monitor_grid
+    from spectralmc_tpu.ops.basket import BasketCombine, basket_cholesky
+
+    check_monitor_grid(timesteps, exercise_every)
+    geometric = spec.combine == BasketCombine.GEOMETRIC
+    n_monitor = timesteps // exercise_every
+    block_cols = min(BLOCK_COLS, cols)
+    block_rows = _monitor_block_rows(rows, block_cols, n_monitor, n_state=2)
+    if block_rows is None or cols % block_cols:
+        raise ValueError(
+            f"pallas basket-american path needs rows with a VMEM-fitting "
+            f"block (rows={rows}, cols={cols}, monitors={n_monitor})"
+        )
+    params, seeds = _american_seeds_params(
+        contract_key, contract,
+        block_rows=block_rows, row_offset=row_offset, param_dim=6,
+    )
+    chol = tuple(tuple(float(x) for x in row) for row in basket_cholesky(spec))
+    kernel = functools.partial(
+        _basket_monitor_block_kernel,
+        timesteps=timesteps,
+        exercise_every=exercise_every,
+        rows_per_block=block_rows,
+        cols_per_block=block_cols,
+        weights=tuple(spec.weights),
+        spot_multipliers=tuple(spec.spot_multipliers),
+        vol_multipliers=tuple(spec.vol_multipliers),
+        chol=chol,
+        geometric_combine=geometric,
+        antithetic=antithetic,
+    )
+    out_struct = jax.ShapeDtypeStruct((n_monitor, rows, cols), jnp.float32)
+    out_spec = pl.BlockSpec(
+        (n_monitor, block_rows, block_cols),
+        lambda i, j: (0, i, j),
+        memory_space=pltpu.VMEM,
+    )
+    a_n = spec.n_assets
+    price_rows, disp_rows = pl.pallas_call(
+        kernel,
+        out_shape=(out_struct, out_struct),
+        grid_spec=pl.GridSpec(
+            grid=(rows // block_rows, cols // block_cols),
+            in_specs=[
+                pl.BlockSpec((1, 6), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=(out_spec, out_spec),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(8 * a_n + 2 * a_n * a_n) * rows * cols * timesteps,
+            bytes_accessed=2 * n_monitor * rows * cols * 4,
+            transcendentals=(2 * a_n) * rows * cols * timesteps,
+        ),
+        interpret=interpret,
+    )(params, seeds)
+
+    return _encode_american_rows(
+        price_rows, contract,
+        timesteps=timesteps, exercise_every=exercise_every,
+        put=put, basis_degree=basis_degree, axis_name=axis_name,
+        extra_rows=None if geometric else disp_rows,
+    )
+
+
+def simulate_basket_american_underlier_rows_pallas(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    spec: "object",
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    option: "object",
+    basis_degree: int = 5,
+    exercise_every: int = 1,
+    row_offset: jax.Array | int = 0,
+    antithetic_half: int | None = None,
+    axis_name: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Basket American underliers via the fused monitor-row kernel; falls
+    back to the XLA LSMC path when unsupported. Exercise compares strike
+    against the COMBINED basket value; arithmetic combines carry the log
+    dispersion as the second regression state (ops/american.py)."""
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    if not (
+        _american_monitor_interpretable(
+            interpret=interpret, dtype=dtype, rows=rows, cols=cols,
+            timesteps=timesteps, exercise_every=exercise_every, n_state=2,
+        )
+        or pallas_american_supported(
+            dtype=dtype, rows=rows, cols=cols,
+            timesteps=timesteps, exercise_every=exercise_every, n_state=2,
+        )
+    ):
+        from spectralmc_tpu.ops.american import (
+            simulate_basket_american_underlier_rows,
+        )
+
+        return simulate_basket_american_underlier_rows(
+            contract_key,
+            contract,
+            spec=spec,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            option=option,
+            basis_degree=basis_degree,
+            exercise_every=exercise_every,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            axis_name=axis_name,
+        )
+    return _simulate_basket_american_rows_pallas_f32(
+        contract_key,
+        contract,
+        spec=spec,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        put=option == OptionSide.PUT,
+        basis_degree=basis_degree,
+        exercise_every=exercise_every,
+        antithetic=antithetic_half is not None,
+        row_offset=row_offset,
+        axis_name=axis_name,
+        interpret=interpret,
+    )
+
+
 # --------------------------------------------------------------------------
 # Merton kernel (fourth model family; ops/merton.py defines the XLA path)
 # --------------------------------------------------------------------------
@@ -1696,5 +2250,211 @@ def simulate_merton_underlier_rows_pallas(
         barrier_rel=barrier_rel,
         antithetic=antithetic_half is not None,
         row_offset=row_offset,
+        interpret=interpret,
+    )
+
+
+def _merton_monitor_block_kernel(
+    params_ref,  # SMEM (1, 9): spot strike T r q vol lam jump_mean jump_std
+    seeds_ref,  # SMEM (1, 3) int32: key words + row-block offset
+    out_ref,  # VMEM (n_monitor, block_rows, block_cols) PRICE rows
+    *,
+    timesteps: int,
+    exercise_every: int,
+    rows_per_block: int,
+    cols_per_block: int,
+    antithetic: bool,
+) -> None:
+    """Merton jump-diffusion emitting exp(log S) per monitor date. Per-step
+    draw order is the merton v1 kernel's — (u1, u2) Box–Muller pair then the
+    Poisson-count uniform, counts SHARED across antithetic partners (the CRN
+    contract, ops/merton.py) — one step per timestep (no pair shortcut: the
+    per-step Poisson semantics stay identical to the European kernel);
+    versioned american_merton_jump v1. The spot alone is Markov, so only
+    price rows are emitted."""
+    i = pl.program_id(0) + seeds_ref[0, 2]
+    j = pl.program_id(1)
+    seed_a = seeds_ref[0, 0] ^ (
+        (i + 1) * jnp.int32(0x9E3779B1 & 0x7FFFFFFF) + j * jnp.int32(0x85EBCA6B & 0x7FFFFFFF)
+    )
+    seed_b = seeds_ref[0, 1] ^ (
+        (j + 1) * jnp.int32(0xC2B2AE35 & 0x7FFFFFFF) + i * jnp.int32(0x27D4EB2F)
+    )
+    pltpu.prng_seed(seed_a, seed_b)
+
+    spot = params_ref[0, 0]
+    maturity = params_ref[0, 2]
+    rate = params_ref[0, 3]
+    div_yield = params_ref[0, 4]
+    vol = params_ref[0, 5]
+    lam = params_ref[0, 6]
+    jump_mean = params_ref[0, 7]
+    jump_std = params_ref[0, 8]
+    dt = maturity / jnp.float32(timesteps)
+    vol_sdt = vol * jnp.sqrt(dt)
+    m = jnp.exp(jump_mean + jnp.float32(0.5) * jump_std * jump_std) - jnp.float32(1.0)
+    drift = (rate - div_yield - lam * m - jnp.float32(0.5) * vol * vol) * dt
+    lam_dt = lam * dt
+    shape = (rows_per_block, cols_per_block)
+    gen_shape = (rows_per_block // 2, cols_per_block) if antithetic else shape
+
+    def _mirror(z: jax.Array) -> jax.Array:
+        return jnp.concatenate([z, -z], axis=0) if antithetic else z
+
+    def _share(c: jax.Array) -> jax.Array:
+        return jnp.concatenate([c, c], axis=0) if antithetic else c
+
+    def step(logx: jax.Array) -> jax.Array:
+        u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(gen_shape)
+        radius = _bm_radius(u1)
+        sin_t, cos_t = _sincos_turns(u2)
+        z_d = _mirror(radius * cos_t)
+        z_j = _mirror(radius * sin_t)
+        counts = _share(_poisson_counts(_uniform_24bit(gen_shape), lam_dt))
+        jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
+        return logx + drift + vol_sdt * z_d + jump
+
+    logx = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
+    for d in range(timesteps // exercise_every):
+        logx = _fori_unrolled(exercise_every, step, logx)
+        out_ref[d, :, :] = jnp.exp(logx)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "timesteps", "rows", "cols", "put", "basis_degree", "exercise_every",
+        "antithetic", "axis_name", "interpret",
+    ),
+)
+def _simulate_merton_american_rows_pallas_f32(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    put: bool,
+    basis_degree: int,
+    exercise_every: int,
+    antithetic: bool = False,
+    row_offset: jax.Array | int = 0,
+    axis_name: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    from spectralmc_tpu.ops.american import check_monitor_grid
+
+    check_monitor_grid(timesteps, exercise_every)
+    n_monitor = timesteps // exercise_every
+    block_cols = min(BLOCK_COLS, cols)
+    block_rows = _monitor_block_rows(rows, block_cols, n_monitor)
+    if block_rows is None or cols % block_cols:
+        raise ValueError(
+            f"pallas merton-american path needs rows with a VMEM-fitting "
+            f"block (rows={rows}, cols={cols}, monitors={n_monitor})"
+        )
+    params, seeds = _american_seeds_params(
+        contract_key, contract,
+        block_rows=block_rows, row_offset=row_offset, param_dim=9,
+    )
+    kernel = functools.partial(
+        _merton_monitor_block_kernel,
+        timesteps=timesteps,
+        exercise_every=exercise_every,
+        rows_per_block=block_rows,
+        cols_per_block=block_cols,
+        antithetic=antithetic,
+    )
+    price_rows = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_monitor, rows, cols), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(rows // block_rows, cols // block_cols),
+            in_specs=[
+                pl.BlockSpec((1, 9), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (n_monitor, block_rows, block_cols),
+                lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=24 * rows * cols * timesteps,
+            bytes_accessed=n_monitor * rows * cols * 4,
+            transcendentals=5 * rows * cols * timesteps,
+        ),
+        interpret=interpret,
+    )(params, seeds)
+
+    return _encode_american_rows(
+        price_rows, contract,
+        timesteps=timesteps, exercise_every=exercise_every,
+        put=put, basis_degree=basis_degree, axis_name=axis_name,
+    )
+
+
+def simulate_merton_american_underlier_rows_pallas(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    option: "object",
+    basis_degree: int = 5,
+    exercise_every: int = 1,
+    row_offset: jax.Array | int = 0,
+    antithetic_half: int | None = None,
+    axis_name: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Merton American underliers via the fused monitor-row kernel; falls
+    back to the XLA LSMC path when unsupported."""
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    if not (
+        _american_monitor_interpretable(
+            interpret=interpret, dtype=dtype, rows=rows, cols=cols,
+            timesteps=timesteps, exercise_every=exercise_every,
+        )
+        or pallas_american_supported(
+            dtype=dtype, rows=rows, cols=cols,
+            timesteps=timesteps, exercise_every=exercise_every,
+        )
+    ):
+        from spectralmc_tpu.ops.american import (
+            simulate_merton_american_underlier_rows,
+        )
+
+        return simulate_merton_american_underlier_rows(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            option=option,
+            basis_degree=basis_degree,
+            exercise_every=exercise_every,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            axis_name=axis_name,
+        )
+    return _simulate_merton_american_rows_pallas_f32(
+        contract_key,
+        contract,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        put=option == OptionSide.PUT,
+        basis_degree=basis_degree,
+        exercise_every=exercise_every,
+        antithetic=antithetic_half is not None,
+        row_offset=row_offset,
+        axis_name=axis_name,
         interpret=interpret,
     )

@@ -361,6 +361,15 @@ def test_basket_pallas_resolves_and_dispatches() -> None:
 # --------------------------------------------------------------------------
 
 
+def _heston_contract():
+    from spectralmc_tpu.ops.heston import HestonContract
+
+    return HestonContract(
+        spot=100.0, strike=100.0, maturity=1.0, rate=0.03, div_yield=0.01,
+        v0=0.06, kappa=1.5, theta=0.05, xi=0.4, rho=-0.6,
+    )
+
+
 def _merton_contract():
     from spectralmc_tpu.ops.merton import MertonContract
 
@@ -578,13 +587,14 @@ def test_american_pallas_resolves_and_dispatches() -> None:
     # checkpoints and vice versa
     assert pallas_stream_version(ModelKind.GBM, PayoffKind.AMERICAN_PUT) >= 1
     assert pallas_stream_version(ModelKind.GBM) >= 1
-    # Heston-American has no monitor kernel: must stay on XLA everywhere
+    # Heston-American rides its own monitor kernel (two emitted state
+    # row-sets) — same backend-dependent resolution as GBM
     heston_sim = build_simulation_params(
         timesteps=4, network_size=128, batches_per_mc_run=8, mc_seed=1,
         model=ModelKind.HESTON, payoff=PayoffKind.AMERICAN_PUT,
         normalization="none", implementation=SimImplementation.PALLAS,
     ).expect("heston sim")
-    assert resolve_implementation(heston_sim) == SimImplementation.XLA
+    assert resolve_implementation(heston_sim) == expected
 
 
 def test_american_monitor_block_vmem_budget() -> None:
@@ -602,3 +612,211 @@ def test_american_monitor_block_vmem_budget() -> None:
     assert not pallas_american_supported(timesteps=9, exercise_every=2, **kw)
     assert not pallas_american_supported(timesteps=4, exercise_every=4, **kw)
     assert not pallas_american_supported(timesteps=512, exercise_every=1, **kw)
+
+
+# --------------------------------------------------------------------------
+# Round 3: Heston/Merton/basket American monitor-row kernels
+# --------------------------------------------------------------------------
+
+
+def _deterministic_bermudan(s_path, strike, rate, dt_monitor, maturity, side):
+    """Host Bellman DP over a deterministic monitor-date price path —
+    exactly what the LSMC reduces to when every path is identical (the
+    zero-bit interpreter stream). Returns the strike − cf/df encode."""
+    disc = np.exp(-rate * dt_monitor)
+
+    def payoff(x):
+        return max(x - strike, 0.0) if side == "call" else max(strike - x, 0.0)
+
+    v = payoff(s_path[-1])
+    for d in range(len(s_path) - 2, -1, -1):
+        ex = payoff(s_path[d])
+        v = ex if (ex > 0.0 and ex > disc * v) else disc * v
+    return strike - (disc * v) / np.exp(-rate * maturity)
+
+
+def test_heston_american_interpret_zero_bits_matches_dp() -> None:
+    """Zero-bit RNG: z_v = r (cos(0)=1), orthogonal part 0 — the Heston
+    recursion is deterministic and host-replayable including the variance
+    path; the variance-augmented regression on identical paths still
+    reduces to the Bellman DP."""
+    from spectralmc_tpu.ops.gbm_pallas import (
+        simulate_heston_american_underlier_rows_pallas,
+    )
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    c = _heston_contract()
+    arr = c.as_array(jnp.float32)
+    T_STEPS = 6
+    with pltpu.force_tpu_interpret_mode():
+        u = simulate_heston_american_underlier_rows_pallas(
+            jax.random.PRNGKey(1), arr, timesteps=T_STEPS, rows=8, cols=128,
+            dtype=jnp.float32, option=OptionSide.CALL, interpret=True,
+        )
+    u = np.asarray(u)
+    assert u.shape == (8, 128)
+    assert np.all(np.isfinite(u)) and np.allclose(u, u[0, 0], rtol=1e-5)
+
+    r = np.sqrt(-2.0 * np.log(np.float32(2.0**-25)))
+    dt = c.maturity / T_STEPS
+    logx, v = np.log(c.spot), c.v0
+    s_path = []
+    for _ in range(T_STEPS):
+        v_plus = max(v, 0.0)
+        sv = np.sqrt(v_plus * dt)
+        logx += (c.rate - c.div_yield) * dt - 0.5 * v_plus * dt + sv * c.rho * r
+        v += c.kappa * c.theta * dt - c.kappa * dt * v_plus + c.xi * sv * r
+        s_path.append(np.exp(logx))
+    expected = _deterministic_bermudan(s_path, c.strike, c.rate, dt, c.maturity, "call")
+    assert u[0, 0] == pytest.approx(expected, rel=1e-3)
+
+
+def test_merton_american_interpret_zero_bits_matches_dp() -> None:
+    """Zero-bit RNG: diffusion normal r, jump normal 0, count uniform 0 <
+    e^{-lam dt} so counts are 0 — the jump term vanishes and the path is the
+    compensated drift+diffusion closed form."""
+    from spectralmc_tpu.ops.gbm_pallas import (
+        simulate_merton_american_underlier_rows_pallas,
+    )
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    c = _merton_contract()
+    arr = c.as_array(jnp.float32)
+    T_STEPS = 6
+    with pltpu.force_tpu_interpret_mode():
+        u = simulate_merton_american_underlier_rows_pallas(
+            jax.random.PRNGKey(1), arr, timesteps=T_STEPS, rows=8, cols=128,
+            dtype=jnp.float32, option=OptionSide.CALL, exercise_every=2,
+            interpret=True,
+        )
+    u = np.asarray(u)
+    assert np.all(np.isfinite(u)) and np.allclose(u, u[0, 0], rtol=1e-5)
+
+    r = np.sqrt(-2.0 * np.log(np.float32(2.0**-25)))
+    dt = c.maturity / T_STEPS
+    m = np.exp(c.jump_mean + 0.5 * c.jump_std**2) - 1.0
+    inc = (c.rate - c.div_yield - c.lam * m - 0.5 * c.vol**2) * dt + c.vol * np.sqrt(dt) * r
+    s_path = [c.spot * np.exp(inc * t) for t in (2, 4, 6)]  # monitor dates
+    expected = _deterministic_bermudan(
+        s_path, c.strike, c.rate, 2 * dt, c.maturity, "call"
+    )
+    assert u[0, 0] == pytest.approx(expected, rel=1e-3)
+
+
+@pytest.mark.parametrize("combine", ["arithmetic", "geometric"])
+def test_basket_american_interpret_zero_bits_matches_dp(combine: str) -> None:
+    """Zero-bit RNG: asset a's mixed normal is r * (sum of its even-index
+    Cholesky row entries) — sin components are 0 — so every asset path and
+    the combined basket are deterministic; the dispersion-augmented
+    regression reduces to the Bellman DP on the basket value."""
+    from spectralmc_tpu.ops.basket import (
+        BasketCombine,
+        basket_cholesky,
+        build_basket_spec,
+    )
+    from spectralmc_tpu.ops.gbm_pallas import (
+        simulate_basket_american_underlier_rows_pallas,
+    )
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    spec = build_basket_spec(
+        weights=(0.5, 0.3, 0.2),
+        correlation=((1.0, 0.4, 0.2), (0.4, 1.0, 0.3), (0.2, 0.3, 1.0)),
+        combine=(
+            BasketCombine.ARITHMETIC if combine == "arithmetic"
+            else BasketCombine.GEOMETRIC
+        ),
+    ).expect("spec")
+    c = CONTRACT
+    arr = c.as_array(jnp.float32)
+    T_STEPS = 6
+    with pltpu.force_tpu_interpret_mode():
+        u = simulate_basket_american_underlier_rows_pallas(
+            jax.random.PRNGKey(1), arr, spec=spec, timesteps=T_STEPS, rows=8,
+            cols=128, dtype=jnp.float32, option=OptionSide.CALL, interpret=True,
+        )
+    u = np.asarray(u)
+    assert np.all(np.isfinite(u)) and np.allclose(u, u[0, 0], rtol=1e-5)
+
+    r = np.sqrt(-2.0 * np.log(np.float32(2.0**-25)))
+    chol = basket_cholesky(spec)
+    dt = c.maturity / T_STEPS
+    logx = [np.log(c.spot * spec.spot_multipliers[a]) for a in range(3)]
+    s_path = []
+    for _ in range(T_STEPS):
+        for a in range(3):
+            sig = c.vol * spec.vol_multipliers[a]
+            zm = r * sum(chol[a][b] for b in range(a + 1) if b % 2 == 0)
+            logx[a] += (c.rate - c.div_yield - 0.5 * sig * sig) * dt + sig * np.sqrt(dt) * zm
+        if combine == "geometric":
+            s_path.append(np.exp(sum(spec.weights[a] * logx[a] for a in range(3))))
+        else:
+            s_path.append(sum(spec.weights[a] * np.exp(logx[a]) for a in range(3)))
+    expected = _deterministic_bermudan(s_path, c.strike, c.rate, dt, c.maturity, "call")
+    assert u[0, 0] == pytest.approx(expected, rel=1e-3)
+
+
+@pytest.mark.parametrize("family", ["heston", "merton", "basket"])
+def test_family_american_pallas_fallback_matches_xla(family: str) -> None:
+    """Off-TPU every family-American wrapper must route to its XLA LSMC
+    path bit-for-bit (antithetic + sparse monitor grid included)."""
+    from spectralmc_tpu.ops import american as am
+    from spectralmc_tpu.ops import gbm_pallas as gp
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    key = jax.random.PRNGKey(5)
+    kw = dict(
+        timesteps=4, rows=8, cols=128, dtype=jnp.float32,
+        option=OptionSide.PUT, exercise_every=2, antithetic_half=4,
+    )
+    if family == "heston":
+        arr = _heston_contract().as_array(jnp.float32)
+        got = gp.simulate_heston_american_underlier_rows_pallas(key, arr, **kw)
+        want = am.simulate_heston_american_underlier_rows(key, arr, **kw)
+    elif family == "merton":
+        arr = _merton_contract().as_array(jnp.float32)
+        got = gp.simulate_merton_american_underlier_rows_pallas(key, arr, **kw)
+        want = am.simulate_merton_american_underlier_rows(key, arr, **kw)
+    else:
+        spec = _basket_spec()
+        arr = CONTRACT.as_array(jnp.float32)
+        got = gp.simulate_basket_american_underlier_rows_pallas(
+            key, arr, spec=spec, **kw
+        )
+        want = am.simulate_basket_american_underlier_rows(key, arr, spec=spec, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_family_american_dispatch_selects_pallas_wrappers() -> None:
+    """The dispatch seam routes PALLAS American sims of every dynamics
+    through the monitor-row wrappers (which fall back off-TPU), and each
+    family's American stream has its own version key."""
+    from spectralmc_tpu.ops.dispatch import make_underlier_simulator
+    from spectralmc_tpu.ops.gbm import (
+        ModelKind,
+        PayoffKind,
+        SimImplementation,
+        build_simulation_params,
+    )
+    from spectralmc_tpu.ops.gbm_pallas import pallas_stream_version
+
+    for model, extra in (
+        (ModelKind.HESTON, {}),
+        (ModelKind.MERTON_JUMP, {}),
+        (ModelKind.BASKET_GBM, {"basket": _basket_spec()}),
+    ):
+        sim = build_simulation_params(
+            timesteps=4, network_size=128, batches_per_mc_run=8, mc_seed=1,
+            model=model, payoff=PayoffKind.AMERICAN_PUT, normalization="none",
+            implementation=SimImplementation.PALLAS, **extra,
+        ).expect("sim")
+        simulate = make_underlier_simulator(sim, rows=8)
+        if model == ModelKind.HESTON:
+            arr = _heston_contract().as_array(jnp.float32)
+        elif model == ModelKind.MERTON_JUMP:
+            arr = _merton_contract().as_array(jnp.float32)
+        else:
+            arr = CONTRACT.as_array(jnp.float32)
+        out = simulate(jax.random.PRNGKey(0), arr)
+        assert out.shape == (8, 128) and bool(jnp.isfinite(out).all()), model
+        assert pallas_stream_version(model, PayoffKind.AMERICAN_PUT) >= 1

@@ -640,7 +640,16 @@ def bench_american_throughput(*, tiny: bool) -> tuple[float, float]:
 
     xla_rate = bench_mc(xla_fn, **kw)
     on_tpu = jax.devices()[0].platform == "tpu"
-    pallas_rate = bench_mc(pallas_fn, **kw) if on_tpu else xla_rate
+    if not on_tpu:
+        return xla_rate, xla_rate
+    try:
+        pallas_rate = bench_mc(pallas_fn, **kw)
+    except Exception as exc:  # pragma: no cover - chip-side guard
+        # The monitor-row kernel is the newest Mosaic surface; a lowering
+        # regression must cost ONE extra, not the whole bench run.
+        print(f"[bench] american pallas engine failed ({exc!r}); "
+              "reporting the XLA engine", file=sys.stderr)
+        return xla_rate, xla_rate
     return pallas_rate, xla_rate
 
 

@@ -33,6 +33,8 @@ _EXPORTS = {
     "ModelKind": "spectralmc_tpu.ops.gbm",
     "SimImplementation": "spectralmc_tpu.ops.gbm",
     "SamplingKind": "spectralmc_tpu.ops.gbm",
+    "TermStructure": "spectralmc_tpu.ops.gbm",
+    "term_effective_black": "spectralmc_tpu.ops.analytic",
     "HestonContract": "spectralmc_tpu.ops.heston",
     "MertonContract": "spectralmc_tpu.ops.merton",
     "merton_call_price": "spectralmc_tpu.ops.merton",

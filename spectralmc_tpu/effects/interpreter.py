@@ -263,6 +263,40 @@ class MonteCarloInterpreter:
                             reason="down-and-out barrier must be in (0, 1)x spot",
                         )
                     )
+            term = None
+            if effect.term_vol or effect.term_rate or effect.term_div:
+                # the model==GBM gate already returned above (SimulatePaths
+                # carries BS market fields only); mirror the remaining
+                # build_simulation_params term gates
+                from spectralmc_tpu.ops.gbm import (
+                    TermStructure,
+                    validate_term_structure,
+                )
+
+                if payoff in AMERICAN_PAYOFFS:
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="LSMC early exercise under term structures "
+                            "is unsupported",
+                        )
+                    )
+                checked_term = validate_term_structure(
+                    TermStructure(
+                        vol_shape=effect.term_vol,
+                        rate_shape=effect.term_rate,
+                        div_shape=effect.term_div,
+                    ),
+                    timesteps=effect.timesteps,
+                )
+                if isinstance(checked_term, Failure):
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason=checked_term.error.reason,
+                        )
+                    )
+                term = checked_term.value
             normalize = effect.normalization == "mean"
             rows = simulate_underlier_rows(
                 key,
@@ -279,6 +313,7 @@ class MonteCarloInterpreter:
                 lsmc_exercise_every=effect.lsmc_exercise_every,
                 sampling=sampling,
                 mc_seed=effect.seed,
+                term=term,
             )
             prices = terminal_to_prices(
                 rows.reshape(-1),
@@ -286,10 +321,15 @@ class MonteCarloInterpreter:
                 normalize=normalize,
                 dtype=dtype,
                 mean_target=expected_underlier_mean(
-                    contract, timesteps=effect.timesteps, payoff=payoff, dtype=dtype
+                    contract,
+                    timesteps=effect.timesteps,
+                    payoff=payoff,
+                    dtype=dtype,
+                    term=term,
                 )
                 if normalize
                 else None,
+                term=term,
             )
             put = self._registry.put_array(effect.out_id, prices.put_payoffs)
             if isinstance(put, Failure):

@@ -109,6 +109,10 @@ class SimulatePaths:
     lsmc_basis_degree: int = 5
     lsmc_exercise_every: int = 1
     sampling: str = "pseudo"  # SamplingKind value (path-increment source)
+    # piecewise-constant curves (TermStructure shapes; () = flat). GBM only.
+    term_vol: tuple[float, ...] = ()
+    term_rate: tuple[float, ...] = ()
+    term_div: tuple[float, ...] = ()
     out_id: str = ""
 
 

@@ -88,6 +88,80 @@ def lognormal_black_price(
     )
 
 
+def term_effective_black(
+    spot: Any,
+    strike: Any,
+    maturity: Any,
+    rate: Any,
+    div_yield: Any,
+    vol: Any,
+    *,
+    vol_shape: tuple[float, ...],
+    rate_shape: tuple[float, ...],
+    div_shape: tuple[float, ...],
+) -> AnalyticPrices:
+    """European put/call under piecewise-constant curves (term-structure
+    oracle, exact for the log-Euler simulator ``ops/gbm.py`` runs with a
+    ``TermStructure``).
+
+    Over N equal steps, ln S_T is exactly Gaussian with total variance
+    ``vol²·dt·Σ vs_j²`` and drift integral ``Σ(r·rs_j − q·qs_j)dt``, so the
+    flat Black formula applies verbatim at the effective parameters
+    ``vol_eff = vol·sqrt(mean(vs²))``, ``r_eff = r·mean(rs)``,
+    ``q_eff = q·mean(qs)`` — no approximation anywhere.
+    Shapes must share one length N (empty = flat ones, matching
+    ``TermStructure.shapes``).
+    """
+    import math
+
+    n = max(len(vol_shape), len(rate_shape), len(div_shape), 1)
+    vs = vol_shape or (1.0,) * n
+    rs = rate_shape or (1.0,) * n
+    qs = div_shape or (1.0,) * n
+    vol_eff = vol * math.sqrt(sum(v * v for v in vs) / len(vs))
+    r_eff = rate * (sum(rs) / len(rs))
+    q_eff = div_yield * (sum(qs) / len(qs))
+    return black_scholes_price(spot, strike, maturity, r_eff, q_eff, vol_eff)
+
+
+def term_geometric_asian_price(
+    spot: Any,
+    strike: Any,
+    maturity: Any,
+    rate: Any,
+    div_yield: Any,
+    vol: Any,
+    *,
+    timesteps: int,
+    vol_shape: tuple[float, ...] = (),
+    rate_shape: tuple[float, ...] = (),
+    div_shape: tuple[float, ...] = (),
+) -> AnalyticPrices:
+    """Discrete geometric-Asian put/call under piecewise-constant curves.
+
+    The grid average of ln S is Gaussian with
+    ``mu = ln S + Σ_j a_j·(N−j)/N`` and ``s² = Σ_j b_j²·((N−j)/N)²`` where
+    ``a_j = (r·rs_j − q·qs_j − ½σ_j²)·dt`` and ``b_j = σ_j·√dt`` — the
+    weighted generalization of ``geometric_asian_price``'s closed sums
+    (which it reproduces exactly for flat shapes). Discounting uses the
+    curve rate integral. Exact under log-Euler, like the flat oracle.
+    """
+    import numpy as _np
+
+    n = int(timesteps)
+    vs = _np.asarray(vol_shape or (1.0,) * n, dtype=_np.float64)
+    rs = _np.asarray(rate_shape or (1.0,) * n, dtype=_np.float64)
+    qs = _np.asarray(div_shape or (1.0,) * n, dtype=_np.float64)
+    dt = maturity / n
+    vol_t = vol * vs
+    a = (rate * rs - div_yield * qs - 0.5 * vol_t * vol_t) * dt
+    w = (n - _np.arange(n, dtype=_np.float64)) / n
+    mu = jnp.log(spot) + float((a * w).sum())
+    s2 = float((vol_t * vol_t * dt * w * w).sum())
+    r_eff = rate * float(rs.mean())
+    return lognormal_black_price(mu, s2, strike, r_eff, maturity)
+
+
 def geometric_basket_price(
     spot: Any,
     strike: Any,
@@ -133,9 +207,16 @@ def discrete_barrier_price(
     up: bool,
     grid_points: int = 2049,
     width_std: float = 8.0,
+    vol_shape: tuple[float, ...] = (),
+    rate_shape: tuple[float, ...] = (),
+    div_shape: tuple[float, ...] = (),
 ) -> AnalyticPrices:
     """Knock-out put/call monitored on the DISCRETE grid t_1..t_N, by
-    density propagation (host numpy, float64).
+    density propagation (host numpy, float64). Optional piecewise-constant
+    curves (``TermStructure`` semantics: per-step multipliers on vol/rate/
+    div) make each step's Gaussian transition use its own drift/σ — the
+    propagation stays exact per step, so the oracle is as sharp for curved
+    markets as for flat ones.
 
     Per log-Euler step the log-price transition is exactly Gaussian, so the
     surviving sub-density is a chain of Gaussian convolutions with a knockout
@@ -151,34 +232,51 @@ def discrete_barrier_price(
 
     n = int(timesteps)
     dt = maturity / n
-    drift = (rate - div_yield - 0.5 * vol * vol) * dt
-    sd = vol * _np.sqrt(dt)
-    total_sd = vol * _np.sqrt(maturity)
+    vs = _np.asarray(vol_shape or (1.0,) * n, dtype=_np.float64)
+    rs = _np.asarray(rate_shape or (1.0,) * n, dtype=_np.float64)
+    qs = _np.asarray(div_shape or (1.0,) * n, dtype=_np.float64)
+    vol_t = vol * vs
+    drift_t = (rate * rs - div_yield * qs - 0.5 * vol_t * vol_t) * dt
+    sd_t = vol_t * _np.sqrt(dt)
+    # zero-vol steps would make the Gaussian kernel singular; the simulator
+    # allows them, the oracle does not (gate tests use positive curves)
+    if (sd_t <= 0.0).any():
+        raise ValueError("discrete_barrier_price needs positive per-step vol")
+    total_sd = float(_np.sqrt((sd_t * sd_t).sum()))
     ln_s0 = _np.log(spot)
     ln_b = _np.log(spot * barrier_rel)
-    lo = min(ln_s0 + drift * n - width_std * total_sd, ln_b - 4 * sd)
-    hi = max(ln_s0 + drift * n + width_std * total_sd, ln_b + 4 * sd)
+    lo = min(ln_s0 + drift_t.sum() - width_std * total_sd, ln_b - 4 * sd_t.max())
+    hi = max(ln_s0 + drift_t.sum() + width_std * total_sd, ln_b + 4 * sd_t.max())
     x = _np.linspace(lo, hi, grid_points)
     dx = x[1] - x[0]
     survive = x < ln_b if up else x > ln_b
 
-    def gauss(centers: _np.ndarray) -> _np.ndarray:
+    def gauss(centers: _np.ndarray, sd: float) -> _np.ndarray:
         z = (x[:, None] - centers[None, :]) / sd
         return _np.exp(-0.5 * z * z) / (sd * _np.sqrt(2.0 * _np.pi))
 
     # step 1: exact Gaussian from the point mass at ln S0, then mask
-    q = gauss(_np.array([ln_s0 + drift]))[:, 0] * dx
+    q = gauss(_np.array([ln_s0 + drift_t[0]]), float(sd_t[0]))[:, 0] * dx
     q = _np.where(survive, q, 0.0)
-    if n > 1:
-        transition = gauss(x + drift) * dx  # [to, from]
-        for _ in range(n - 1):
-            q = _np.where(survive, transition @ q, 0.0)
+    flat = bool(
+        (vs == vs[0]).all() and (rs == rs[0]).all() and (qs == qs[0]).all()
+    )
+    transition = gauss(x + drift_t[0], float(sd_t[0])) * dx if flat and n > 1 else None
+    for j in range(1, n):
+        step_t = (
+            transition
+            if transition is not None
+            else gauss(x + drift_t[j], float(sd_t[j])) * dx  # [to, from]
+        )
+        q = _np.where(survive, step_t @ q, 0.0)
     s_t = _np.exp(x)
-    df = _np.exp(-rate * maturity)
+    r_eff = rate * float(rs.mean())
+    df = _np.exp(-r_eff * maturity)
     call = df * float((q * _np.maximum(s_t - strike, 0.0)).sum())
     put = df * float((q * _np.maximum(strike - s_t, 0.0)).sum())
     # intrinsic convention as elsewhere: discounted forward intrinsics
-    forward = spot * _np.exp((rate - div_yield) * maturity)
+    q_eff = div_yield * float(qs.mean())
+    forward = spot * _np.exp((r_eff - q_eff) * maturity)
     call_intr = df * max(forward - strike, 0.0)
     put_intr = df * max(strike - forward, 0.0)
     return AnalyticPrices(

@@ -153,6 +153,7 @@ def make_underlier_simulator(
     use_pallas = (
         sim.implementation == SimImplementation.PALLAS
         and sim.sampling == SamplingKind.PSEUDO
+        and sim.term is None
     )
     sampling_kwargs: dict[str, object] = {}
     if sim.sampling != SamplingKind.PSEUDO:
@@ -258,6 +259,10 @@ def make_underlier_simulator(
         _sim_gbm = simulate_underlier_rows
 
     gbm_kwargs = sampling_kwargs
+    if sim.term is not None:
+        # term structures route to the XLA engine (resolve_implementation);
+        # only the XLA simulator takes the knob
+        gbm_kwargs = {**sampling_kwargs, "term": sim.term}
 
     def simulate(
         key: jax.Array, contract: jax.Array, row_offset: jax.Array | int = 0
@@ -306,7 +311,12 @@ def make_mean_target(
         _mean = expected_underlier_mean
 
     def mean_target(contract: jax.Array) -> jax.Array | None:
-        return _mean(contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype)
+        kwargs: dict[str, object] = {}
+        if sim.model == ModelKind.GBM and sim.term is not None:
+            kwargs["term"] = sim.term
+        return _mean(
+            contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype, **kwargs
+        )
 
     return mean_target
 

@@ -28,6 +28,7 @@ materializes the full ``[timesteps, paths]`` normals matrix in HBM):
 from __future__ import annotations
 
 import enum
+import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Any
@@ -153,6 +154,110 @@ class SamplingKind(enum.Enum):
     SOBOL_BB = "sobol_bb"
 
 
+class TermStructure(BaseModel):
+    """Piecewise-constant relative curves over the simulation grid (extension;
+    the reference's market data is flat scalars, gbm.py:77-103).
+
+    Each shape is a per-step multiplier on the corresponding CONTRACT field:
+    during step ``t`` (covering ``(t·dt, (t+1)·dt]``) the instantaneous
+    parameters are ``vol·vol_shape[t]``, ``rate·rate_shape[t]`` and
+    ``div_yield·div_shape[t]``. An empty tuple means flat (all ones). The
+    contract scalars stay the Sobol-sampled training features; the curves are
+    desk configuration — checkpointed with ``SimulationParams`` (they change
+    the trained distribution, not the bit stream: the normals keying is
+    untouched).
+
+    The terminal distribution stays exactly lognormal, so the Black oracle
+    holds with the effective parameters ``vol_eff = vol·sqrt(mean(vs²))``,
+    ``rate_eff = rate·mean(rs)``, ``div_eff = div·mean(qs)``
+    (``ops/analytic.py::term_effective_black``) — the curves are new exact
+    oracle surface, not just new simulation surface.
+    """
+
+    model_config = ConfigDict(frozen=True)
+
+    vol_shape: tuple[float, ...] = ()
+    rate_shape: tuple[float, ...] = ()
+    div_shape: tuple[float, ...] = ()
+
+    def is_flat(self) -> bool:
+        return all(
+            all(v == 1.0 for v in shape)
+            for shape in (self.vol_shape, self.rate_shape, self.div_shape)
+        )
+
+    def n_steps(self) -> int | None:
+        """The grid length implied by the non-empty shapes (None = all flat,
+        equivalent to no term structure at any timestep count)."""
+        for s in (self.vol_shape, self.rate_shape, self.div_shape):
+            if s:
+                return len(s)
+        return None
+
+    def shapes(self, timesteps: int) -> tuple[tuple[float, ...], ...]:
+        """(vol, rate, div) shapes with empties expanded to flat ones."""
+        flat = (1.0,) * timesteps
+        return (
+            self.vol_shape or flat,
+            self.rate_shape or flat,
+            self.div_shape or flat,
+        )
+
+    def effective_factors(self, timesteps: int) -> tuple[float, float, float]:
+        """(RMS vol factor, mean rate factor, mean div factor) — the exact
+        flat-equivalent multipliers for the terminal lognormal law."""
+        vs, rs, qs = self.shapes(timesteps)
+        n = float(timesteps)
+        return (
+            math.sqrt(sum(v * v for v in vs) / n),
+            sum(rs) / n,
+            sum(qs) / n,
+        )
+
+
+def validate_term_structure(
+    term: TermStructure, *, timesteps: int
+) -> Result[TermStructure, GBMError]:
+    """Shape-length and positivity checks (Result-typed, like the other
+    ``build_*`` validators)."""
+    for name, shape in (
+        ("vol_shape", term.vol_shape),
+        ("rate_shape", term.rate_shape),
+        ("div_shape", term.div_shape),
+    ):
+        if shape and len(shape) != timesteps:
+            return Failure(
+                InvalidSimulationParams(
+                    field=f"term.{name}",
+                    value=len(shape),
+                    reason=f"length must equal timesteps ({timesteps})",
+                )
+            )
+        if not all(math.isfinite(v) for v in shape):
+            return Failure(
+                InvalidSimulationParams(
+                    field=f"term.{name}", value=shape, reason="entries must be finite"
+                )
+            )
+    if any(v < 0.0 for v in term.vol_shape):
+        return Failure(
+            InvalidSimulationParams(
+                field="term.vol_shape",
+                value=term.vol_shape,
+                reason="vol multipliers must be >= 0",
+            )
+        )
+    if term.vol_shape and not any(v > 0.0 for v in term.vol_shape):
+        return Failure(
+            InvalidSimulationParams(
+                field="term.vol_shape",
+                value=term.vol_shape,
+                reason="at least one step must have positive vol",
+            )
+        )
+    return Success(term)
+
+
 class BlackScholesContract(BaseModel):
     """One European-option market scenario (parity: reference ``BlackScholes.Inputs``)."""
 
@@ -228,6 +333,11 @@ class SimulationParams(BaseModel):
     # path-increment source (see SamplingKind); SOBOL_BB is a different bit
     # stream, so it is checkpointed and routes to the XLA engine
     sampling: SamplingKind = SamplingKind.PSEUDO
+    # piecewise-constant vol/rate/div curves over the step grid (GBM model
+    # only); checkpointed — the curves define the trained distribution. The
+    # RNG keying is untouched, but the engine routes to XLA (the Pallas GBM
+    # kernel computes flat per-step drift in-register).
+    term: TermStructure | None = None
 
     @property
     def total_paths(self) -> int:
@@ -381,6 +491,30 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                     reason="early exercise needs >= 2 monitor dates",
                 )
             )
+    if params.term is not None:
+        if params.model != ModelKind.GBM:
+            return Failure(
+                InvalidSimulationParams(
+                    field="term",
+                    value=params.model.value,
+                    reason="term structures apply to the GBM model only "
+                    "(Heston/Merton/basket dynamics own their parameter "
+                    "curves through their contract fields)",
+                )
+            )
+        if params.payoff in AMERICAN_PAYOFFS:
+            return Failure(
+                InvalidSimulationParams(
+                    field="term",
+                    value=params.payoff.value,
+                    reason="LSMC early exercise under term structures is not "
+                    "supported (the backward induction discounts at a flat "
+                    "per-step rate)",
+                )
+            )
+        checked_term = validate_term_structure(params.term, timesteps=params.timesteps)
+        if isinstance(checked_term, Failure):
+            return checked_term  # type: ignore[return-value]
     if params.antithetic and params.batches_per_mc_run % 2:
         return Failure(
             InvalidSimulationParams(
@@ -498,6 +632,11 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
         # MXU-shaped work the XLA engine expresses directly; the Pallas
         # kernels' in-register streaming RNG has no Sobol counterpart
         return SimImplementation.XLA
+    if params.term is not None:
+        # the Pallas GBM kernel computes one flat drift/vol pair in-register;
+        # per-step curves run on the XLA engine (same threefry bit stream
+        # discipline, so this is an engine choice, not a stream change)
+        return SimImplementation.XLA
     from spectralmc_tpu.ops.gbm_pallas import pallas_supported
 
     effective_rows = params.batches_per_mc_run if rows is None else rows
@@ -537,6 +676,39 @@ def _row_streams(
         sign = jnp.where(row_idx < h, 1.0, -1.0).astype(dtype)[:, None]
     keys = jax.vmap(lambda r: jax.random.fold_in(contract_key, r))(base_idx)
     return keys, sign
+
+
+def _step_coeffs(
+    term: "TermStructure | None",
+    *,
+    timesteps: int,
+    dtype: jnp.dtype,
+    rate: jax.Array,
+    div_yield: jax.Array,
+    vol: jax.Array,
+    dt: jax.Array,
+    sqrt_dt: jax.Array,
+) -> tuple[Any, Any, Any]:
+    """t-indexed ``(log_drift, lin_drift, vol_step)`` accessors.
+
+    ``log_drift(t) = (r_t − q_t − v_t²/2)·dt`` (log-Euler increment mean),
+    ``lin_drift(t) = (r_t − q_t)·dt`` (Euler drift),
+    ``vol_step(t) = v_t·√dt``. Flat (``term is None``) returns scalars built
+    with exactly the pre-term arithmetic, so the emitted values — hence the
+    whole bit stream — are unchanged for existing configs.
+    """
+    if term is None:
+        ld = (rate - div_yield - 0.5 * vol * vol) * dt
+        lin = (rate - div_yield) * dt
+        vstep = vol * sqrt_dt
+        return (lambda t: ld), (lambda t: lin), (lambda t: vstep)
+    vs, rs, qs = term.shapes(timesteps)
+    vsa, rsa, qsa = (jnp.asarray(s, dtype) for s in (vs, rs, qs))
+    vol_t = vol * vsa
+    ld_arr = (rate * rsa - div_yield * qsa - 0.5 * vol_t * vol_t) * dt
+    lin_arr = (rate * rsa - div_yield * qsa) * dt
+    vstep_arr = vol_t * sqrt_dt
+    return (lambda t: ld_arr[t]), (lambda t: lin_arr[t]), (lambda t: vstep_arr[t])
 
 
 def _normals_source(
@@ -605,6 +777,7 @@ def _normals_source(
         "antithetic_half",
         "sampling",
         "mc_seed",
+        "term",
     ),
 )
 def simulate_terminal_rows(
@@ -620,6 +793,7 @@ def simulate_terminal_rows(
     antithetic_half: int | None = None,
     sampling: SamplingKind = SamplingKind.PSEUDO,
     mc_seed: int = 0,
+    term: "TermStructure | None" = None,
 ) -> jax.Array:
     """Terminal GBM values ``[rows, cols]`` for one contract.
 
@@ -636,8 +810,17 @@ def simulate_terminal_rows(
     """
     spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
     dt = maturity / jnp.asarray(timesteps, dtype)
-    drift = (rate - div_yield - 0.5 * vol * vol) * dt
     sqrt_dt = jnp.sqrt(dt)
+    log_drift, lin_drift, vol_step = _step_coeffs(
+        term,
+        timesteps=timesteps,
+        dtype=dtype,
+        rate=rate,
+        div_yield=div_yield,
+        vol=vol,
+        dt=dt,
+        sqrt_dt=sqrt_dt,
+    )
 
     normals = _normals_source(
         contract_key,
@@ -654,14 +837,14 @@ def simulate_terminal_rows(
     if scheme == PathScheme.LOG_EULER:
 
         def body(logx: jax.Array, t: jax.Array) -> tuple[jax.Array, None]:
-            return logx + drift + vol * sqrt_dt * normals(t), None
+            return logx + log_drift(t) + vol_step(t) * normals(t), None
 
         log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
         log_t, _ = jax.lax.scan(body, log0, jnp.arange(timesteps))
         return jnp.exp(log_t)
 
     def body_euler(x: jax.Array, t: jax.Array) -> tuple[jax.Array, None]:
-        x_next = x * (1.0 + (rate - div_yield) * dt + vol * sqrt_dt * normals(t))
+        x_next = x * (1.0 + lin_drift(t) + vol_step(t) * normals(t))
         return jnp.abs(x_next), None  # reflection, as the reference kernel
 
     x0 = jnp.full((rows, cols), 1.0, dtype) * spot
@@ -684,6 +867,7 @@ def simulate_terminal_rows(
         "lsmc_exercise_every",
         "sampling",
         "mc_seed",
+        "term",
     ),
 )
 def simulate_underlier_rows(
@@ -703,6 +887,7 @@ def simulate_underlier_rows(
     lsmc_exercise_every: int = 1,
     sampling: SamplingKind = SamplingKind.PSEUDO,
     mc_seed: int = 0,
+    term: "TermStructure | None" = None,
 ) -> jax.Array:
     """``[rows, cols]`` payoff underliers: terminal value, path average,
     knockout-masked terminal (barrier kinds emit strike on knocked paths so
@@ -717,6 +902,9 @@ def simulate_underlier_rows(
         if sampling != SamplingKind.PSEUDO:
             # trace-time mirror of the build_simulation_params gate
             raise ValueError("LSMC early exercise draws its own pseudo stream")
+        if term is not None:
+            # trace-time mirror of the build_simulation_params gate
+            raise ValueError("LSMC early exercise under term structures is unsupported")
         if scheme != PathScheme.LOG_EULER:
             # trace-time gate: the LSMC simulator hardcodes the log-Euler
             # step, and silently overriding a requested EULER discretization
@@ -752,12 +940,22 @@ def simulate_underlier_rows(
             antithetic_half=antithetic_half,
             sampling=sampling,
             mc_seed=mc_seed,
+            term=term,
         )
 
     spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
     dt = maturity / jnp.asarray(timesteps, dtype)
-    drift = (rate - div_yield - 0.5 * vol * vol) * dt
     sqrt_dt = jnp.sqrt(dt)
+    log_drift, lin_drift, vol_step = _step_coeffs(
+        term,
+        timesteps=timesteps,
+        dtype=dtype,
+        rate=rate,
+        div_yield=div_yield,
+        vol=vol,
+        dt=dt,
+        sqrt_dt=sqrt_dt,
+    )
     normals = _normals_source(
         contract_key,
         timesteps=timesteps,
@@ -780,7 +978,7 @@ def simulate_underlier_rows(
 
             def body_b(carry: tuple[jax.Array, jax.Array], t: jax.Array):
                 logx, ext = carry
-                logx = logx + drift + vol * sqrt_dt * normals(t)
+                logx = logx + log_drift(t) + vol_step(t) * normals(t)
                 return (logx, extreme_fn(ext, logx)), None
 
             log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
@@ -791,7 +989,7 @@ def simulate_underlier_rows(
 
             def body_be(carry: tuple[jax.Array, jax.Array], t: jax.Array):
                 x, ext = carry
-                x = jnp.abs(x * (1.0 + (rate - div_yield) * dt + vol * sqrt_dt * normals(t)))
+                x = jnp.abs(x * (1.0 + lin_drift(t) + vol_step(t) * normals(t)))
                 return (x, extreme_fn(ext, x)), None
 
             x0 = jnp.full((rows, cols), 1.0, dtype) * spot
@@ -804,7 +1002,7 @@ def simulate_underlier_rows(
 
         def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
             logx, acc = carry
-            logx = logx + drift + vol * sqrt_dt * normals(t)
+            logx = logx + log_drift(t) + vol_step(t) * normals(t)
             acc = acc + (logx if geometric else jnp.exp(logx))
             return (logx, acc), None
 
@@ -816,7 +1014,7 @@ def simulate_underlier_rows(
 
         def body_euler(carry: tuple[jax.Array, jax.Array], t: jax.Array):
             x, acc = carry
-            x = jnp.abs(x * (1.0 + (rate - div_yield) * dt + vol * sqrt_dt * normals(t)))
+            x = jnp.abs(x * (1.0 + lin_drift(t) + vol_step(t) * normals(t)))
             acc = acc + (jnp.log(x) if geometric else x)
             return (x, acc), None
 
@@ -829,7 +1027,12 @@ def simulate_underlier_rows(
 
 
 def expected_underlier_mean(
-    contract: jax.Array, *, timesteps: int, payoff: PayoffKind, dtype: jnp.dtype
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    payoff: PayoffKind,
+    dtype: jnp.dtype,
+    term: "TermStructure | None" = None,
 ) -> jax.Array | None:
     """Analytic E[underlier] under the log-Euler discretization.
 
@@ -838,12 +1041,37 @@ def expected_underlier_mean(
     Exact for LOG_EULER; for EULER it is the continuous-limit approximation.
     None for barrier kinds (the knocked-out mean has no closed form) and the
     American kinds (the synthetic underlier's mean IS the unknown price).
+    With a ``term`` structure the means follow the per-step curves exactly
+    (cumulative drift sums replace the flat geometric series).
     """
     if payoff in BARRIER_PAYOFFS or payoff in AMERICAN_PAYOFFS:
         return None
+    if term is not None and term.is_flat():
+        # all-ones curves must reproduce the flat formulas bit-for-bit (the
+        # weighted sums below are the same values in exact arithmetic but a
+        # different fp summation order)
+        term = None
     spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
     n = jnp.asarray(timesteps, dtype)
     dt = maturity / n
+    if term is not None:
+        vs, rs, qs = term.shapes(timesteps)
+        vsa, rsa, qsa = (jnp.asarray(s, dtype) for s in (vs, rs, qs))
+        lin = (rate * rsa - div_yield * qsa) * dt  # [T] per-step (r_t - q_t) dt
+        cum_lin = jnp.cumsum(lin)  # drift integral up to t_{k}
+        if payoff == PayoffKind.TERMINAL:
+            return spot * jnp.exp(cum_lin[-1])
+        if payoff == PayoffKind.ASIAN_ARITHMETIC:
+            # (1/N) sum_k E[S_{t_k}] = (1/N) sum_k S0 exp(sum_{j<k}(r_j-q_j)dt)
+            return spot * jnp.mean(jnp.exp(cum_lin))
+        # ASIAN_GEOMETRIC: mean of log S over the grid is Gaussian with
+        # mu = ln S0 + sum_j a_j (N-j)/N, s2 = sum_j b_j^2 ((N-j)/N)^2
+        vol_t = vol * vsa
+        a = lin - 0.5 * vol_t * vol_t * dt
+        w = (n - jnp.arange(timesteps, dtype=dtype)) / n
+        mu = jnp.log(spot) + jnp.sum(a * w)
+        s2 = jnp.sum(vol_t * vol_t * dt * w * w)
+        return jnp.exp(mu + 0.5 * s2)
     if payoff == PayoffKind.TERMINAL:
         return spot * jnp.exp((rate - div_yield) * maturity)
     if payoff == PayoffKind.ASIAN_ARITHMETIC:
@@ -892,6 +1120,7 @@ def simulate_paths(
     dtype: jnp.dtype,
     scheme: PathScheme,
     normalize: bool,
+    term: "TermStructure | None" = None,
 ) -> jax.Array:
     """Full ``[timesteps, paths]`` path matrix (parity/test path).
 
@@ -901,22 +1130,36 @@ def simulate_paths(
     """
     spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
     dt = maturity / jnp.asarray(timesteps, dtype)
-    drift = (rate - div_yield - 0.5 * vol * vol) * dt
     sqrt_dt = jnp.sqrt(dt)
+    log_drift, lin_drift, vol_step = _step_coeffs(
+        term,
+        timesteps=timesteps,
+        dtype=dtype,
+        rate=rate,
+        div_yield=div_yield,
+        vol=vol,
+        dt=dt,
+        sqrt_dt=sqrt_dt,
+    )
 
     def body(x: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array]:
         z = jax.random.normal(jax.random.fold_in(contract_key, t), (paths,), dtype)
         if scheme == PathScheme.LOG_EULER:
-            x_next = x * jnp.exp(drift + vol * sqrt_dt * z)
+            x_next = x * jnp.exp(log_drift(t) + vol_step(t) * z)
         else:
-            x_next = jnp.abs(x * (1.0 + (rate - div_yield) * dt + vol * sqrt_dt * z))
+            x_next = jnp.abs(x * (1.0 + lin_drift(t) + vol_step(t) * z))
         return x_next, x_next
 
     x0 = jnp.full((paths,), 1.0, dtype) * spot
     _, rows = jax.lax.scan(body, x0, jnp.arange(timesteps))
     if normalize:
-        times = (jnp.arange(1, timesteps + 1, dtype=dtype)) * dt
-        forwards = spot * jnp.exp((rate - div_yield) * times)
+        if term is None:
+            times = (jnp.arange(1, timesteps + 1, dtype=dtype)) * dt
+            forwards = spot * jnp.exp((rate - div_yield) * times)
+        else:
+            _, rs, qs = term.shapes(timesteps)
+            rsa, qsa = jnp.asarray(rs, dtype), jnp.asarray(qs, dtype)
+            forwards = spot * jnp.exp(jnp.cumsum((rate * rsa - div_yield * qsa) * dt))
         rows = rows * (forwards / jnp.mean(rows, axis=1))[:, None]
     return rows
 
@@ -938,16 +1181,24 @@ def terminal_to_prices(
     normalize: bool,
     dtype: jnp.dtype,
     mean_target: jax.Array | None = None,
+    term: "TermStructure | None" = None,
 ) -> SimPrices:
     """Payoff vectors from underlier values, with optional mean normalization.
 
     ``mean_target`` is the analytic E[underlier] the sample mean is rescaled
     to; defaults to the terminal forward (the reference's normalization,
-    gbm.py:433-440 — correct for TERMINAL payoffs only).
+    gbm.py:433-440 — correct for TERMINAL payoffs only). With a ``term``
+    structure, discounting and the forward use the curve-effective rates
+    (``exp(-∫r)``, ``exp(∫(r−q))``) instead of the flat contract scalars.
     """
     spot, strike, maturity, rate, div_yield, _ = (contract[i].astype(dtype) for i in range(6))
-    forward = spot * jnp.exp((rate - div_yield) * maturity)
-    df = jnp.exp(-rate * maturity)
+    if term is None or term.n_steps() is None:
+        forward = spot * jnp.exp((rate - div_yield) * maturity)
+        df = jnp.exp(-rate * maturity)
+    else:
+        _, mr, mq = term.effective_factors(term.n_steps() or 1)
+        forward = spot * jnp.exp((rate * mr - div_yield * mq) * maturity)
+        df = jnp.exp(-rate * mr * maturity)
     if normalize:
         target = forward if mean_target is None else mean_target
         terminal = terminal * (target / jnp.mean(terminal))
@@ -1022,6 +1273,8 @@ class BlackScholes:
             if p.sampling != SamplingKind.PSEUDO:
                 kwargs["sampling"] = p.sampling
                 kwargs["mc_seed"] = p.mc_seed
+            if p.term is not None:
+                kwargs["term"] = p.term
         return simulate(
             self.contract_key(draw_index),
             contract,
@@ -1047,8 +1300,9 @@ class BlackScholes:
             normalize=p.normalization == ForwardNormalization.MEAN,
             dtype=dtype,
             mean_target=expected_underlier_mean(
-                arr, timesteps=p.timesteps, payoff=p.payoff, dtype=dtype
+                arr, timesteps=p.timesteps, payoff=p.payoff, dtype=dtype, term=p.term
             ),
+            term=p.term,
         )
         advanced = BlackScholes(p.model_copy(update={"skip": p.skip + 1}))
         return prices, advanced

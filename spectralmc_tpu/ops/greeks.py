@@ -176,6 +176,7 @@ def greeks_engine(sim: SimulationParams) -> SimImplementation:
         and sim.model == ModelKind.GBM
         and sim.payoff == PayoffKind.TERMINAL
         and sim.scheme == PathScheme.LOG_EULER
+        and sim.term is None
     ):
         from spectralmc_tpu.ops.gbm_pallas import pallas_supported
 
@@ -229,6 +230,7 @@ def _make_raw_price_fn(
             normalize=normalize,
             dtype=dtype,
             mean_target=mean_target(contract),
+            term=sim.term,
         )
         payoffs = prices.put_payoffs if option == OptionSide.PUT else prices.call_payoffs
         return jnp.mean(payoffs)

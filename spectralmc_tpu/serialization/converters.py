@@ -34,6 +34,7 @@ from spectralmc_tpu.ops.gbm import (
     SamplingKind,
     SimImplementation,
     SimulationParams,
+    TermStructure,
 )
 from spectralmc_tpu.ops.sobol import BoundSpec
 from spectralmc_tpu.proto import common_pb2, models_pb2, simulation_pb2, tensors_pb2, training_pb2
@@ -210,6 +211,13 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
     )
     if sim.basket is not None:
         proto.basket.CopyFrom(basket_spec_to_proto(sim.basket))
+    if sim.term is not None:
+        proto.term.vol_shape.extend(sim.term.vol_shape)
+        proto.term.rate_shape.extend(sim.term.rate_shape)
+        proto.term.div_shape.extend(sim.term.div_shape)
+        # an all-flat TermStructure would serialize indistinguishably from
+        # "absent" with empty shapes; mark presence explicitly
+        proto.term.SetInParent()
     return proto
 
 
@@ -244,6 +252,14 @@ def sim_params_from_proto(
                 lsmc_exercise_every=proto.lsmc_exercise_every or 1,
                 # "" = pre-QMC checkpoint -> the pseudo stream it was trained on
                 sampling=SamplingKind(proto.sampling or "pseudo"),
+                # absent = pre-term-structure checkpoint -> flat market
+                term=TermStructure(
+                    vol_shape=tuple(proto.term.vol_shape),
+                    rate_shape=tuple(proto.term.rate_shape),
+                    div_shape=tuple(proto.term.div_shape),
+                )
+                if proto.HasField("term")
+                else None,
             )
         )
     except (KeyError, ValueError) as exc:

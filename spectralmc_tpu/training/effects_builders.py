@@ -54,6 +54,9 @@ def build_simulation_effects(
                 lsmc_basis_degree=sim.lsmc_basis_degree,
                 lsmc_exercise_every=sim.lsmc_exercise_every,
                 sampling=sim.sampling.value,
+                term_vol=sim.term.vol_shape if sim.term else (),
+                term_rate=sim.term.rate_shape if sim.term else (),
+                term_div=sim.term.div_shape if sim.term else (),
                 out_id=out_id,
             ),
             ComputeFFT(

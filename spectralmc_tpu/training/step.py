@@ -133,6 +133,7 @@ def make_mc_spectrum(
             normalize=normalize,
             dtype=dtype,
             mean_target=mean_target(contract),
+            term=sim.term,
         )
         return payoff_spectrum(
             prices.put_payoffs,

@@ -1123,7 +1123,13 @@ class GbmCVNNPricer:
         else:
             arr_np = np.asarray(arr)
             strike, maturity, rate = arr_np[:, 1], arr_np[:, 2], arr_np[:, 3]
-            df = np.exp(-rate * maturity)
+            # term structures discount at the curve-effective rate r*mean(rs)
+            mr = (
+                self._sim.term.effective_factors(self._sim.timesteps)[1]
+                if self._sim.term is not None
+                else 1.0
+            )
+            df = np.exp(-rate * mr * maturity)
             call_np = put_np + df * (np.asarray(expected) - strike)
         return PricePrediction(put=put_np, call=call_np, imag_residue=residue)
 
@@ -1162,9 +1168,15 @@ class GbmCVNNPricer:
             recovered = jnp.fft.ifft(out_re + 1j * out_im, axis=1)
             return jnp.mean(recovered.real)
 
+        rate_factor = (
+            self._sim.term.effective_factors(self._sim.timesteps)[1]
+            if self._sim.term is not None
+            else 1.0
+        )
+
         def call_price(params: Any, bn_state: Any, row: jax.Array) -> jax.Array:
             put = put_price(params, bn_state, row)
-            df = jnp.exp(-row[3] * row[2])  # rate, maturity
+            df = jnp.exp(-row[3] * rate_factor * row[2])  # rate, maturity
             return put + df * (mean_target(row) - row[1])
 
         @jax.jit

@@ -1,0 +1,447 @@
+"""Term-structure (piecewise-constant vol/rate/div curves) tests.
+
+Extension beyond the reference (its market data is six flat scalars,
+gbm.py:77-103). Gates: build validation, flat-curve bit-identity with the
+no-term stream, the effective-Black / weighted-Asian / curved-barrier exact
+oracles, MEAN-normalization targets, engine routing, IPA Greeks vs autodiff
+of the oracle, proto round trip, and trainer snapshot/resume bit-exactness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spectralmc_tpu.core.errors.gbm import InvalidSimulationParams
+from spectralmc_tpu.ops.analytic import (
+    black_scholes_price,
+    discrete_barrier_price,
+    geometric_asian_price,
+    term_effective_black,
+    term_geometric_asian_price,
+)
+from spectralmc_tpu.ops.gbm import (
+    BlackScholes,
+    PayoffKind,
+    SimImplementation,
+    TermStructure,
+    build_simulation_params,
+    expected_underlier_mean,
+    resolve_implementation,
+    simulate_underlier_rows,
+    validate_term_structure,
+)
+from spectralmc_tpu.ops.greeks import OptionSide, mc_greeks
+from spectralmc_tpu.serialization.converters import (
+    sim_params_from_proto,
+    sim_params_to_proto,
+)
+from tests.helpers import expect_failure, expect_success
+from tests.helpers.factories import make_contract, make_simulation_params
+
+T = 8
+# decaying vol, rising rates, flat divs — a recognizably curved market
+CURVED = TermStructure(
+    vol_shape=tuple(1.5 - 1.0 * i / T for i in range(T)),
+    rate_shape=tuple(0.5 + 1.0 * i / T for i in range(T)),
+)
+SIM_SHAPE = dict(timesteps=T, network_size=256, batches_per_mc_run=256)
+
+
+def _mc_price(sim, contract, channel: str = "put") -> tuple[float, float]:
+    """(MC price, standard error) through the BlackScholes engine."""
+    prices, _ = BlackScholes(sim).price(contract)
+    payoffs = np.asarray(getattr(prices, f"{channel}_payoffs"), dtype=np.float64)
+    return float(payoffs.mean()), float(payoffs.std(ddof=1) / np.sqrt(payoffs.size))
+
+
+# --------------------------------------------------------------------------
+# Build validation
+# --------------------------------------------------------------------------
+
+
+def test_build_rejects_wrong_length() -> None:
+    err = expect_failure(
+        build_simulation_params(
+            **SIM_SHAPE, mc_seed=7, term=TermStructure(vol_shape=(1.0,) * (T + 1))
+        )
+    )
+    assert isinstance(err, InvalidSimulationParams)
+    assert err.field == "term.vol_shape"
+
+
+def test_build_rejects_negative_and_all_zero_vol() -> None:
+    err = expect_failure(
+        build_simulation_params(
+            **SIM_SHAPE, mc_seed=7, term=TermStructure(vol_shape=(-1.0,) * T)
+        )
+    )
+    assert err.field == "term.vol_shape"
+    err = expect_failure(
+        build_simulation_params(
+            **SIM_SHAPE, mc_seed=7, term=TermStructure(vol_shape=(0.0,) * T)
+        )
+    )
+    assert "positive vol" in err.reason
+
+
+def test_build_rejects_non_finite() -> None:
+    err = expect_failure(
+        build_simulation_params(
+            **SIM_SHAPE,
+            mc_seed=7,
+            term=TermStructure(rate_shape=(float("nan"),) * T),
+        )
+    )
+    assert err.field == "term.rate_shape"
+
+
+def test_build_rejects_non_gbm_models_and_american() -> None:
+    err = expect_failure(
+        build_simulation_params(
+            **SIM_SHAPE, mc_seed=7, model="heston", term=CURVED
+        )
+    )
+    assert err.field == "term"
+    err = expect_failure(
+        build_simulation_params(
+            **SIM_SHAPE, mc_seed=7, payoff="american_put", term=CURVED
+        )
+    )
+    assert err.field == "term"
+
+
+def test_validate_term_structure_direct() -> None:
+    expect_success(validate_term_structure(CURVED, timesteps=T))
+    expect_failure(validate_term_structure(CURVED, timesteps=T + 1))
+
+
+# --------------------------------------------------------------------------
+# Bit-identity: flat curves are the SAME program as no curves
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "payoff,extra",
+    [
+        ("terminal", {}),
+        ("asian_geometric", {}),
+        ("asian_arithmetic", {}),
+        ("barrier_up_out", {"barrier_rel": 1.5, "normalization": "none"}),
+    ],
+)
+def test_flat_term_bit_identical(payoff: str, extra: dict) -> None:
+    """All-ones shapes must reproduce the no-term bit stream exactly — the
+    term code path only ever changes numerics when the curves do."""
+    contract = make_contract()
+    base = make_simulation_params(**SIM_SHAPE, payoff=payoff, **extra)
+    flat = make_simulation_params(
+        **SIM_SHAPE,
+        payoff=payoff,
+        term=TermStructure(vol_shape=(1.0,) * T, rate_shape=(1.0,) * T),
+        **extra,
+    )
+    p0, _ = BlackScholes(base).price(contract)
+    p1, _ = BlackScholes(flat).price(contract)
+    assert np.array_equal(np.asarray(p0.put_payoffs), np.asarray(p1.put_payoffs))
+    assert np.array_equal(np.asarray(p0.call_payoffs), np.asarray(p1.call_payoffs))
+
+
+# --------------------------------------------------------------------------
+# Exact oracles
+# --------------------------------------------------------------------------
+
+
+def test_terminal_matches_effective_black() -> None:
+    """ln S_T stays exactly Gaussian under per-step curves, so Black at the
+    effective (RMS-vol, mean-rate) parameters is a zero-bias oracle."""
+    contract = make_contract(strike=105.0)
+    sim = make_simulation_params(**SIM_SHAPE, term=CURVED)
+    oracle = term_effective_black(
+        contract.spot,
+        contract.strike,
+        contract.maturity,
+        contract.rate,
+        contract.div_yield,
+        contract.vol,
+        vol_shape=CURVED.vol_shape,
+        rate_shape=CURVED.rate_shape,
+        div_shape=CURVED.div_shape,
+    )
+    for channel in ("put", "call"):
+        mc, se = _mc_price(sim, contract, channel)
+        want = float(getattr(oracle, channel))
+        assert abs(mc - want) < 4.0 * max(se, 1e-6), (channel, mc, want, se)
+    # and the curves genuinely move the price vs the flat market
+    flat = black_scholes_price(
+        contract.spot, contract.strike, contract.maturity,
+        contract.rate, contract.div_yield, contract.vol,
+    )
+    assert abs(float(oracle.put) - float(flat.put)) > 0.02
+
+
+def test_term_effective_black_flat_is_black() -> None:
+    got = term_effective_black(
+        100.0, 101.0, 1.2, 0.03, 0.01, 0.25,
+        vol_shape=(1.0,) * 5, rate_shape=(), div_shape=(1.0,) * 5,
+    )
+    want = black_scholes_price(100.0, 101.0, 1.2, 0.03, 0.01, 0.25)
+    assert float(got.put) == pytest.approx(float(want.put), abs=1e-12)
+    assert float(got.call) == pytest.approx(float(want.call), abs=1e-12)
+
+
+def test_geometric_asian_term_oracle() -> None:
+    contract = make_contract()
+    sim = make_simulation_params(**SIM_SHAPE, payoff="asian_geometric", term=CURVED)
+    oracle = term_geometric_asian_price(
+        contract.spot,
+        contract.strike,
+        contract.maturity,
+        contract.rate,
+        contract.div_yield,
+        contract.vol,
+        timesteps=T,
+        vol_shape=CURVED.vol_shape,
+        rate_shape=CURVED.rate_shape,
+    )
+    for channel in ("put", "call"):
+        mc, se = _mc_price(sim, contract, channel)
+        want = float(getattr(oracle, channel))
+        assert abs(mc - want) < 4.0 * max(se, 1e-6), (channel, mc, want, se)
+
+
+def test_geometric_asian_term_oracle_flat_reduction() -> None:
+    """Flat shapes reduce the weighted sums to the closed (N+1)(2N+1)/6N
+    coefficients of the flat oracle."""
+    got = term_geometric_asian_price(
+        100.0, 100.0, 1.0, 0.03, 0.01, 0.25, timesteps=12,
+        vol_shape=(1.0,) * 12,
+    )
+    want = geometric_asian_price(100.0, 100.0, 1.0, 0.03, 0.01, 0.25, timesteps=12)
+    assert float(got.put) == pytest.approx(float(want.put), rel=1e-10)
+    assert float(got.call) == pytest.approx(float(want.call), rel=1e-10)
+
+
+def test_barrier_term_oracle() -> None:
+    """The density-propagation oracle with per-step transitions gates the
+    curved knockout estimator (same discrete monitoring, zero slop)."""
+    contract = make_contract()
+    sim = make_simulation_params(
+        **SIM_SHAPE, payoff="barrier_up_out", barrier_rel=1.4,
+        normalization="none", term=CURVED,
+    )
+    oracle = discrete_barrier_price(
+        contract.spot,
+        contract.strike,
+        contract.maturity,
+        contract.rate,
+        contract.div_yield,
+        contract.vol,
+        timesteps=T,
+        barrier_rel=1.4,
+        up=True,
+        vol_shape=CURVED.vol_shape,
+        rate_shape=CURVED.rate_shape,
+    )
+    for channel in ("put", "call"):
+        mc, se = _mc_price(sim, contract, channel)
+        want = float(getattr(oracle, channel))
+        assert abs(mc - want) < 4.0 * max(se, 1e-6), (channel, mc, want, se)
+
+
+def test_barrier_term_oracle_flat_reduction() -> None:
+    got = discrete_barrier_price(
+        100.0, 100.0, 1.0, 0.03, 0.01, 0.25, timesteps=4, barrier_rel=1.3, up=True,
+        vol_shape=(1.0,) * 4, rate_shape=(1.0,) * 4,
+    )
+    want = discrete_barrier_price(
+        100.0, 100.0, 1.0, 0.03, 0.01, 0.25, timesteps=4, barrier_rel=1.3, up=True,
+    )
+    assert float(got.put) == pytest.approx(float(want.put), rel=1e-12)
+    assert float(got.call) == pytest.approx(float(want.call), rel=1e-12)
+
+
+# --------------------------------------------------------------------------
+# MEAN normalization targets under curves
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("payoff", ["terminal", "asian_arithmetic", "asian_geometric"])
+def test_mean_target_matches_sample_mean(payoff: str) -> None:
+    """expected_underlier_mean with a term structure must be the true mean of
+    the simulated underlier (z-gate on 64k paths)."""
+    contract = make_contract()
+    arr = contract.as_array(jnp.float32)
+    rows = simulate_underlier_rows(
+        jax.random.PRNGKey(11),
+        arr,
+        timesteps=T,
+        rows=256,
+        cols=256,
+        dtype=jnp.float32,
+        scheme=make_simulation_params().scheme,
+        payoff=PayoffKind(payoff),
+        term=CURVED,
+    )
+    sample = np.asarray(rows, dtype=np.float64).reshape(-1)
+    want = float(
+        expected_underlier_mean(
+            arr, timesteps=T, payoff=PayoffKind(payoff), dtype=jnp.float32, term=CURVED
+        )
+    )
+    se = sample.std(ddof=1) / np.sqrt(sample.size)
+    assert abs(sample.mean() - want) < 4.0 * se, (payoff, sample.mean(), want, se)
+
+
+# --------------------------------------------------------------------------
+# Engine routing + Greeks
+# --------------------------------------------------------------------------
+
+
+def test_term_routes_to_xla_engine() -> None:
+    sim = make_simulation_params(**SIM_SHAPE, implementation="pallas", term=CURVED)
+    assert resolve_implementation(sim) == SimImplementation.XLA
+    flat = make_simulation_params(**SIM_SHAPE, implementation="pallas")
+    # the routing is term-specific, not a blanket downgrade
+    assert resolve_implementation(flat) in (
+        SimImplementation.XLA,
+        SimImplementation.PALLAS,
+    )
+
+
+def test_ipa_greeks_match_effective_black_autodiff() -> None:
+    """Pathwise Greeks differentiate THROUGH the curves: d(price)/d(vol)
+    picks up every step's vol·vs_t term. Oracle = autodiff of Black at the
+    effective parameters (constants in the contract fields)."""
+    contract = make_contract(strike=105.0)
+    sim = make_simulation_params(**SIM_SHAPE, term=CURVED)
+    mv, mr, mq = CURVED.effective_factors(T)
+
+    def oracle_put(vec: jax.Array) -> jax.Array:
+        return black_scholes_price(
+            vec[0], vec[1], vec[2], vec[3] * mr, vec[4] * mq, vec[5] * mv
+        ).put
+
+    vec = contract.as_array(jnp.float64)
+    want_price = float(oracle_put(vec))
+    want_grad = np.asarray(jax.grad(oracle_put)(vec), dtype=np.float64)
+    mc = mc_greeks(sim, contract, option=OptionSide.PUT)
+    assert mc.engine == SimImplementation.XLA
+    assert mc.price == pytest.approx(want_price, rel=0.02, abs=0.01)
+    fields = ("spot", "strike", "maturity", "rate", "div_yield", "vol")
+    for i, field in enumerate(fields):
+        tol = max(0.04 * abs(want_grad[i]), 0.006)
+        assert mc.by_field[field] == pytest.approx(want_grad[i], abs=tol), (
+            field,
+            mc.by_field[field],
+            want_grad[i],
+        )
+
+
+# --------------------------------------------------------------------------
+# Serialization + checkpoint
+# --------------------------------------------------------------------------
+
+
+def test_sim_params_proto_round_trip() -> None:
+    sim = make_simulation_params(**SIM_SHAPE, term=CURVED)
+    decoded = expect_success(sim_params_from_proto(sim_params_to_proto(sim)))
+    assert decoded == sim
+    assert decoded.term == CURVED
+    # absent term stays None (pre-term checkpoints decode unchanged)
+    bare = make_simulation_params(**SIM_SHAPE)
+    assert expect_success(sim_params_from_proto(sim_params_to_proto(bare))).term is None
+    # a present-but-all-flat term survives as present (it is config, not None)
+    flat = make_simulation_params(**SIM_SHAPE, term=TermStructure(vol_shape=(1.0,) * T))
+    round_tripped = expect_success(sim_params_from_proto(sim_params_to_proto(flat)))
+    assert round_tripped.term == TermStructure(vol_shape=(1.0,) * T)
+
+
+def test_trainer_term_snapshot_resume_bit_exact() -> None:
+    """The flagship determinism contract holds with curves: train k, snapshot,
+    train k more ≡ train 2k continuously, bit-exact; predict_price parity
+    discounts at the curve-effective rate."""
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.training.trainer import (
+        GbmCVNNPricer,
+        GbmCVNNPricerConfig,
+        build_training_config,
+    )
+    from tests.helpers.factories import CONTRACT_BOUNDS
+
+    small_t = 4
+    term = TermStructure(vol_shape=(1.4, 1.2, 1.0, 0.8), rate_shape=(2.0, 1.0, 0.5, 0.5))
+    sim = make_simulation_params(
+        timesteps=small_t, network_size=16, batches_per_mc_run=4, term=term
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)],
+            seed=3,
+            precision=sim.precision,
+        )
+    )
+    cfg = GbmCVNNPricerConfig(sim=sim, bounds=CONTRACT_BOUNDS, cvnn=cvnn)
+    tc = expect_success(
+        build_training_config(num_batches=2, batch_size=4, learning_rate=1e-3)
+    )
+    # continuous 4 batches
+    p_cont = expect_success(GbmCVNNPricer.create(cfg))
+    tc4 = expect_success(
+        build_training_config(num_batches=4, batch_size=4, learning_rate=1e-3)
+    )
+    r_cont = expect_success(p_cont.train(tc4))
+    # 2 + snapshot + 2
+    p_a = expect_success(GbmCVNNPricer.create(cfg))
+    expect_success(p_a.train(tc))
+    snap = p_a.snapshot()
+    assert snap.sim.term == term  # the curves are checkpointed
+    p_b = expect_success(GbmCVNNPricer.create(snap))
+    r_resumed = expect_success(p_b.train(tc))
+    assert float(r_resumed.final_loss) == float(r_cont.final_loss)
+    # predict: put finite, call = put + df_eff (E - K) finite
+    pred = p_b.predict_price([make_contract(), make_contract(strike=90.0)])
+    assert np.isfinite(pred.put).all() and np.isfinite(pred.call).all()
+
+
+def test_effect_route_carries_term() -> None:
+    """build_simulation_effects encodes the curves; the interpreter validates
+    and reproduces the direct simulator's payoffs bit-for-bit."""
+    import asyncio
+
+    from spectralmc_tpu.effects.interpreter import SpectralMCInterpreter
+    from spectralmc_tpu.training.effects_builders import build_simulation_effects
+
+    contract = make_contract()
+    sim = make_simulation_params(**SIM_SHAPE, term=CURVED)
+    seq = build_simulation_effects(sim, contract, out_id="p")
+    sim_effect = seq.effects[0]
+    assert sim_effect.term_vol == CURVED.vol_shape
+    assert sim_effect.term_rate == CURVED.rate_shape
+    interp = SpectralMCInterpreter.create()
+    expect_success(asyncio.run(interp.interpret_sequence(seq)))
+    payoffs = np.asarray(expect_success(interp.registry.get_array("p")))
+    direct, _ = BlackScholes(sim).price(contract)
+    assert np.array_equal(payoffs, np.asarray(direct.put_payoffs))
+
+
+def test_effect_route_rejects_bad_term() -> None:
+    import asyncio
+
+    from spectralmc_tpu.effects.interpreter import SpectralMCInterpreter
+    from spectralmc_tpu.effects.types import SimulatePaths
+    from spectralmc_tpu.core.result import Failure
+
+    effect = SimulatePaths(
+        spot=100.0, strike=100.0, maturity=1.0, rate=0.03, div_yield=0.01,
+        vol=0.25, timesteps=4, batches=4, network_size=16, seed=1,
+        term_vol=(1.0, 1.0),  # wrong length
+        out_id="x",
+    )
+    interp = SpectralMCInterpreter.create()
+    result = asyncio.run(interp.interpret(effect))
+    assert isinstance(result, Failure)
+    assert "length" in result.error.reason

@@ -34,6 +34,7 @@ _EXPORTS = {
     "SimImplementation": "spectralmc_tpu.ops.gbm",
     "SamplingKind": "spectralmc_tpu.ops.gbm",
     "TermStructure": "spectralmc_tpu.ops.gbm",
+    "bootstrap_vol_shape": "spectralmc_tpu.ops.gbm",
     "term_effective_black": "spectralmc_tpu.ops.analytic",
     "HestonContract": "spectralmc_tpu.ops.heston",
     "MertonContract": "spectralmc_tpu.ops.merton",

@@ -258,6 +258,80 @@ def validate_term_structure(
     return Success(term)
 
 
+def bootstrap_vol_shape(
+    quotes: tuple[tuple[int, float], ...],
+    *,
+    timesteps: int,
+    reference_vol: float,
+) -> Result[tuple[float, ...], GBMError]:
+    """Strip a market term structure of implied vols into a ``vol_shape``.
+
+    ``quotes`` are ``(grid_step k, implied_vol at t_k)`` pairs — the desk's
+    expiry strip restricted to simulation dates. Piecewise-flat forward
+    variance: steps in ``(k_{i-1}, k_i]`` get
+    ``v² = (k_i σ_i² − k_{i-1} σ_{i-1}²) / (k_i − k_{i-1})`` — the unique
+    piecewise-constant curve that reproduces every quote EXACTLY (the RMS of
+    the returned shape over the first k_i steps, times ``reference_vol``, is
+    σ_i to fp rounding). Beyond the last quote the curve extends flat.
+
+    Fails loudly on a calendar-arbitrage strip (negative forward variance:
+    ``k_i σ_i² < k_{i-1} σ_{i-1}²``) instead of emitting an imaginary vol —
+    the term-structure analogue of the no-arbitrage NaN contract of
+    ``ops/analytic.py::implied_vol``.
+    """
+    if reference_vol <= 0.0 or not math.isfinite(reference_vol):
+        return Failure(
+            InvalidSimulationParams(
+                field="reference_vol", value=reference_vol, reason="must be > 0"
+            )
+        )
+    if not quotes:
+        return Failure(
+            InvalidSimulationParams(field="quotes", value=(), reason="need >= 1 quote")
+        )
+    prev_k = 0
+    prev_total_var = 0.0
+    shape: list[float] = []
+    for k, sigma in quotes:
+        if not (0 < k <= timesteps):
+            return Failure(
+                InvalidSimulationParams(
+                    field="quotes",
+                    value=k,
+                    reason=f"expiry step must be in [1, {timesteps}]",
+                )
+            )
+        if k <= prev_k:
+            return Failure(
+                InvalidSimulationParams(
+                    field="quotes", value=k, reason="expiry steps must be increasing"
+                )
+            )
+        if sigma <= 0.0 or not math.isfinite(sigma):
+            return Failure(
+                InvalidSimulationParams(
+                    field="quotes", value=sigma, reason="implied vols must be > 0"
+                )
+            )
+        total_var = k * sigma * sigma  # in units of one grid step
+        fwd_var = (total_var - prev_total_var) / (k - prev_k)
+        if fwd_var < 0.0:
+            return Failure(
+                InvalidSimulationParams(
+                    field="quotes",
+                    value=(k, sigma),
+                    reason="calendar arbitrage: total implied variance "
+                    f"decreases at step {k} "
+                    f"({total_var:.6g} < {prev_total_var:.6g})",
+                )
+            )
+        shape.extend([math.sqrt(fwd_var) / reference_vol] * (k - prev_k))
+        prev_k, prev_total_var = k, total_var
+    if prev_k < timesteps:
+        shape.extend([shape[-1]] * (timesteps - prev_k))
+    return Success(tuple(shape))
+
+
 class BlackScholesContract(BaseModel):
     """One European-option market scenario (parity: reference ``BlackScholes.Inputs``)."""
 

@@ -428,6 +428,53 @@ def test_effect_route_carries_term() -> None:
     assert np.array_equal(payoffs, np.asarray(direct.put_payoffs))
 
 
+def test_bootstrap_vol_shape_reproduces_quotes_exactly() -> None:
+    """The piecewise-flat forward-variance strip must hit every quote: the
+    RMS of the shape over the first k_i steps times the reference vol IS
+    the quoted implied vol (to fp rounding)."""
+    from spectralmc_tpu.ops.gbm import bootstrap_vol_shape
+
+    ref = 0.25
+    quotes = ((2, 0.32), (5, 0.27), (8, 0.24))
+    shape = expect_success(bootstrap_vol_shape(quotes, timesteps=8, reference_vol=ref))
+    assert len(shape) == 8
+    for k, sigma in quotes:
+        rms = ref * np.sqrt(np.mean(np.square(shape[:k])))
+        assert rms == pytest.approx(sigma, rel=1e-12), (k, rms, sigma)
+    # last expiry == timesteps: the full-maturity effective vol is the last
+    # quote, so the term oracle collapses to flat Black at sigma_last
+    got = term_effective_black(
+        100.0, 100.0, 1.0, 0.03, 0.01, ref, vol_shape=shape, rate_shape=(), div_shape=()
+    )
+    want = black_scholes_price(100.0, 100.0, 1.0, 0.03, 0.01, 0.24)
+    assert float(got.put) == pytest.approx(float(want.put), rel=1e-9)
+
+
+def test_bootstrap_vol_shape_extends_flat_and_validates() -> None:
+    from spectralmc_tpu.ops.gbm import bootstrap_vol_shape
+
+    shape = expect_success(
+        bootstrap_vol_shape(((4, 0.3),), timesteps=8, reference_vol=0.3)
+    )
+    # one quote at the reference vol -> flat ones (to fp rounding)
+    assert shape == pytest.approx((1.0,) * 8, rel=1e-12)
+    # calendar arbitrage: total variance falls between expiries
+    err = expect_failure(
+        bootstrap_vol_shape(((2, 0.40), (4, 0.20)), timesteps=8, reference_vol=0.3)
+    )
+    assert "calendar arbitrage" in err.reason
+    assert isinstance(
+        expect_failure(
+            bootstrap_vol_shape(((4, 0.3), (2, 0.3)), timesteps=8, reference_vol=0.3)
+        ),
+        InvalidSimulationParams,
+    )
+    expect_failure(bootstrap_vol_shape((), timesteps=8, reference_vol=0.3))
+    expect_failure(bootstrap_vol_shape(((9, 0.3),), timesteps=8, reference_vol=0.3))
+    expect_failure(bootstrap_vol_shape(((4, -0.1),), timesteps=8, reference_vol=0.3))
+    expect_failure(bootstrap_vol_shape(((4, 0.3),), timesteps=8, reference_vol=0.0))
+
+
 def test_effect_route_rejects_bad_term() -> None:
     import asyncio
 

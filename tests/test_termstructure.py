@@ -428,6 +428,42 @@ def test_effect_route_carries_term() -> None:
     assert np.array_equal(payoffs, np.asarray(direct.put_payoffs))
 
 
+def test_sharded_term_training_matches_single_device() -> None:
+    """Curved-market training under the (batch, paths) mesh matches the
+    single-device run — the per-step coefficient arrays are row-independent,
+    so shard-stability is inherited from the normals keying."""
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.parallel.mesh import build_mesh_spec
+    from spectralmc_tpu.training.trainer import (
+        GbmCVNNPricer,
+        GbmCVNNPricerConfig,
+        build_training_config,
+    )
+    from tests.helpers.factories import CONTRACT_BOUNDS
+
+    term = TermStructure(vol_shape=(1.3, 0.7), rate_shape=(1.5, 0.5))
+    sim = make_simulation_params(
+        timesteps=2, network_size=16, batches_per_mc_run=8, term=term
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)],
+            seed=5,
+            precision=sim.precision,
+        )
+    )
+    cfg = GbmCVNNPricerConfig(sim=sim, bounds=CONTRACT_BOUNDS, cvnn=cvnn)
+    tc = expect_success(
+        build_training_config(num_batches=4, batch_size=8, learning_rate=2e-3)
+    )
+    spec = expect_success(build_mesh_spec(batch_shards=2, paths_shards=4))
+    single = expect_success(GbmCVNNPricer.create(cfg))
+    sharded = expect_success(GbmCVNNPricer.create(cfg, mesh_spec=spec))
+    r1 = expect_success(single.train(tc))
+    r2 = expect_success(sharded.train(tc))
+    np.testing.assert_allclose(r2.losses, r1.losses, rtol=2e-4)
+
+
 def test_bootstrap_vol_shape_reproduces_quotes_exactly() -> None:
     """The piecewise-flat forward-variance strip must hit every quote: the
     RMS of the shape over the first k_i steps times the reference vol IS

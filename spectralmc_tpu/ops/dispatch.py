@@ -153,7 +153,6 @@ def make_underlier_simulator(
     use_pallas = (
         sim.implementation == SimImplementation.PALLAS
         and sim.sampling == SamplingKind.PSEUDO
-        and sim.term is None
     )
     sampling_kwargs: dict[str, object] = {}
     if sim.sampling != SamplingKind.PSEUDO:
@@ -260,8 +259,9 @@ def make_underlier_simulator(
 
     gbm_kwargs = sampling_kwargs
     if sim.term is not None:
-        # term structures route to the XLA engine (resolve_implementation);
-        # only the XLA simulator takes the knob
+        # both engines take the knob: the XLA scan threads per-step
+        # coefficients; the Pallas wrapper routes curved terms to the term
+        # kernel (flat terms to the flat kernel) and falls back itself
         gbm_kwargs = {**sampling_kwargs, "term": sim.term}
 
     def simulate(

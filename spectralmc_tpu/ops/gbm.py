@@ -706,10 +706,22 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
         # MXU-shaped work the XLA engine expresses directly; the Pallas
         # kernels' in-register streaming RNG has no Sobol counterpart
         return SimImplementation.XLA
-    if params.term is not None:
-        # the Pallas GBM kernel computes one flat drift/vol pair in-register;
-        # per-step curves run on the XLA engine (same threefry bit stream
-        # discipline, so this is an engine choice, not a stream change)
+    if params.term is not None and not params.term.is_flat():
+        # genuinely curved markets run the term kernel (per-step SMEM
+        # coefficients, stream key "gbm_term") at supported shapes;
+        # the reflection-Euler compatibility scheme stays on XLA. An
+        # exactly-flat term is the same program as no term and falls
+        # through to the flat-kernel logic below.
+        if params.scheme != PathScheme.LOG_EULER:
+            return SimImplementation.XLA
+        from spectralmc_tpu.ops.gbm_pallas import pallas_supported as _ps
+
+        if _ps(
+            dtype=params.precision.to_jnp(),
+            rows=params.batches_per_mc_run if rows is None else rows,
+            cols=params.network_size,
+        ):
+            return SimImplementation.PALLAS
         return SimImplementation.XLA
     from spectralmc_tpu.ops.gbm_pallas import pallas_supported
 
@@ -1184,7 +1196,9 @@ def simulate_terminal(
     ).reshape(batches * network_size)
 
 
-@partial(jax.jit, static_argnames=("timesteps", "paths", "dtype", "scheme", "normalize"))
+@partial(
+    jax.jit, static_argnames=("timesteps", "paths", "dtype", "scheme", "normalize", "term")
+)
 def simulate_paths(
     contract_key: jax.Array,
     contract: jax.Array,
@@ -1339,6 +1353,8 @@ class BlackScholes:
             from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
 
             simulate = simulate_underlier_rows_pallas
+            if p.term is not None:
+                kwargs["term"] = p.term
         else:
             simulate = simulate_underlier_rows
             if p.payoff in AMERICAN_PAYOFFS:

@@ -67,6 +67,12 @@ _HALF_ULP = float(2.0**-25)
 #   merton v1 — round 3 (sincos Gaussian pair + scalar-cdf inverse-CDF
 #               Poisson from one extra uniform; counts shared across
 #               antithetic partners).
+#   gbm_term v1 — round 3 term-structure kernel: per-step (drift, vol·√dt)
+#               from an SMEM table; the TERMINAL pair-step survives per-step
+#               vols via the phase-shift identity v_a·cosθ + v_b·sinθ =
+#               R·sin(θ+φ) with per-pair (R, φ) computed outside the kernel.
+#               Runs ONLY for genuinely curved TermStructures (flat curves
+#               are the flat kernel's program, bit-identically).
 #   american_gbm v1 — round 3 monitor-row kernel (pair-step within a monitor
 #               segment + one single step on odd segment lengths; the
 #               backward induction consumes the emitted rows in XLA and is
@@ -78,6 +84,7 @@ _HALF_ULP = float(2.0**-25)
 #               per-step Poisson semantics).
 PALLAS_STREAM_VERSIONS: dict[str, int] = {
     "gbm": 2,
+    "gbm_term": 1,
     "heston": 3,
     "basket_gbm": 1,
     "merton_jump": 1,
@@ -88,18 +95,25 @@ PALLAS_STREAM_VERSIONS: dict[str, int] = {
 }
 
 
-def pallas_stream_version(model: "object", payoff: "object | None" = None) -> int:
+def pallas_stream_version(
+    model: "object", payoff: "object | None" = None, *, term: bool = False
+) -> int:
     """Current stream version for a (ModelKind[, PayoffKind]) pair — by value,
     avoids an import. The AMERICAN payoff kinds run a DIFFERENT forward
     kernel (monitor rows, not terminal values), so their stream is versioned
     under its own ``american_{family}`` key: a rebuild of the European
     terminal kernel must not invalidate American checkpoints or vice versa.
+    ``term=True`` (a genuinely curved ``TermStructure`` on GBM) selects the
+    term kernel's own ``gbm_term`` key for the same reason — its per-step
+    SMEM coefficient path is a separate program from the flat kernel.
     """
     family = getattr(model, "value", str(model))
     if payoff is not None and str(
         getattr(payoff, "value", payoff)
     ).startswith("american"):
         return PALLAS_STREAM_VERSIONS[f"american_{family}"]
+    if term and family == "gbm":
+        return PALLAS_STREAM_VERSIONS["gbm_term"]
     return PALLAS_STREAM_VERSIONS[family]
 
 
@@ -230,6 +244,157 @@ def _fori_unrolled(n: int, body, init, unroll: int = 4):
     for _ in range(n % unroll):
         carry = body(carry)
     return carry
+
+
+def _fori_unrolled_idx(n: int, body, init, unroll: int = 4):
+    """``_fori_unrolled`` whose body receives the step index: ``body(t, c)``.
+
+    Needed by the term-structure kernel, whose per-step coefficients live in
+    an SMEM table indexed by ``t`` (scalar SMEM loads — the natural TPU way
+    to feed a dynamic loop per-iteration constants). Execution order — hence
+    the stateful PRNG's bit stream — is exactly the sequential loop's.
+    """
+
+    def grouped(g: jax.Array, carry):
+        for k in range(unroll):
+            carry = body(g * unroll + k, carry)
+        return carry
+
+    carry = init
+    if n >= unroll:
+        carry = jax.lax.fori_loop(0, n // unroll, grouped, carry)
+    base = (n // unroll) * unroll
+    for k in range(n % unroll):
+        carry = body(base + k, carry)
+    return carry
+
+
+def _term_coeff_tables(
+    contract: jax.Array, term_shapes: tuple[tuple[float, ...], ...], timesteps: int
+) -> tuple[jax.Array, jax.Array]:
+    """(step [T,2], pair [ceil(T/2),2]) f32 SMEM payloads for the term kernel.
+
+    step[t] = (log-drift_t·dt, vol_t·√dt). pair[p] packs the phase-shift
+    constants that keep the Box–Muller pair-step alive under per-step vols:
+
+        v_a·r·cos θ + v_b·r·sin θ = r·R·sin(θ + φ),
+        R = √(v_a² + v_b²)·√dt,  φ = atan2(v_a, v_b) / 2π  (turns)
+
+    — the flat kernel's ``√2·sin(θ + 1/8)`` is the v_a = v_b special case.
+    One sine per TWO timesteps survives arbitrary vol curves; the constants
+    are computed here, outside the kernel, once per contract.
+    """
+    vs, rs, qs = term_shapes
+    dtype = jnp.float32
+    _, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
+    dt = maturity / jnp.asarray(timesteps, dtype)
+    sqrt_dt = jnp.sqrt(dt)
+    vsa, rsa, qsa = (jnp.asarray(s, dtype) for s in (vs, rs, qs))
+    vol_t = vol * vsa
+    drift = (rate * rsa - div_yield * qsa - 0.5 * vol_t * vol_t) * dt
+    vol_sdt = vol_t * sqrt_dt
+    step = jnp.stack([drift, vol_sdt], axis=1)  # [T, 2]
+    n_pairs = max(timesteps // 2, 1)
+    va = vol_sdt[0 : 2 * n_pairs : 2]
+    vb = vol_sdt[1 : 2 * n_pairs : 2]
+    radius = jnp.sqrt(va * va + vb * vb)
+    phi_turns = jnp.arctan2(va, vb) * jnp.float32(1.0 / _TWO_PI)
+    pair = jnp.stack([radius, phi_turns], axis=1)  # [T//2, 2]
+    return step, pair
+
+
+def _gbm_term_block_kernel(
+    params_ref,  # SMEM (1, 6): spot, strike, maturity, rate, div, vol
+    seeds_ref,  # SMEM (1, 3) int32: threefry key words + row-block offset
+    step_ref,  # SMEM (T, 2): per-step (drift*dt, vol*sqrt_dt)
+    pair_ref,  # SMEM (ceil(T/2), 2): per-pair (R, phi_turns)
+    out_ref,  # VMEM (BLOCK_ROWS, BLOCK_COLS)
+    *,
+    timesteps: int,
+    payoff: PayoffKind,
+    rows_per_block: int,
+    cols_per_block: int,
+    barrier_rel: float | None = None,
+    antithetic: bool = False,
+) -> None:
+    """Log-Euler GBM under piecewise-constant curves (stream ``gbm_term``).
+
+    Identical PRNG discipline to ``_gbm_block_kernel`` (same seeds mixing,
+    same draw order per payoff branch); only the per-step coefficients come
+    from SMEM tables instead of in-register flat scalars. LOG_EULER only —
+    the reflection-Euler compatibility scheme stays on the XLA engine.
+    """
+    i = pl.program_id(0) + seeds_ref[0, 2]
+    j = pl.program_id(1)
+    spot = params_ref[0, 0]
+    seed_a = seeds_ref[0, 0] ^ (
+        (i + 1) * jnp.int32(0x9E3779B1 & 0x7FFFFFFF) + j * jnp.int32(0x85EBCA6B & 0x7FFFFFFF)
+    )
+    seed_b = seeds_ref[0, 1] ^ (
+        (j + 1) * jnp.int32(0xC2B2AE35 & 0x7FFFFFFF) + i * jnp.int32(0x27D4EB2F)
+    )
+    pltpu.prng_seed(seed_a, seed_b)
+
+    shape = (rows_per_block, cols_per_block)
+    gen_shape = (rows_per_block // 2, cols_per_block) if antithetic else shape
+
+    def _mirror(z: jax.Array) -> jax.Array:
+        return jnp.concatenate([z, -z], axis=0) if antithetic else z
+
+    def step_single(t: jax.Array, logx: jax.Array) -> jax.Array:
+        u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(gen_shape)
+        z = _mirror(_bm_radius(u1) * _sin_turns(u2 + jnp.float32(0.25)))
+        return logx + step_ref[t, 0] + step_ref[t, 1] * z
+
+    inv_n = jnp.float32(1.0 / timesteps)
+    log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
+    if payoff == PayoffKind.TERMINAL:
+        # phase-shifted pair step: both Box–Muller outputs advance two
+        # steps with ONE sine even though the two vols differ
+        def step_pair(p: jax.Array, logx: jax.Array) -> jax.Array:
+            u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+            u2 = _uniform_24bit(gen_shape)
+            z_mix = _mirror(
+                _bm_radius(u1) * pair_ref[p, 0] * _sin_turns(u2 + pair_ref[p, 1])
+            )
+            t = 2 * p
+            return logx + (step_ref[t, 0] + step_ref[t + 1, 0]) + z_mix
+
+        logx = _fori_unrolled_idx(timesteps // 2, step_pair, log0)
+        if timesteps % 2:
+            logx = step_single(jnp.int32(timesteps - 1), logx)
+        out_ref[:, :] = jnp.exp(logx)
+    elif payoff in BARRIER_PAYOFFS:
+        up = payoff == PayoffKind.BARRIER_UP_OUT
+        extreme_fn = jnp.maximum if up else jnp.minimum
+        level = jnp.log(spot * jnp.float32(barrier_rel))
+
+        def step_barrier(
+            t: jax.Array, carry: tuple[jax.Array, jax.Array]
+        ) -> tuple[jax.Array, jax.Array]:
+            logx, ext = carry
+            logx = step_single(t, logx)
+            return (logx, extreme_fn(ext, logx))
+
+        logx, ext = _fori_unrolled_idx(timesteps, step_barrier, (log0, log0))
+        knocked = ext >= level if up else ext <= level
+        out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
+    else:
+        geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
+
+        def step_acc(
+            t: jax.Array, carry: tuple[jax.Array, jax.Array]
+        ) -> tuple[jax.Array, jax.Array]:
+            logx, acc = carry
+            logx = step_single(t, logx)
+            acc = acc + (logx if geometric else jnp.exp(logx))
+            return (logx, acc)
+
+        _, acc = _fori_unrolled_idx(
+            timesteps, step_acc, (log0, jnp.zeros(shape, jnp.float32))
+        )
+        out_ref[:, :] = jnp.exp(acc * inv_n) if geometric else acc * inv_n
 
 
 def _gbm_block_kernel(
@@ -459,6 +624,84 @@ def _simulate_rows_pallas_f32(
     )(params, seeds)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "timesteps", "rows", "cols", "payoff", "barrier_rel",
+        "antithetic", "term_shapes", "interpret",
+    ),
+)
+def _simulate_term_rows_pallas_f32(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    payoff: PayoffKind,
+    term_shapes: tuple[tuple[float, ...], ...],
+    barrier_rel: float | None = None,
+    antithetic: bool = False,
+    row_offset: jax.Array | int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    block_rows = min(BLOCK_ROWS, rows)
+    block_cols = min(BLOCK_COLS, cols)
+    if rows % block_rows or cols % block_cols:
+        raise ValueError(
+            f"pallas path needs rows/cols divisible by block ({block_rows},{block_cols})"
+        )
+    key_data = jax.random.key_data(contract_key)
+    row_block = (
+        jnp.asarray(row_offset, jnp.uint32) // jnp.uint32(block_rows)
+    ).astype(jnp.int32)
+    seeds = jnp.concatenate(
+        [key_data.astype(jnp.int32).reshape(2), row_block.reshape(1)]
+    ).reshape(1, 3)
+    params = contract.astype(jnp.float32).reshape(1, 6)
+    step, pair = _term_coeff_tables(contract, term_shapes, timesteps)
+
+    kernel = functools.partial(
+        _gbm_term_block_kernel,
+        timesteps=timesteps,
+        payoff=payoff,
+        rows_per_block=block_rows,
+        cols_per_block=block_cols,
+        barrier_rel=barrier_rel,
+        antithetic=antithetic,
+    )
+    grid = (rows // block_rows, cols // block_cols)
+    n_pairs = max(timesteps // 2, 1)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 6), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (timesteps, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (n_pairs, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rows, block_cols),
+                lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rows * cols * timesteps,
+            bytes_accessed=rows * cols * 4,
+            transcendentals=3 * rows * cols * timesteps,
+        ),
+        interpret=interpret,
+    )(params, seeds, step, pair)
+
+
 def simulate_terminal_rows_pallas(
     contract_key: jax.Array,
     contract: jax.Array,
@@ -647,6 +890,7 @@ def simulate_underlier_rows_pallas(
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
+    term: "object | None" = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Payoff underliers (terminal, path average, or knockout-masked
@@ -658,7 +902,52 @@ def simulate_underlier_rows_pallas(
     the pair-step shortcut needs increments only and does not apply). Falls
     back to the XLA ``simulate_underlier_rows`` off-TPU or for unsupported
     shapes/dtypes.
+
+    A genuinely curved ``term`` (TermStructure) routes to the term kernel
+    (stream ``gbm_term``, LOG_EULER only); an exactly-flat term is the same
+    program as no term and takes the flat kernel.
     """
+    if term is not None and term.is_flat():
+        term = None  # flat curves are bit-identical to no curves
+    if term is not None:
+        if scheme == PathScheme.LOG_EULER and (
+            (
+                interpret
+                and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+                and rows % min(BLOCK_ROWS, rows) == 0
+                and cols % min(BLOCK_COLS, cols) == 0
+            )
+            or pallas_supported(dtype=dtype, rows=rows, cols=cols)
+        ):
+            return _simulate_term_rows_pallas_f32(
+                contract_key,
+                contract,
+                timesteps=timesteps,
+                rows=rows,
+                cols=cols,
+                payoff=payoff,
+                term_shapes=term.shapes(timesteps),
+                barrier_rel=barrier_rel,
+                antithetic=antithetic_half is not None,
+                row_offset=row_offset,
+                interpret=interpret,
+            )
+        from spectralmc_tpu.ops.gbm import simulate_underlier_rows
+
+        return simulate_underlier_rows(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            scheme=scheme,
+            payoff=payoff,
+            row_offset=row_offset,
+            barrier_rel=barrier_rel,
+            antithetic_half=antithetic_half,
+            term=term,
+        )
     if payoff == PayoffKind.TERMINAL:
         return simulate_terminal_rows_pallas(
             contract_key,

@@ -490,7 +490,9 @@ class GbmCVNNPricer:
             from spectralmc_tpu.ops.gbm_pallas import pallas_stream_version
 
             stream_version = pallas_stream_version(
-                config.sim.model, config.sim.payoff
+                config.sim.model,
+                config.sim.payoff,
+                term=config.sim.term is not None and not config.sim.term.is_flat(),
             )
             recorded = config.pallas_stream_version or (1 if mid_stream else stream_version)
             if mid_stream and recorded != stream_version and not allow_engine_fallback:

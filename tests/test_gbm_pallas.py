@@ -820,3 +820,192 @@ def test_family_american_dispatch_selects_pallas_wrappers() -> None:
         out = simulate(jax.random.PRNGKey(0), arr)
         assert out.shape == (8, 128) and bool(jnp.isfinite(out).all()), model
         assert pallas_stream_version(model, PayoffKind.AMERICAN_PUT) >= 1
+
+
+# --------------------------------------------------------------------------
+# Round 3: term-structure kernel (stream gbm_term v1)
+# --------------------------------------------------------------------------
+
+
+from spectralmc_tpu.ops.gbm import PayoffKind  # noqa: E402
+
+
+def _term_curved():
+    from spectralmc_tpu.ops.gbm import TermStructure
+
+    T = 8
+    return TermStructure(
+        vol_shape=tuple(1.5 - 1.0 * i / T for i in range(T)),
+        rate_shape=tuple(0.5 + 1.0 * i / T for i in range(T)),
+    )
+
+
+def test_term_interpret_zero_bits_matches_phase_identity() -> None:
+    """Zero-bit RNG makes the term kernel a deterministic recursion we can
+    replay host-side with the MODULE'S OWN scalar helpers: each pair adds
+    (d_a + d_b) + r0 * R_p * sin_turns(phi_p) — a sharp gate on the SMEM
+    table plumbing and the phase-shift pair identity, independent of the
+    RNG distribution."""
+    from spectralmc_tpu.ops.gbm_pallas import (
+        _bm_radius,
+        _sin_turns,
+        _term_coeff_tables,
+        simulate_underlier_rows_pallas,
+    )
+
+    term = _term_curved()
+    arr = CONTRACT.as_array(jnp.float32)
+    T = 8
+    with pltpu.force_tpu_interpret_mode():
+        rows = simulate_underlier_rows_pallas(
+            jax.random.PRNGKey(1), arr, timesteps=T, rows=8, cols=128,
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            payoff=PayoffKind.TERMINAL, term=term, interpret=True,
+        )
+    t = np.asarray(rows)
+    assert t.shape == (8, 128) and np.all(np.isfinite(t)) and np.all(t > 0)
+    assert np.allclose(t, t[0, 0])  # zero-bit RNG -> identical paths
+    step, pair = _term_coeff_tables(arr, term.shapes(T), T)
+    r0 = float(_bm_radius(jnp.float32(2.0**-25)))
+    logx = float(jnp.log(arr[0]))
+    for p in range(T // 2):
+        logx += float(step[2 * p, 0] + step[2 * p + 1, 0])
+        logx += r0 * float(pair[p, 0]) * float(_sin_turns(pair[p, 1]))
+    np.testing.assert_allclose(t[0, 0], np.exp(np.float32(logx)), rtol=1e-5)
+
+
+def test_term_interpret_zero_bits_asian_and_barrier() -> None:
+    """Per-step branches: the Asian accumulator and the barrier running
+    extreme consume step_ref[t] singles — replay the deterministic skeleton
+    host-side."""
+    from spectralmc_tpu.ops.gbm_pallas import (
+        _bm_radius,
+        _sin_turns,
+        _term_coeff_tables,
+        simulate_underlier_rows_pallas,
+    )
+
+    term = _term_curved()
+    arr = CONTRACT.as_array(jnp.float32)
+    T = 8
+    step, _ = _term_coeff_tables(arr, term.shapes(T), T)
+    r0 = float(_bm_radius(jnp.float32(2.0**-25)))
+    z0 = r0 * float(_sin_turns(jnp.float32(0.25)))
+    logs = []
+    logx = float(jnp.log(arr[0]))
+    for t_i in range(T):
+        logx += float(step[t_i, 0]) + float(step[t_i, 1]) * z0
+        logs.append(logx)
+    with pltpu.force_tpu_interpret_mode():
+        asian = simulate_underlier_rows_pallas(
+            jax.random.PRNGKey(1), arr, timesteps=T, rows=8, cols=128,
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            payoff=PayoffKind.ASIAN_GEOMETRIC, term=term, interpret=True,
+        )
+    want_geo = np.exp(np.mean(np.asarray(logs, dtype=np.float64)))
+    np.testing.assert_allclose(float(asian[0, 0]), want_geo, rtol=1e-5)
+    # barrier far above any zero-bit path: terminal value survives
+    with pltpu.force_tpu_interpret_mode():
+        barrier = simulate_underlier_rows_pallas(
+            jax.random.PRNGKey(1), arr, timesteps=T, rows=8, cols=128,
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            payoff=PayoffKind.BARRIER_UP_OUT, barrier_rel=1e6,
+            term=term, interpret=True,
+        )
+    np.testing.assert_allclose(float(barrier[0, 0]), np.exp(logs[-1]), rtol=1e-5)
+
+
+def test_term_flat_curves_take_the_flat_kernel_bitstream() -> None:
+    """An exactly-flat TermStructure through the pallas wrapper is the SAME
+    program as no term — bit-identical output, no gbm_term stream."""
+    from spectralmc_tpu.ops.gbm import TermStructure
+    from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
+
+    arr = CONTRACT.as_array(jnp.float32)
+    flat_term = TermStructure(vol_shape=(1.0,) * 8, rate_shape=(1.0,) * 8)
+    with pltpu.force_tpu_interpret_mode():
+        base = simulate_underlier_rows_pallas(
+            jax.random.PRNGKey(2), arr, timesteps=8, rows=8, cols=128,
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            payoff=PayoffKind.TERMINAL, interpret=True,
+        )
+        with_term = simulate_underlier_rows_pallas(
+            jax.random.PRNGKey(2), arr, timesteps=8, rows=8, cols=128,
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            payoff=PayoffKind.TERMINAL, term=flat_term, interpret=True,
+        )
+    assert np.array_equal(np.asarray(base), np.asarray(with_term))
+
+
+def test_term_pallas_fallback_matches_xla() -> None:
+    """Off-TPU (no interpret) the wrapper falls back BIT-EXACTLY to the XLA
+    simulator with the term threaded through."""
+    from spectralmc_tpu.ops.gbm import simulate_underlier_rows
+    from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
+
+    term = _term_curved()
+    arr = CONTRACT.as_array(jnp.float32)
+    kw = dict(
+        timesteps=8, rows=8, cols=128, dtype=jnp.float32,
+        scheme=PathScheme.LOG_EULER, payoff=PayoffKind.ASIAN_ARITHMETIC,
+    )
+    got = simulate_underlier_rows_pallas(
+        jax.random.PRNGKey(3), arr, term=term, **kw
+    )
+    want = simulate_underlier_rows(jax.random.PRNGKey(3), arr, term=term, **kw)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_term_antithetic_in_block_mirroring() -> None:
+    """With antithetic on, the bottom half of each block mirrors the top
+    half's normals negated — under zero-bit RNG the two halves are the two
+    deterministic +/- z0 paths."""
+    from spectralmc_tpu.ops.gbm_pallas import (
+        _bm_radius,
+        _sin_turns,
+        _term_coeff_tables,
+        simulate_underlier_rows_pallas,
+    )
+
+    term = _term_curved()
+    arr = CONTRACT.as_array(jnp.float32)
+    T = 8
+    with pltpu.force_tpu_interpret_mode():
+        rows = simulate_underlier_rows_pallas(
+            jax.random.PRNGKey(1), arr, timesteps=T, rows=8, cols=128,
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            payoff=PayoffKind.ASIAN_GEOMETRIC, term=term,
+            antithetic_half=4, interpret=True,
+        )
+    t = np.asarray(rows)
+    step, _ = _term_coeff_tables(arr, term.shapes(T), T)
+    r0 = float(_bm_radius(jnp.float32(2.0**-25)))
+    z0 = r0 * float(_sin_turns(jnp.float32(0.25)))
+    for sign, row in ((1.0, 0), (-1.0, 4)):
+        logx = float(jnp.log(arr[0]))
+        acc = 0.0
+        for t_i in range(T):
+            logx += float(step[t_i, 0]) + float(step[t_i, 1]) * sign * z0
+            acc += logx
+        np.testing.assert_allclose(t[row, 0], np.exp(acc / T), rtol=1e-5)
+    assert not np.allclose(t[0, 0], t[4, 0])
+
+
+def test_term_stream_version_and_resolution() -> None:
+    """Curved terms carry their own stream key; flat terms do not. Off-TPU
+    resolution is XLA (pallas_supported needs the hardware)."""
+    from spectralmc_tpu.ops.gbm import (
+        ModelKind,
+        SimImplementation,
+        build_simulation_params,
+        resolve_implementation,
+    )
+    from spectralmc_tpu.ops.gbm_pallas import pallas_stream_version
+
+    assert pallas_stream_version(ModelKind.GBM, term=True) == 1
+    assert pallas_stream_version(ModelKind.GBM, term=False) == 2  # flat gbm v2
+    sim = build_simulation_params(
+        timesteps=8, network_size=128, batches_per_mc_run=8, mc_seed=1,
+        implementation=SimImplementation.PALLAS, term=_term_curved(),
+    ).expect("sim")
+    assert resolve_implementation(sim) == SimImplementation.XLA  # off-TPU

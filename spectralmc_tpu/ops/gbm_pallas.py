@@ -750,7 +750,10 @@ def simulate_terminal_rows_pallas(
 
 
 def terminal_pathwise_vjp(
-    g: jax.Array, s_t: jax.Array, contract: jax.Array
+    g: jax.Array,
+    s_t: jax.Array,
+    contract: jax.Array,
+    term_factors: tuple[float, float, float] | None = None,
 ) -> jax.Array:
     """Cotangent on the 6-vector contract from cotangent ``g`` on log-Euler
     terminal values ``s_t`` — WITHOUT re-running the simulation.
@@ -770,20 +773,28 @@ def terminal_pathwise_vjp(
     f32 rounding in the W recovery — irrelevant against MC noise), which is
     how the Pallas engine gets Greeks without a Mosaic backward pass: the
     forward kernel's own samples ARE the residuals (VERDICT r2 weak #5c).
+
+    ``term_factors = (mv2, mr, mq)`` — (mean(vs²), mean(rs), mean(qs)) of a
+    TermStructure's shapes — generalizes the rule to curved markets: the
+    contract scalars multiply EVERY step uniformly, so
+    ``log S_T = log S0 + (r·mr − q·mq − ½v²·mv2)·T + W`` with the same
+    output-only W recovery, and the Jacobian is the flat one with the
+    effective factors (∂/∂r = mr·T, ∂/∂v = −v·mv2·T + W/v, …).
     """
     dtype = s_t.dtype
     spot, _, maturity, rate, div_yield, vol = (
         contract[i].astype(dtype) for i in range(6)
     )
-    mu = rate - div_yield - 0.5 * vol * vol
+    mv2, mr, mq = term_factors if term_factors is not None else (1.0, 1.0, 1.0)
+    mu = rate * mr - div_yield * mq - 0.5 * vol * vol * mv2
     w = jnp.log(s_t / spot) - mu * maturity
     gs = g * s_t  # cotangent on log S_T
     total = jnp.sum(gs)
     d_spot = total / spot
     d_mat = jnp.sum(gs * (mu + w / (2.0 * maturity)))
-    d_rate = maturity * total
-    d_div = -maturity * total
-    d_vol = jnp.sum(gs * (-vol * maturity + w / vol))
+    d_rate = mr * maturity * total
+    d_div = -mq * maturity * total
+    d_vol = jnp.sum(gs * (-vol * mv2 * maturity + w / vol))
     zero = jnp.zeros((), dtype)
     return jnp.stack([d_spot, zero, d_mat, d_rate, d_div, d_vol]).astype(
         contract.dtype
@@ -792,10 +803,36 @@ def terminal_pathwise_vjp(
 
 @functools.lru_cache(maxsize=None)
 def _terminal_pallas_diff(
-    timesteps: int, rows: int, cols: int, antithetic: bool
+    timesteps: int,
+    rows: int,
+    cols: int,
+    antithetic: bool,
+    term_shapes: tuple[tuple[float, ...], ...] | None = None,
 ) -> "jax.custom_vjp":
+    if term_shapes is not None:
+        vs, rs, qs = term_shapes
+        n = float(timesteps)
+        factors = (
+            sum(v * v for v in vs) / n,
+            sum(rs) / n,
+            sum(qs) / n,
+        )
+    else:
+        factors = None
+
     @jax.custom_vjp
     def f(key: jax.Array, contract: jax.Array) -> jax.Array:
+        if term_shapes is not None:
+            return _simulate_term_rows_pallas_f32(
+                key,
+                contract,
+                timesteps=timesteps,
+                rows=rows,
+                cols=cols,
+                payoff=PayoffKind.TERMINAL,
+                term_shapes=term_shapes,
+                antithetic=antithetic,
+            )
         return _simulate_rows_pallas_f32(
             key,
             contract,
@@ -812,7 +849,7 @@ def _terminal_pallas_diff(
 
     def bwd(res, g):
         out, contract = res
-        return (None, terminal_pathwise_vjp(g, out, contract))
+        return (None, terminal_pathwise_vjp(g, out, contract, factors))
 
     f.defvjp(fwd, bwd)
     return f
@@ -827,6 +864,7 @@ def simulate_terminal_rows_pallas_diff(
     cols: int,
     dtype: jnp.dtype,
     antithetic_half: int | None = None,
+    term: "object | None" = None,
 ) -> jax.Array:
     """Differentiable Pallas terminal simulator (log-Euler TERMINAL only).
 
@@ -834,7 +872,11 @@ def simulate_terminal_rows_pallas_diff(
     rule (``terminal_pathwise_vjp``) over the kernel's OWN samples — Greeks
     at kernel speed, no XLA-stream recompute, no second bit stream. Falls
     back to the (autodiff-transparent) XLA path where the kernel can't run.
+    Curved ``term`` structures route to the term kernel with the
+    effective-factor backward rule; flat ones are the flat program.
     """
+    if term is not None and term.is_flat():
+        term = None
     if not pallas_supported(dtype=dtype, rows=rows, cols=cols):
         from spectralmc_tpu.ops.gbm import simulate_terminal_rows
 
@@ -847,10 +889,15 @@ def simulate_terminal_rows_pallas_diff(
             dtype=dtype,
             scheme=PathScheme.LOG_EULER,
             antithetic_half=antithetic_half,
+            term=term,
         )
-    return _terminal_pallas_diff(timesteps, rows, cols, antithetic_half is not None)(
-        contract_key, contract
-    )
+    return _terminal_pallas_diff(
+        timesteps,
+        rows,
+        cols,
+        antithetic_half is not None,
+        term.shapes(timesteps) if term is not None else None,
+    )(contract_key, contract)
 
 
 def simulate_terminal_pallas(

@@ -176,7 +176,8 @@ def greeks_engine(sim: SimulationParams) -> SimImplementation:
         and sim.model == ModelKind.GBM
         and sim.payoff == PayoffKind.TERMINAL
         and sim.scheme == PathScheme.LOG_EULER
-        and sim.term is None
+        # term structures keep the kernel: the pathwise rule generalizes
+        # with the curve's effective factors (terminal_pathwise_vjp)
     ):
         from spectralmc_tpu.ops.gbm_pallas import pallas_supported
 
@@ -215,6 +216,7 @@ def _make_raw_price_fn(
                 cols=sim.network_size,
                 dtype=dtype,
                 antithetic_half=anti,
+                term=sim.term,
             )
     else:
         xla_sim = sim.model_copy(update={"implementation": SimImplementation.XLA})

@@ -1009,3 +1009,58 @@ def test_term_stream_version_and_resolution() -> None:
         implementation=SimImplementation.PALLAS, term=_term_curved(),
     ).expect("sim")
     assert resolve_implementation(sim) == SimImplementation.XLA  # off-TPU
+
+
+def test_terminal_pathwise_vjp_term_matches_autodiff() -> None:
+    """The effective-factor generalization of the pathwise rule must equal
+    jax.grad of the XLA simulator WITH the term threaded — verifying the
+    Pallas engine's curved-market backward pass off-TPU."""
+    from spectralmc_tpu.ops.gbm import simulate_terminal_rows
+    from spectralmc_tpu.ops.gbm_pallas import terminal_pathwise_vjp
+
+    term = _term_curved()
+    T = 8
+    vs, rs, qs = term.shapes(T)
+    factors = (
+        sum(v * v for v in vs) / T,
+        sum(rs) / T,
+        sum(qs) / T,
+    )
+    key = jax.random.PRNGKey(9)
+    arr = CONTRACT.as_array(jnp.float64)
+    kw = dict(timesteps=T, rows=16, cols=64, dtype=jnp.float64,
+              scheme=PathScheme.LOG_EULER, term=term)
+    w = jnp.linspace(0.5, 2.0, 16 * 64).reshape(16, 64).astype(jnp.float64)
+
+    def loss(c):
+        return jnp.sum(w * simulate_terminal_rows(key, c, **kw))
+
+    want = np.asarray(jax.grad(loss)(arr))
+    s_t = simulate_terminal_rows(key, arr, **kw)
+    got = np.asarray(terminal_pathwise_vjp(w, s_t, arr, factors))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_greeks_engine_keeps_pallas_under_term() -> None:
+    """greeks_engine no longer downgrades curved-term sims; mc_greeks through
+    the (off-TPU fallback) diff wrapper matches the XLA IPA estimator."""
+    from spectralmc_tpu.ops.gbm import (
+        SimImplementation,
+        build_simulation_params,
+    )
+    from spectralmc_tpu.ops.greeks import OptionSide, greeks_engine, mc_greeks
+
+    sim = build_simulation_params(
+        timesteps=8, network_size=128, batches_per_mc_run=16, mc_seed=3,
+        implementation=SimImplementation.PALLAS, term=_term_curved(),
+    ).expect("sim")
+    # off-TPU pallas_supported is False -> the XLA engine actually runs,
+    # but the SELECTION no longer special-cases term
+    g = mc_greeks(sim, CONTRACT, option=OptionSide.PUT)
+    assert g.engine == greeks_engine(sim)
+    xla_sim = sim.model_copy(update={"implementation": SimImplementation.XLA})
+    g2 = mc_greeks(xla_sim, CONTRACT, option=OptionSide.PUT)
+    for field in ("spot", "strike", "maturity", "rate", "div_yield", "vol"):
+        np.testing.assert_allclose(
+            g.by_field[field], g2.by_field[field], rtol=1e-5, atol=1e-7
+        )

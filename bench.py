@@ -821,6 +821,43 @@ def main() -> None:
 
     heston_ps = bench_mc(heston_fn, **kw)
 
+    # Term-structure throughput: the gbm_term kernel (per-step SMEM
+    # coefficients + phase-shifted pair-step) vs the XLA scan with the same
+    # curves. Chip-unproven Mosaic surface -> one-extra guard, like the
+    # American kernels.
+    from spectralmc_tpu.ops.gbm import TermStructure
+
+    term = TermStructure(
+        vol_shape=tuple(1.5 - 1.0 * i / mc["timesteps"] for i in range(mc["timesteps"])),
+        rate_shape=tuple(0.5 + 1.0 * i / mc["timesteps"] for i in range(mc["timesteps"])),
+    )
+
+    from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
+
+    def term_pallas_fn(key, contract):
+        return simulate_underlier_rows_pallas(
+            key, contract, timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"],
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            payoff=PayoffKind.TERMINAL, term=term,
+        )
+
+    def term_xla_fn(key, contract):
+        return simulate_terminal_rows(
+            key, contract, timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"],
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER, term=term,
+        )
+
+    term_xla_ps = bench_mc(term_xla_fn, **kw)
+    if on_tpu:
+        try:
+            term_ps = bench_mc(term_pallas_fn, **kw)
+        except Exception as exc:  # pragma: no cover - chip-side guard
+            print(f"[bench] term pallas engine failed ({exc!r}); "
+                  "reporting the XLA engine", file=sys.stderr)
+            term_ps = term_xla_ps
+    else:
+        term_ps = term_xla_ps
+
     # Merton family throughput: fused Pallas kernel (exact in-register
     # inverse-CDF Poisson, merton v1) on TPU; the wrapper falls back to the
     # XLA scan elsewhere. Both engines reported (the basket precedent).
@@ -870,6 +907,7 @@ def main() -> None:
         f"[bench] device={jax.devices()[0].device_kind} engine={engine} "
         f"xla_path_steps_per_sec={xla_ps:.3e} "
         f"heston_path_steps_per_sec={heston_ps:.3e} "
+        f"term_path_steps_per_sec={term_ps:.3e} "
         f"gbm_antithetic_path_steps_per_sec={antithetic_ps:.3e} "
         f"basket3_path_steps_per_sec={basket_ps:.3e} "
         f"american_lsmc_path_steps_per_sec={american_ps:.3e} "
@@ -903,6 +941,8 @@ def main() -> None:
                 "extras": {
                     "xla_path_steps_per_sec": xla_ps,
                     "heston_path_steps_per_sec": heston_ps,
+                    "term_path_steps_per_sec": term_ps,
+                    "term_xla_path_steps_per_sec": term_xla_ps,
                     "gbm_antithetic_path_steps_per_sec": antithetic_ps,
                     # 3-asset correlated basket: the fused Pallas kernel
                     # (in-register Cholesky mix) vs the XLA scan

@@ -273,14 +273,6 @@ class MonteCarloInterpreter:
                     validate_term_structure,
                 )
 
-                if payoff in AMERICAN_PAYOFFS:
-                    return Failure(
-                        MonteCarloError(
-                            effect_kind=effect.kind,
-                            reason="LSMC early exercise under term structures "
-                            "is unsupported",
-                        )
-                    )
                 checked_term = validate_term_structure(
                     TermStructure(
                         vol_shape=effect.term_vol,

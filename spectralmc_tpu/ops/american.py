@@ -45,8 +45,15 @@ def _lsmc_backward(
     basis_degree: int,
     axis_name: str | None = None,
     extra_rows: jax.Array | None = None,  # [monitor dates, ...] per-date state
+    disc_to_prev: jax.Array | None = None,  # [monitor dates] per-segment df
 ) -> jax.Array:
     """Longstaff–Schwartz backward induction → cashflows discounted to t=0.
+
+    ``disc_to_prev`` (term structures): per-monitor-date discounts —
+    ``disc_to_prev[i]`` is the discount over the segment ENDING at monitor
+    date i (``disc_to_prev[0]`` covers t=0 → t_1), replacing the flat
+    scalar ``disc`` in both the continuation valuation and the final
+    discount to t=0. ``None`` keeps the flat path byte-identical.
 
     ONE ``lax.scan`` over reversed time carrying the pathwise cashflow vector.
     The in-the-money regression solves ridge-stabilized normal equations
@@ -99,8 +106,8 @@ def _lsmc_backward(
     cf_terminal = immediate(price_rows[n - 1])
 
     def backward(cf_next: jax.Array, per_date) -> tuple[jax.Array, None]:
-        s_t, extra = per_date
-        y = disc * cf_next  # continuation cashflow valued at THIS date
+        s_t, extra, disc_step = per_date
+        y = disc_step * cf_next  # continuation cashflow valued at THIS date
         exercise_now = immediate(s_t)
         itm = (exercise_now > 0.0).astype(dtype)
         phi = basis(s_t, extra) * itm[..., None]  # [..., k]
@@ -125,19 +132,29 @@ def _lsmc_backward(
         take = (itm > 0.0) & (exercise_now > continuation)
         return jnp.where(take, exercise_now, y), None
 
-    # walk t_{N-1} .. t_1 (rows n-2 .. 0)
+    # walk t_{N-1} .. t_1 (rows n-2 .. 0); backward at row i consumes the
+    # discount over the segment ENDING at row i+1
+    if disc_to_prev is None:
+        disc_rev = jnp.broadcast_to(jnp.asarray(disc, dtype), (n - 1,))
+        disc_final = disc
+    else:
+        disc_rev = disc_to_prev[1:][::-1]
+        disc_final = disc_to_prev[0]
     if extra_rows is None:
-        def backward_no_extra(cf_next: jax.Array, s_t: jax.Array):
-            return backward(cf_next, (s_t, None))
+        def backward_no_extra(cf_next: jax.Array, per_date):
+            s_t, disc_step = per_date
+            return backward(cf_next, (s_t, None, disc_step))
 
-        cf_1, _ = jax.lax.scan(backward_no_extra, cf_terminal, price_rows[: n - 1][::-1])
+        cf_1, _ = jax.lax.scan(
+            backward_no_extra, cf_terminal, (price_rows[: n - 1][::-1], disc_rev)
+        )
     else:
         cf_1, _ = jax.lax.scan(
             backward,
             cf_terminal,
-            (price_rows[: n - 1][::-1], extra_rows[: n - 1][::-1]),
+            (price_rows[: n - 1][::-1], extra_rows[: n - 1][::-1], disc_rev),
         )
-    return disc * cf_1  # discounted to t = 0
+    return disc_final * cf_1  # discounted to t = 0
 
 
 def check_monitor_grid(timesteps: int, exercise_every: int) -> None:
@@ -171,6 +188,8 @@ def encode_monitor_prices(
     basis_degree: int,
     axis_name: str | None = None,
     extra_rows: jax.Array | None = None,
+    disc_to_prev: jax.Array | None = None,  # term curves: per-segment dfs
+    df_total: jax.Array | None = None,  # term curves: curve df(0, T)
 ) -> jax.Array:
     """Backward induction + synthetic-underlier encode from MONITOR-date
     price rows. The Bermudan cashflow cf (discounted to t=0) is re-encoded
@@ -188,8 +207,9 @@ def encode_monitor_prices(
         basis_degree=basis_degree,
         axis_name=axis_name,
         extra_rows=extra_rows,
+        disc_to_prev=disc_to_prev,
     )
-    df = jnp.exp(-rate * maturity)
+    df = jnp.exp(-rate * maturity) if df_total is None else df_total
     return strike - cf / df
 
 
@@ -207,19 +227,33 @@ def _american_encode(
     basis_degree: int,
     axis_name: str | None,
     extra_rows: jax.Array | None = None,
+    term: "object | None" = None,
 ) -> jax.Array:
     """Monitor-grid slice + backward induction + synthetic-underlier encode —
     the ONE Bermudan tail every dynamics shares (a divergence here would let
     GBM and Heston silently disagree about monitor semantics).
 
     Slicing the stored rows and compounding the one-step discount is exact:
-    dates between monitors carry no decision, only discounting.
+    dates between monitors carry no decision, only discounting. With a
+    ``term`` structure (GBM only) the per-monitor-segment discounts follow
+    the rate curve and the encode df is the curve-effective
+    ``exp(−r·mean(rs)·T)`` — the SAME df ``terminal_to_prices`` divides out,
+    so the round trip still reproduces cf exactly.
     """
     check_monitor_grid(timesteps, exercise_every)
     price_rows = jnp.exp(log_rows[exercise_every - 1 :: exercise_every])
     monitor_extra = (
         None if extra_rows is None else extra_rows[exercise_every - 1 :: exercise_every]
     )
+    disc_to_prev = None
+    df_total = None
+    if term is not None:
+        _, rs, _ = term.shapes(timesteps)
+        rate_dt = rate * jnp.asarray(rs, dtype) * dt  # [T] per-step r_t dt
+        seg = rate_dt.reshape(timesteps // exercise_every, exercise_every).sum(axis=1)
+        disc_to_prev = jnp.exp(-seg)  # [n_monitor] segment discounts
+        mr = sum(rs) / timesteps
+        df_total = jnp.exp(-rate * jnp.asarray(mr, dtype) * maturity)
     return encode_monitor_prices(
         price_rows,
         strike=strike,
@@ -231,6 +265,8 @@ def _american_encode(
         basis_degree=basis_degree,
         axis_name=axis_name,
         extra_rows=monitor_extra,
+        disc_to_prev=disc_to_prev,
+        df_total=df_total,
     )
 
 
@@ -246,6 +282,7 @@ def _american_encode(
         "exercise_every",
         "antithetic_half",
         "axis_name",
+        "term",
     ),
 )
 def simulate_american_underlier_rows(
@@ -262,6 +299,7 @@ def simulate_american_underlier_rows(
     row_offset: jax.Array | int = 0,
     antithetic_half: int | None = None,
     axis_name: str | None = None,
+    term: "object | None" = None,
 ) -> jax.Array:
     """``[rows, cols]`` SYNTHETIC underliers for the AMERICAN payoff kinds.
 
@@ -277,13 +315,24 @@ def simulate_american_underlier_rows(
     which couples ALL paths, stays shard-consistent by ``psum``-ing its
     moment sums over ``axis_name`` (see ``_lsmc_backward``).
     """
-    from spectralmc_tpu.ops.gbm import _row_streams
+    from spectralmc_tpu.ops.gbm import _row_streams, _step_coeffs
 
+    if term is not None and term.is_flat():
+        term = None  # flat curves are the flat program, bit-identically
     spot, strike, maturity, rate, _, vol = (contract[i].astype(dtype) for i in range(6))
     div_yield = contract[4].astype(dtype)
     dt = maturity / jnp.asarray(timesteps, dtype)
-    drift = (rate - div_yield - 0.5 * vol * vol) * dt
     sqrt_dt = jnp.sqrt(dt)
+    log_drift, _, vol_step = _step_coeffs(
+        term,
+        timesteps=timesteps,
+        dtype=dtype,
+        rate=rate,
+        div_yield=div_yield,
+        vol=vol,
+        dt=dt,
+        sqrt_dt=sqrt_dt,
+    )
 
     row_keys, sign = _row_streams(
         contract_key,
@@ -300,7 +349,7 @@ def simulate_american_underlier_rows(
         return z if sign is None else sign * z
 
     def fwd(logx: jax.Array, t: jax.Array) -> tuple[jax.Array, jax.Array]:
-        nxt = logx + drift + vol * sqrt_dt * normals(t)
+        nxt = logx + log_drift(t) + vol_step(t) * normals(t)
         return nxt, nxt
 
     log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
@@ -318,6 +367,7 @@ def simulate_american_underlier_rows(
         put=option == OptionSide.PUT,
         basis_degree=basis_degree,
         axis_name=axis_name,
+        term=term,
     )
 
 
@@ -901,8 +951,82 @@ def bermudan_tree_price(
     return float(value[0])
 
 
+def bermudan_grid_price(
+    *,
+    spot: float,
+    strike: float,
+    maturity: float,
+    rate: float,
+    div_yield: float,
+    vol: float,
+    timesteps: int,
+    exercise_every: int = 1,
+    option: str = "put",
+    vol_shape: tuple[float, ...] = (),
+    rate_shape: tuple[float, ...] = (),
+    div_shape: tuple[float, ...] = (),
+    grid_points: int = 2049,
+    width_std: float = 8.0,
+) -> float:
+    """Bermudan put/call by Gaussian-transition backward induction on a log
+    grid (host numpy float64) — the lattice oracle that handles TERM
+    STRUCTURES, which the CRR tree cannot (a recombining binomial lattice
+    needs constant vol; piecewise vols break recombination).
+
+    Exercise only on the simulator's monitor dates t_k = k·every·dt with
+    continuation expectations taken per STEP through the exact one-step
+    Gaussian transition of the log-Euler discretization (the same
+    construction as ``ops/analytic.py::discrete_barrier_price``) and the
+    step's own curve rate for discounting. Exact for the discrete-grid
+    Bermudan up to quadrature/truncation error (≪ the MC noise it gates);
+    with flat shapes it cross-validates against ``bermudan_tree_price``
+    (tests/test_termstructure.py).
+    """
+    check_monitor_grid(timesteps, exercise_every)
+    n = int(timesteps)
+    dt = maturity / n
+    vs = np.asarray(vol_shape or (1.0,) * n, dtype=np.float64)
+    rs = np.asarray(rate_shape or (1.0,) * n, dtype=np.float64)
+    qs = np.asarray(div_shape or (1.0,) * n, dtype=np.float64)
+    vol_t = vol * vs
+    drift_t = (rate * rs - div_yield * qs - 0.5 * vol_t * vol_t) * dt
+    sd_t = vol_t * np.sqrt(dt)
+    if (sd_t <= 0.0).any():
+        raise ValueError("bermudan_grid_price needs positive per-step vol")
+    disc_t = np.exp(-rate * rs * dt)
+    total_sd = float(np.sqrt((sd_t * sd_t).sum()))
+    ln_s0 = float(np.log(spot))
+    center = ln_s0 + float(drift_t.sum())
+    lo = center - width_std * total_sd
+    hi = center + width_std * total_sd
+    x = np.linspace(lo, hi, grid_points)
+    s_x = np.exp(x)
+
+    def payoff(s: np.ndarray) -> np.ndarray:
+        return np.maximum(strike - s, 0.0) if option == "put" else np.maximum(s - strike, 0.0)
+
+    def transition(j: int) -> np.ndarray:
+        # [to, from]: density of x_to given x_from under step j
+        z = (x[:, None] - (x[None, :] + drift_t[j])) / sd_t[j]
+        dx = x[1] - x[0]
+        return np.exp(-0.5 * z * z) / (sd_t[j] * np.sqrt(2.0 * np.pi)) * dx
+
+    # value on the grid at maturity, then walk steps back; exercise layers
+    # are the monitor dates k·every (k >= 1, strictly before maturity —
+    # maturity itself is the terminal payoff)
+    value = payoff(s_x)
+    for j in range(n - 1, -1, -1):
+        value = disc_t[j] * (transition(j).T @ value)
+        if j > 0 and j % exercise_every == 0:
+            value = np.maximum(value, payoff(s_x))
+    # collapse the t=0 point mass: value is now the t=0 continuation ON the
+    # grid; the spot sits exactly mid-grid only by accident, so interpolate
+    return float(np.interp(ln_s0, x, value))
+
+
 __all__ = [
     "AmericanPrice",
+    "bermudan_grid_price",
     "bermudan_tree_price",
     "basket_state_rows",
     "check_monitor_grid",

@@ -78,8 +78,13 @@ def make_underlier_simulator(
         # PALLAS sims take the fused monitor-row forward + identical XLA
         # backward induction; the wrappers fall back off-TPU / unsupported
         # shapes themselves (gbm_pallas.pallas_american_supported is the
-        # predicate resolve_implementation mirrors).
-        use_pallas_american = sim.implementation == SimImplementation.PALLAS
+        # predicate resolve_implementation mirrors). Curved term structures
+        # run the XLA forward (the monitor kernels take no coefficient
+        # tables; resolve_implementation mirrors this).
+        curved_term = sim.term is not None and not sim.term.is_flat()
+        use_pallas_american = (
+            sim.implementation == SimImplementation.PALLAS and not curved_term
+        )
         if sim.model == ModelKind.HESTON:
             if use_pallas_american:
                 from spectralmc_tpu.ops.gbm_pallas import (
@@ -118,6 +123,9 @@ def make_underlier_simulator(
             from spectralmc_tpu.ops.american import (
                 simulate_american_underlier_rows as _sim_american,
             )
+
+            if curved_term:
+                american_kwargs["term"] = sim.term
 
         side = (
             OptionSide.PUT if sim.payoff == PayoffKind.AMERICAN_PUT else OptionSide.CALL

@@ -576,16 +576,6 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                     "curves through their contract fields)",
                 )
             )
-        if params.payoff in AMERICAN_PAYOFFS:
-            return Failure(
-                InvalidSimulationParams(
-                    field="term",
-                    value=params.payoff.value,
-                    reason="LSMC early exercise under term structures is not "
-                    "supported (the backward induction discounts at a flat "
-                    "per-step rate)",
-                )
-            )
         checked_term = validate_term_structure(params.term, timesteps=params.timesteps)
         if isinstance(checked_term, Failure):
             return checked_term  # type: ignore[return-value]
@@ -679,6 +669,10 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
     if params.implementation != SimImplementation.PALLAS:
         return params.implementation
     if params.payoff in AMERICAN_PAYOFFS:
+        if params.term is not None and not params.term.is_flat():
+            # the monitor-row kernels take no per-step coefficient tables;
+            # curved-term LSMC runs the XLA forward (same threefry stream)
+            return SimImplementation.XLA
         # The Pallas engine for LSMC is a monitor-row kernel per dynamics
         # (fused forward emitting the exercise-date state) + the XLA
         # backward induction over the emitted rows (tiny k×k solves — <1%
@@ -988,9 +982,6 @@ def simulate_underlier_rows(
         if sampling != SamplingKind.PSEUDO:
             # trace-time mirror of the build_simulation_params gate
             raise ValueError("LSMC early exercise draws its own pseudo stream")
-        if term is not None:
-            # trace-time mirror of the build_simulation_params gate
-            raise ValueError("LSMC early exercise under term structures is unsupported")
         if scheme != PathScheme.LOG_EULER:
             # trace-time gate: the LSMC simulator hardcodes the log-Euler
             # step, and silently overriding a requested EULER discretization
@@ -1012,6 +1003,7 @@ def simulate_underlier_rows(
             exercise_every=lsmc_exercise_every,
             row_offset=row_offset,
             antithetic_half=antithetic_half,
+            term=term,
         )
     if payoff == PayoffKind.TERMINAL:
         return simulate_terminal_rows(

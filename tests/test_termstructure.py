@@ -99,19 +99,22 @@ def test_build_rejects_non_finite() -> None:
     assert err.field == "term.rate_shape"
 
 
-def test_build_rejects_non_gbm_models_and_american() -> None:
+def test_build_rejects_non_gbm_models_but_allows_american() -> None:
     err = expect_failure(
         build_simulation_params(
             **SIM_SHAPE, mc_seed=7, model="heston", term=CURVED
         )
     )
     assert err.field == "term"
-    err = expect_failure(
+    # American under GBM curves IS supported (curve-discounted backward
+    # induction, gated vs bermudan_grid_price below)
+    sim = expect_success(
         build_simulation_params(
-            **SIM_SHAPE, mc_seed=7, payoff="american_put", term=CURVED
+            **SIM_SHAPE, mc_seed=7, payoff="american_put",
+            normalization="none", term=CURVED,
         )
     )
-    assert err.field == "term"
+    assert sim.term == CURVED
 
 
 def test_validate_term_structure_direct() -> None:
@@ -426,6 +429,147 @@ def test_effect_route_carries_term() -> None:
     payoffs = np.asarray(expect_success(interp.registry.get_array("p")))
     direct, _ = BlackScholes(sim).price(contract)
     assert np.array_equal(payoffs, np.asarray(direct.put_payoffs))
+
+
+# --------------------------------------------------------------------------
+# American exercise under curves (LSMC with per-segment discounting)
+# --------------------------------------------------------------------------
+
+
+def test_grid_oracle_cross_validates_tree_flat() -> None:
+    """bermudan_grid_price (the lattice that handles curves) must agree with
+    the CRR tree at flat parameters — the oracle's own gate."""
+    from spectralmc_tpu.ops.american import bermudan_grid_price, bermudan_tree_price
+
+    kw = dict(spot=100.0, strike=105.0, maturity=1.0, rate=0.05, div_yield=0.01, vol=0.25)
+    for every, ts in ((1, 16), (4, 16)):
+        g = bermudan_grid_price(timesteps=ts, exercise_every=every, **kw)
+        t = bermudan_tree_price(exercise_dates=ts // every, **kw)
+        assert g == pytest.approx(t, rel=2e-4), (ts, every, g, t)
+
+
+def test_american_flat_term_bit_identical() -> None:
+    from spectralmc_tpu.ops.american import simulate_american_underlier_rows
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    arr = make_contract().as_array(jnp.float32)
+    kw = dict(
+        timesteps=T, rows=64, cols=128, dtype=jnp.float32, option=OptionSide.PUT
+    )
+    base = simulate_american_underlier_rows(jax.random.PRNGKey(5), arr, **kw)
+    flat = simulate_american_underlier_rows(
+        jax.random.PRNGKey(5), arr,
+        term=TermStructure(vol_shape=(1.0,) * T, rate_shape=(1.0,) * T), **kw,
+    )
+    assert np.array_equal(np.asarray(base), np.asarray(flat))
+
+
+def test_american_term_matches_grid_oracle() -> None:
+    """Curved-market Bermudan put through the full family pipeline (forward
+    curves + per-segment discounted LSMC + synthetic-underlier encode/decode)
+    vs the lattice oracle."""
+    from spectralmc_tpu.ops.american import bermudan_grid_price
+
+    contract = make_contract(strike=105.0, rate=0.05)
+    sim = make_simulation_params(
+        timesteps=T, network_size=256, batches_per_mc_run=256,
+        payoff="american_put", normalization="none", term=CURVED,
+    )
+    mc, se = _mc_price(sim, contract, "put")
+    want = bermudan_grid_price(
+        spot=contract.spot, strike=contract.strike, maturity=contract.maturity,
+        rate=contract.rate, div_yield=contract.div_yield, vol=contract.vol,
+        timesteps=T, vol_shape=CURVED.vol_shape, rate_shape=CURVED.rate_shape,
+    )
+    tol = max(4.0 * se, 0.01 * want)
+    assert abs(mc - want) < tol, (mc, want, se)
+    # and the curves genuinely change the exercise problem
+    from spectralmc_tpu.ops.american import bermudan_tree_price
+
+    flat = bermudan_tree_price(
+        spot=contract.spot, strike=contract.strike, maturity=contract.maturity,
+        rate=contract.rate, div_yield=contract.div_yield, vol=contract.vol,
+        exercise_dates=T,
+    )
+    assert abs(want - flat) > 0.05
+
+
+def test_american_term_sparse_monitor_grid() -> None:
+    from spectralmc_tpu.ops.american import bermudan_grid_price
+
+    contract = make_contract(strike=105.0, rate=0.05)
+    sim = make_simulation_params(
+        timesteps=T, network_size=256, batches_per_mc_run=256,
+        payoff="american_put", normalization="none", term=CURVED,
+        lsmc_exercise_every=4,
+    )
+    mc, se = _mc_price(sim, contract, "put")
+    want = bermudan_grid_price(
+        spot=contract.spot, strike=contract.strike, maturity=contract.maturity,
+        rate=contract.rate, div_yield=contract.div_yield, vol=contract.vol,
+        timesteps=T, exercise_every=4,
+        vol_shape=CURVED.vol_shape, rate_shape=CURVED.rate_shape,
+    )
+    assert abs(mc - want) < max(4.0 * se, 0.01 * want), (mc, want, se)
+
+
+def test_american_term_no_premium_identity() -> None:
+    """q = 0 American call under curves carries no early-exercise premium:
+    the family price must equal the European effective-Black call."""
+    contract = make_contract(strike=102.0, div_yield=0.0)
+    term = TermStructure(vol_shape=CURVED.vol_shape, rate_shape=CURVED.rate_shape)
+    sim = make_simulation_params(
+        timesteps=T, network_size=256, batches_per_mc_run=256,
+        payoff="american_call", normalization="none", term=term,
+    )
+    # AMERICAN_CALL encodes through the put channel (PayoffKind docstring)
+    mc, se = _mc_price(sim, contract, "put")
+    want = float(
+        term_effective_black(
+            contract.spot, contract.strike, contract.maturity,
+            contract.rate, contract.div_yield, contract.vol,
+            vol_shape=term.vol_shape, rate_shape=term.rate_shape, div_shape=(),
+        ).call
+    )
+    assert abs(mc - want) < max(4.0 * se, 0.012 * want), (mc, want, se)
+
+
+def test_american_term_trainer_resume_bit_exact() -> None:
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.training.trainer import (
+        GbmCVNNPricer,
+        GbmCVNNPricerConfig,
+        build_training_config,
+    )
+    from tests.helpers.factories import CONTRACT_BOUNDS
+
+    term = TermStructure(vol_shape=(1.4, 1.2, 1.0, 0.8), rate_shape=(2.0, 1.0, 0.5, 0.5))
+    sim = make_simulation_params(
+        timesteps=4, network_size=16, batches_per_mc_run=8,
+        payoff="american_put", normalization="none", term=term,
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)],
+            seed=3,
+            precision=sim.precision,
+        )
+    )
+    cfg = GbmCVNNPricerConfig(sim=sim, bounds=CONTRACT_BOUNDS, cvnn=cvnn)
+    tc = expect_success(
+        build_training_config(num_batches=2, batch_size=4, learning_rate=1e-3)
+    )
+    p = expect_success(GbmCVNNPricer.create(cfg))
+    expect_success(p.train(tc))
+    snap = p.snapshot()
+    assert snap.sim.term == term
+    a = expect_success(GbmCVNNPricer.create(snap))
+    b = expect_success(GbmCVNNPricer.create(snap))
+    ra = expect_success(a.train(tc))
+    rb = expect_success(b.train(tc))
+    assert float(ra.final_loss) == float(rb.final_loss)
+    pred = a.predict_price([make_contract()])
+    assert np.isfinite(pred.put).all()
 
 
 def test_sharded_term_training_matches_single_device() -> None:

@@ -85,6 +85,31 @@ def main() -> None:
         f"rho {greeks.by_field['rate']:.4f} (engine={greeks.engine.value})"
     )
 
+    # 4. Early exercise under the same curves: LSMC discounts each monitor
+    #    segment at its own curve rate; the lattice oracle
+    #    (bermudan_grid_price) handles time-varying coefficients where a
+    #    CRR tree cannot recombine.
+    from spectralmc_tpu.ops.american import bermudan_grid_price
+
+    asim = build_simulation_params(
+        timesteps=TIMESTEPS,
+        network_size=256,
+        batches_per_mc_run=256,
+        mc_seed=11,
+        payoff="american_put",
+        normalization="none",
+        term=term,
+    ).expect("asim")
+    am_prices, _ = BlackScholes(asim).price_to_host(contract)
+    am_oracle = bermudan_grid_price(
+        spot=contract.spot, strike=contract.strike, maturity=contract.maturity,
+        rate=contract.rate, div_yield=contract.div_yield, vol=contract.vol,
+        timesteps=TIMESTEPS,
+        vol_shape=term.vol_shape, rate_shape=term.rate_shape,
+    )
+    print(f"curved American put: LSMC {am_prices.put:.4f}  lattice {am_oracle:.4f}  "
+          f"(European: {float(oracle.put):.4f})")
+
 
 if __name__ == "__main__":
     main()

@@ -431,6 +431,75 @@ def test_effect_route_carries_term() -> None:
     assert np.array_equal(payoffs, np.asarray(direct.put_payoffs))
 
 
+def test_qmc_term_composes() -> None:
+    """sampling=sobol_bb under curves: the bridge emits standard increments
+    that the per-step coefficients scale, so the RQMC estimator converges to
+    the same effective-Black price — tight gate at a modest path budget
+    (the QMC error at 64k paths is far below the pseudo-MC SE)."""
+    contract = make_contract(strike=105.0)
+    sim = make_simulation_params(
+        **SIM_SHAPE, term=CURVED, sampling="sobol_bb"
+    )
+    mc, _ = _mc_price(sim, contract, "put")
+    want = float(
+        term_effective_black(
+            contract.spot, contract.strike, contract.maturity,
+            contract.rate, contract.div_yield, contract.vol,
+            vol_shape=CURVED.vol_shape, rate_shape=CURVED.rate_shape, div_shape=(),
+        ).put
+    )
+    assert abs(mc - want) / want < 2e-3, (mc, want)
+
+
+def test_predict_greeks_term_parity_and_finiteness() -> None:
+    """predict_greeks on a curved-market pricer: finite Jacobians, put channel
+    equal to predict_price, and the call-put rate sensitivity reflecting the
+    curve-effective discount d(df)/dr = -mr*T*df."""
+    from spectralmc_tpu.models.factory import Activation, LinearCfg, build_cvnn_config
+    from spectralmc_tpu.training.trainer import (
+        GbmCVNNPricer,
+        GbmCVNNPricerConfig,
+        build_training_config,
+    )
+    from tests.helpers.factories import CONTRACT_BOUNDS
+
+    term = TermStructure(vol_shape=(1.3, 0.7), rate_shape=(1.6, 0.4))
+    sim = make_simulation_params(
+        timesteps=2, network_size=16, batches_per_mc_run=4, term=term
+    )
+    cvnn = expect_success(
+        build_cvnn_config(
+            layers=[LinearCfg(width=24, activation=Activation.MODRELU)],
+            seed=3,
+            precision=sim.precision,
+        )
+    )
+    p = expect_success(
+        GbmCVNNPricer.create(GbmCVNNPricerConfig(sim=sim, bounds=CONTRACT_BOUNDS, cvnn=cvnn))
+    )
+    expect_success(
+        p.train(expect_success(build_training_config(num_batches=2, batch_size=4, learning_rate=1e-3)))
+    )
+    contracts = [make_contract(), make_contract(strike=95.0)]
+    g = p.predict_greeks(contracts)
+    prices = p.predict_price(contracts)
+    np.testing.assert_allclose(g.put, prices.put, rtol=1e-5, atol=1e-6)
+    assert np.isfinite(g.put_jacobian).all() and np.isfinite(g.call_jacobian).all()
+    # call − put = df_eff·(E[S_T] − K): its rate sensitivity carries the
+    # factor mr through BOTH df and the forward — check the parity-term
+    # rate-column difference against the analytic derivative
+    mv2, mr, mq = term.effective_factors(2)
+    arr = np.array([[c.spot, c.strike, c.maturity, c.rate, c.div_yield, c.vol]
+                    for c in contracts])
+    s0, k, t_m, r, q = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4]
+    df = np.exp(-r * mr * t_m)
+    fwd = s0 * np.exp((r * mr - q * mq) * t_m)
+    # d/dr [df*(F−K)] = −mr·T·df·(F−K) + df·(mr·T·F)
+    want = -mr * t_m * df * (fwd - k) + df * mr * t_m * fwd
+    got = g.call_jacobian[:, 3] - g.put_jacobian[:, 3]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 # --------------------------------------------------------------------------
 # American exercise under curves (LSMC with per-segment discounting)
 # --------------------------------------------------------------------------

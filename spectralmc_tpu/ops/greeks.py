@@ -309,6 +309,178 @@ def mc_greeks(
 
 
 # --------------------------------------------------------------------------
+# Bucketed curve Greeks — sensitivity ladders along a TermStructure
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TermBucketGreeks:
+    """Per-step sensitivity ladders of one contract's MC price to the curve.
+
+    ``vega_buckets[t] = ∂price/∂vol_shape[t]`` etc. — the desk's bucketed
+    vega/rho/dividend ladders along the simulation grid. Scalars relate by
+    Euler homogeneity: the price depends on ``vol`` only through the
+    products ``vol·vol_shape[t]``, so
+    ``Σ_t vega_buckets[t]·vol_shape[t] = vol·∂price/∂vol`` (and likewise
+    rate/div) — tested against ``mc_greeks`` on the same draw.
+    """
+
+    price: float
+    vega_buckets: tuple[float, ...]
+    rho_buckets: tuple[float, ...]
+    div_buckets: tuple[float, ...]
+    engine: SimImplementation
+
+
+def term_bucket_greeks(
+    sim: SimulationParams,
+    contract: Any,
+    *,
+    option: OptionSide = OptionSide.CALL,
+    draw_index: int | None = None,
+) -> TermBucketGreeks:
+    """Pathwise ladders ∂price/∂{vol,rate,div}_shape[t] for a curved-market
+    GBM sim — ONE reverse pass with the curve shapes as traced inputs.
+
+    Impossible through ``mc_greeks`` (shapes are static config there) and
+    impossible in the reference at any price (its kernel is opaque to
+    autograd and its market data is flat scalars). Supported payoffs:
+    TERMINAL and the Asian kinds (knockouts have no valid pathwise
+    derivative — ``bump_greeks`` covers them; the LSMC payoffs' regression
+    consumes static curves and is out of scope for ladders).
+    """
+    from spectralmc_tpu.ops.gbm import (
+        AMERICAN_PAYOFFS,
+        BARRIER_PAYOFFS,
+        ModelKind,
+        PathScheme,
+        _normals_source,
+    )
+
+    if sim.model != ModelKind.GBM:
+        raise ValueError("term_bucket_greeks: curves exist for the GBM model only")
+    if sim.term is None:
+        raise ValueError(
+            "term_bucket_greeks needs sim.term (flat markets: mc_greeks gives "
+            "the scalar vega/rho)"
+        )
+    if sim.payoff in BARRIER_PAYOFFS:
+        raise ValueError(
+            "pathwise ladders are invalid for knockout payoffs; use bump_greeks "
+            "on the scalar fields"
+        )
+    if sim.payoff in AMERICAN_PAYOFFS:
+        raise ValueError(
+            "curve ladders for the LSMC payoffs are unsupported (the exercise "
+            "policy consumes static curves); bump the scalar fields instead"
+        )
+    dtype = sim.precision.to_jnp()
+    timesteps = sim.timesteps
+    rows, cols = sim.batches_per_mc_run, sim.network_size
+    arr = contract.as_array(dtype)
+    idx = sim.skip if draw_index is None else draw_index
+    key = jax.random.fold_in(
+        jax.random.PRNGKey(sim.mc_seed), jnp.asarray(idx, jnp.uint32)
+    )
+    anti = rows // 2 if sim.antithetic else None
+    normalize = sim.normalization == ForwardNormalization.MEAN
+    geometric = sim.payoff == PayoffKind.ASIAN_GEOMETRIC
+    log_euler = sim.scheme == PathScheme.LOG_EULER
+
+    normals = _normals_source(
+        key,
+        timesteps=timesteps,
+        rows=rows,
+        cols=cols,
+        dtype=dtype,
+        row_offset=0,
+        antithetic_half=anti,
+        sampling=sim.sampling,
+        mc_seed=sim.mc_seed,
+    )
+    spot, strike, maturity, rate, div_yield, vol = (arr[i] for i in range(6))
+    n = jnp.asarray(timesteps, dtype)
+    dt = maturity / n
+    sqrt_dt = jnp.sqrt(dt)
+    payoff_kind = sim.payoff
+
+    @jax.jit
+    def price_and_ladders(shapes: tuple[jax.Array, jax.Array, jax.Array]):
+        def price(sh: tuple[jax.Array, jax.Array, jax.Array]) -> jax.Array:
+            vsa, rsa, qsa = sh
+            vol_t = vol * vsa
+            lin = (rate * rsa - div_yield * qsa) * dt  # [T]
+            if log_euler:
+                drift = lin - 0.5 * vol_t * vol_t * dt
+                vstep = vol_t * sqrt_dt
+
+                def body(carry, t):
+                    logx, acc = carry
+                    logx = logx + drift[t] + vstep[t] * normals(t)
+                    acc = acc + (logx if geometric else jnp.exp(logx))
+                    return (logx, acc), None
+
+                log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
+                (log_t, acc), _ = jax.lax.scan(
+                    body, (log0, jnp.zeros((rows, cols), dtype)), jnp.arange(timesteps)
+                )
+                terminal = jnp.exp(log_t)
+            else:
+                growth = 1.0 + lin
+                vstep = vol_t * sqrt_dt
+
+                def body_e(carry, t):
+                    x, acc = carry
+                    x = jnp.abs(x * (growth[t] + vstep[t] * normals(t)))
+                    acc = acc + (jnp.log(x) if geometric else x)
+                    return (x, acc), None
+
+                x0 = jnp.full((rows, cols), 1.0, dtype) * spot
+                (terminal, acc), _ = jax.lax.scan(
+                    body_e, (x0, jnp.zeros((rows, cols), dtype)), jnp.arange(timesteps)
+                )
+            if payoff_kind == PayoffKind.TERMINAL:
+                u = terminal
+            else:
+                mean_acc = acc / n
+                u = jnp.exp(mean_acc) if geometric else mean_acc
+            # curve-consistent mean target + discounting (traced mirrors of
+            # expected_underlier_mean / terminal_to_prices term branches)
+            cum = jnp.cumsum(lin)
+            if normalize:
+                if payoff_kind == PayoffKind.TERMINAL:
+                    target = spot * jnp.exp(cum[-1])
+                elif payoff_kind == PayoffKind.ASIAN_ARITHMETIC:
+                    target = spot * jnp.mean(jnp.exp(cum))
+                else:
+                    w = (n - jnp.arange(timesteps, dtype=dtype)) / n
+                    a = lin - 0.5 * vol_t * vol_t * dt
+                    mu = jnp.log(spot) + jnp.sum(a * w)
+                    s2 = jnp.sum(vol_t * vol_t * dt * w * w)
+                    target = jnp.exp(mu + 0.5 * s2)
+                u = u * (target / jnp.mean(u))
+            df = jnp.exp(-rate * jnp.mean(rsa) * maturity)
+            payoff = (
+                jnp.maximum(strike - u, 0.0)
+                if option == OptionSide.PUT
+                else jnp.maximum(u - strike, 0.0)
+            )
+            return df * jnp.mean(payoff)
+
+        return jax.value_and_grad(price)(shapes)
+
+    vs0, rs0, qs0 = (jnp.asarray(s, dtype) for s in sim.term.shapes(timesteps))
+    p, (g_v, g_r, g_q) = price_and_ladders((vs0, rs0, qs0))
+    return TermBucketGreeks(
+        price=float(p),
+        vega_buckets=tuple(float(x) for x in g_v),
+        rho_buckets=tuple(float(x) for x in g_r),
+        div_buckets=tuple(float(x) for x in g_q),
+        engine=SimImplementation.XLA,
+    )
+
+
+# --------------------------------------------------------------------------
 # Bump-and-reprice Greeks — the estimator for kinked/indicator payoffs
 # --------------------------------------------------------------------------
 
@@ -487,6 +659,8 @@ def analytic_greeks(
 
 __all__ = [
     "MCGreeks",
+    "TermBucketGreeks",
+    "term_bucket_greeks",
     "greeks_engine",
     "knock_in_price",
     "OptionSide",

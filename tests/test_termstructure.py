@@ -501,6 +501,86 @@ def test_predict_greeks_term_parity_and_finiteness() -> None:
 
 
 # --------------------------------------------------------------------------
+# Bucketed curve Greeks (vega/rho ladders)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("payoff", ["terminal", "asian_geometric"])
+def test_bucket_ladders_euler_homogeneity(payoff: str) -> None:
+    """Σ_t bucket_t · shape_t must equal scalar·(scalar greek) on the SAME
+    draw — price depends on vol only through vol·vol_shape[t], so the
+    identity is exact math, not statistics."""
+    from spectralmc_tpu.ops.greeks import OptionSide, mc_greeks, term_bucket_greeks
+
+    contract = make_contract(strike=104.0)
+    sim = make_simulation_params(**SIM_SHAPE, payoff=payoff, term=CURVED)
+    ladders = term_bucket_greeks(sim, contract, option=OptionSide.PUT)
+    scalar = mc_greeks(sim, contract, option=OptionSide.PUT)
+    assert ladders.price == pytest.approx(scalar.price, rel=1e-5)
+    vs, rs, qs = CURVED.shapes(T)
+    lhs_v = sum(b * s for b, s in zip(ladders.vega_buckets, vs))
+    lhs_r = sum(b * s for b, s in zip(ladders.rho_buckets, rs))
+    lhs_q = sum(b * s for b, s in zip(ladders.div_buckets, qs))
+    assert lhs_v == pytest.approx(contract.vol * scalar.vega, rel=2e-3, abs=1e-4)
+    assert lhs_r == pytest.approx(contract.rate * scalar.rho, rel=2e-3, abs=1e-4)
+    assert lhs_q == pytest.approx(
+        contract.div_yield * scalar.div_rho, rel=2e-3, abs=1e-4
+    )
+
+
+def test_bucket_ladders_match_effective_black_autodiff() -> None:
+    """TERMINAL ladders vs autodiff of Black at the effective parameters —
+    the exact curve-gradient of the zero-bias oracle."""
+    from spectralmc_tpu.ops.greeks import OptionSide, term_bucket_greeks
+
+    contract = make_contract(strike=104.0)
+    sim = make_simulation_params(**SIM_SHAPE, term=CURVED)
+    ladders = term_bucket_greeks(sim, contract, option=OptionSide.PUT)
+    vs, rs, qs = (jnp.asarray(s, jnp.float64) for s in CURVED.shapes(T))
+
+    def oracle_put(sh):
+        vsa, rsa, qsa = sh
+        vol_eff = contract.vol * jnp.sqrt(jnp.mean(vsa**2))
+        r_eff = contract.rate * jnp.mean(rsa)
+        q_eff = contract.div_yield * jnp.mean(qsa)
+        return black_scholes_price(
+            contract.spot, contract.strike, contract.maturity, r_eff, q_eff, vol_eff
+        ).put
+
+    want_v, want_r, want_q = jax.grad(oracle_put)((vs, rs, qs))
+    for got, want in (
+        (ladders.vega_buckets, want_v),
+        (ladders.rho_buckets, want_r),
+    ):
+        for g, w in zip(got, np.asarray(want)):
+            assert g == pytest.approx(float(w), rel=0.05, abs=0.02), (got, want)
+
+
+def test_bucket_ladders_refusals() -> None:
+    from spectralmc_tpu.ops.greeks import OptionSide, term_bucket_greeks
+
+    contract = make_contract()
+    with pytest.raises(ValueError, match="needs sim.term"):
+        term_bucket_greeks(make_simulation_params(**SIM_SHAPE), contract)
+    with pytest.raises(ValueError, match="bump_greeks"):
+        term_bucket_greeks(
+            make_simulation_params(
+                **SIM_SHAPE, payoff="barrier_up_out", barrier_rel=1.4,
+                normalization="none", term=CURVED,
+            ),
+            contract,
+        )
+    with pytest.raises(ValueError, match="bump the scalar fields"):
+        term_bucket_greeks(
+            make_simulation_params(
+                **SIM_SHAPE, payoff="american_put", normalization="none", term=CURVED,
+            ),
+            contract,
+            option=OptionSide.PUT,
+        )
+
+
+# --------------------------------------------------------------------------
 # American exercise under curves (LSMC with per-segment discounting)
 # --------------------------------------------------------------------------
 

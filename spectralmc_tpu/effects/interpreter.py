@@ -184,6 +184,14 @@ class MonteCarloInterpreter:
             # target would silently rescale to the WRONG mean), and the
             # American kinds need the log-Euler scheme + >= 2 monitor dates
             # (1 date is the European option mislabeled).
+            if effect.normalization == "mean" and payoff == PayoffKind.DIGITAL:
+                return Failure(
+                    MonteCarloError(
+                        effect_kind=effect.kind,
+                        reason="the digital ±1 underlier encoding is not "
+                        "scale-equivariant; use normalization='none'",
+                    )
+                )
             if effect.normalization == "mean" and not has_closed_form_mean(
                 model, payoff
             ):

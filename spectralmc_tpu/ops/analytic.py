@@ -124,6 +124,48 @@ def term_effective_black(
     return black_scholes_price(spot, strike, maturity, r_eff, q_eff, vol_eff)
 
 
+def digital_price(
+    spot: Any,
+    strike: Any,
+    maturity: Any,
+    rate: Any,
+    div_yield: Any,
+    vol: Any,
+    *,
+    vol_shape: tuple[float, ...] = (),
+    rate_shape: tuple[float, ...] = (),
+    div_shape: tuple[float, ...] = (),
+) -> tuple[Any, Any]:
+    """(put, call) cash-or-nothing digital prices, one unit of cash.
+
+    put = df·P(S_T < K) = df·N(−d2), call = df·P(S_T > K) = df·N(d2). Exact
+    for the log-Euler simulator: ln S_T is exactly Gaussian under the
+    discrete scheme (flat parameters or piecewise-constant curves — the
+    effective-parameter reduction of ``term_effective_black`` applies
+    verbatim, d2 at vol_eff/r_eff/q_eff). Oracle for ``PayoffKind.DIGITAL``
+    (ops/gbm.py), whose ±1 underlier encoding prices both channels in one
+    pass. jit-safe and broadcastable like ``black_scholes_price``.
+    """
+    import math
+
+    if vol_shape or rate_shape or div_shape:
+        n = max(len(vol_shape), len(rate_shape), len(div_shape), 1)
+        vs = vol_shape or (1.0,) * n
+        rs = rate_shape or (1.0,) * n
+        qs = div_shape or (1.0,) * n
+        vol = vol * math.sqrt(sum(v * v for v in vs) / len(vs))
+        rate_drift = rate * (sum(rs) / len(rs))
+        div_drift = div_yield * (sum(qs) / len(qs))
+    else:
+        rate_drift, div_drift = rate, div_yield
+    df = jnp.exp(-rate_drift * maturity)
+    total_vol = vol * jnp.sqrt(maturity)
+    d2 = (
+        jnp.log(spot / strike) + (rate_drift - div_drift) * maturity - 0.5 * total_vol**2
+    ) / total_vol
+    return df * _norm_cdf(-d2), df * _norm_cdf(d2)
+
+
 def term_geometric_asian_price(
     spot: Any,
     strike: Any,
@@ -286,6 +328,152 @@ def discrete_barrier_price(
         call_intrinsic=call_intr,
         put_convexity=put - put_intr,
         call_convexity=call - call_intr,
+    )
+
+
+@dataclass(frozen=True, slots=True)
+class LookbackPrices:
+    """Discrete-monitoring lookback prices (grid t_0..t_N, t_0 included).
+
+    fixed_call pays (M−K)+, fixed_put (K−m)+, float_put M−S_T, float_call
+    S_T−m, with M/m the running max/min over the monitor grid. ``e_max`` /
+    ``e_min`` are the undiscounted E[M], E[m].
+    """
+
+    fixed_call: float
+    fixed_put: float
+    float_call: float
+    float_put: float
+    e_max: float
+    e_min: float
+    forward: float
+    discount_factor: float
+
+
+def lookback_price(
+    spot: float,
+    strike: float,
+    maturity: float,
+    rate: float,
+    div_yield: float,
+    vol: float,
+    *,
+    timesteps: int,
+    grid_points: int = 1537,
+    levels: int = 1025,
+    width_std: float = 8.0,
+    vol_shape: tuple[float, ...] = (),
+    rate_shape: tuple[float, ...] = (),
+    div_shape: tuple[float, ...] = (),
+) -> LookbackPrices:
+    """Lookback prices monitored on the DISCRETE grid t_0..t_N, by
+    barrier-survival integration (host numpy, float64).
+
+    The running-max distribution is recovered from knockout survival: for
+    b > S0, P(M ≤ b) is exactly the surviving mass of the up-and-out
+    propagation at level b (``discrete_barrier_price``'s chain of per-step
+    Gaussian transitions with a mask at every monitor date), so
+
+        E[(M−K)+] = ∫_K^∞ P(M > b) db
+                  = max(S0−K, 0) + ∫_{max(K,S0)}^∞ (1 − survival(b)) db,
+
+    computed over a LADDER of levels in one batched propagation (the
+    transition matrix is shared across levels — [G,G]·[G,L] per step).
+    Symmetrically for the running min. Unlike the continuous-monitoring
+    closed forms this shares the simulator's exact discrete grid, so it
+    gates the MC lookback estimator with no monitoring-correction slop.
+    Optional piecewise-constant curves follow ``TermStructure`` semantics
+    exactly as in ``discrete_barrier_price``.
+    """
+    import numpy as _np
+
+    n = int(timesteps)
+    dt = maturity / n
+    vs = _np.asarray(vol_shape or (1.0,) * n, dtype=_np.float64)
+    rs = _np.asarray(rate_shape or (1.0,) * n, dtype=_np.float64)
+    qs = _np.asarray(div_shape or (1.0,) * n, dtype=_np.float64)
+    vol_t = vol * vs
+    drift_t = (rate * rs - div_yield * qs - 0.5 * vol_t * vol_t) * dt
+    sd_t = vol_t * _np.sqrt(dt)
+    if (sd_t <= 0.0).any():
+        raise ValueError("lookback_price needs positive per-step vol")
+    total_sd = float(_np.sqrt((sd_t * sd_t).sum()))
+    drift_sum = float(drift_t.sum())
+    ln_s0 = _np.log(spot)
+    lo = ln_s0 + min(drift_sum, 0.0) - width_std * total_sd
+    hi = ln_s0 + max(drift_sum, 0.0) + width_std * total_sd
+    x = _np.linspace(lo, hi, grid_points)
+    dx = x[1] - x[0]
+    flat = bool((vs == vs[0]).all() and (rs == rs[0]).all() and (qs == qs[0]).all())
+
+    def gauss(centers: _np.ndarray, sd: float) -> _np.ndarray:
+        z = (x[:, None] - centers[None, :]) / sd
+        return _np.exp(-0.5 * z * z) / (sd * _np.sqrt(2.0 * _np.pi))
+
+    def exceed_prob(ln_levels: _np.ndarray, up: bool) -> _np.ndarray:
+        """P(extreme beyond level) per ladder level, one batched propagation."""
+        survive = (x[:, None] < ln_levels[None, :]) if up else (
+            x[:, None] > ln_levels[None, :]
+        )  # [G, L]
+        q = gauss(_np.array([ln_s0 + drift_t[0]]), float(sd_t[0])) * dx  # [G, 1]
+        q = _np.where(survive, q, 0.0)
+        transition = gauss(x + drift_t[0], float(sd_t[0])) * dx if flat and n > 1 else None
+        for j in range(1, n):
+            step_t = (
+                transition
+                if transition is not None
+                else gauss(x + drift_t[j], float(sd_t[j])) * dx
+            )
+            q = _np.where(survive, step_t @ q, 0.0)
+        return 1.0 - q.sum(axis=0)
+
+    # running MAX: levels from S0 up; b <= S0 has P(M > b) = 1 (t_0 counts)
+    b_max = _np.exp(_np.linspace(ln_s0, hi, levels))
+    p_above = exceed_prob(_np.log(b_max), up=True)
+
+    def tail_integral(grid: _np.ndarray, p: _np.ndarray, c: float) -> float:
+        """∫_c^∞ p(b) db over the ladder (p → 0 at the far end)."""
+        if c >= grid[-1]:
+            return 0.0
+        c = max(c, grid[0])
+        cum = _np.concatenate(
+            [_np.cumsum(((p[1:] + p[:-1]) * 0.5 * _np.diff(grid))[::-1])[::-1], [0.0]]
+        )
+        return float(_np.interp(c, grid, cum))
+
+    e_max = spot + tail_integral(b_max, p_above, spot)
+    fixed_call = max(spot - strike, 0.0) + tail_integral(b_max, p_above, max(strike, spot))
+
+    # running MIN: levels from S0 down; b >= S0 has P(m < b) = 1
+    b_min = _np.exp(_np.linspace(lo, ln_s0, levels))
+    p_below = exceed_prob(_np.log(b_min), up=False)
+
+    def head_integral(grid: _np.ndarray, p: _np.ndarray, c: float) -> float:
+        """∫_0^c p(b) db over the ladder (p → 0 at the near end)."""
+        if c <= grid[0]:
+            return 0.0
+        c = min(c, grid[-1])
+        cum = _np.concatenate(
+            [[0.0], _np.cumsum((p[1:] + p[:-1]) * 0.5 * _np.diff(grid))]
+        )
+        return float(_np.interp(c, grid, cum))
+
+    e_min = spot - head_integral(b_min, p_below, spot)
+    fixed_put = max(strike - spot, 0.0) + head_integral(b_min, p_below, min(strike, spot))
+
+    r_eff = rate * float(rs.mean())
+    q_eff = div_yield * float(qs.mean())
+    df = float(_np.exp(-r_eff * maturity))
+    forward = float(spot * _np.exp((r_eff - q_eff) * maturity))
+    return LookbackPrices(
+        fixed_call=df * fixed_call,
+        fixed_put=df * fixed_put,
+        float_call=df * (forward - e_min),
+        float_put=df * (e_max - forward),
+        e_max=e_max,
+        e_min=e_min,
+        forward=forward,
+        discount_factor=df,
     )
 
 

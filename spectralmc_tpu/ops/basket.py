@@ -267,7 +267,7 @@ def simulate_basket_underlier_rows(
     from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
 
     geometric_time = payoff == PayoffKind.ASIAN_GEOMETRIC
-    terminal = payoff == PayoffKind.TERMINAL
+    terminal = payoff in (PayoffKind.TERMINAL, PayoffKind.DIGITAL)
     barrier = payoff in BARRIER_PAYOFFS
     up = payoff == PayoffKind.BARRIER_UP_OUT
     extreme_fn = jnp.maximum if up else jnp.minimum
@@ -300,6 +300,12 @@ def simulate_basket_underlier_rows(
         level = basket_value(log0)[0, 0] * jnp.asarray(barrier_rel, dtype)
         knocked = acc >= level if up else acc <= level
         return jnp.where(knocked, strike, basket_value(logx))
+    if payoff == PayoffKind.DIGITAL:
+        # same bit stream as TERMINAL: u = K + sign(B_T − K) prices both
+        # cash-or-nothing channels on the basket value
+        # (ops/gbm.py::PayoffKind.DIGITAL)
+        strike = contract[1].astype(dtype)
+        return strike + jnp.sign(basket_value(logx) - strike)
     if terminal:
         return basket_value(logx)
     mean = acc / n
@@ -379,6 +385,8 @@ def expected_basket_underlier_mean(
     n = jnp.asarray(timesteps, dtype)
     dt = maturity / n
     if spec.combine == BasketCombine.ARITHMETIC:
+        if payoff == PayoffKind.DIGITAL:
+            return None  # P(B_arith > K) has no closed form
         w = jnp.asarray(spec.weights, dtype)
         s0 = jnp.sum(w * (spot * jnp.asarray(spec.spot_multipliers, dtype)))
         if payoff == PayoffKind.TERMINAL:
@@ -390,6 +398,15 @@ def expected_basket_underlier_mean(
         return None  # geometric time-average of an arithmetic basket
     mu_bar, s2_bar = basket_log_moments(contract, spec, dtype=dtype)
     g0 = basket_g0(contract, spec, dtype=dtype)
+    if payoff == PayoffKind.DIGITAL:
+        # ln B_T exactly Gaussian: E[u] = K + 2·N(d2_eff) − 1 at the
+        # effective-GBM parameters (ops/gbm.py::PayoffKind.DIGITAL)
+        from jax.scipy.special import erf
+
+        strike = contract[1].astype(dtype)
+        var = s2_bar * maturity
+        d2 = (jnp.log(g0 / strike) + mu_bar * maturity) / jnp.sqrt(var)
+        return strike + erf(d2 / jnp.sqrt(jnp.asarray(2.0, dtype)))
     if payoff == PayoffKind.TERMINAL:
         return g0 * jnp.exp((mu_bar + 0.5 * s2_bar) * maturity)
     if payoff == PayoffKind.ASIAN_ARITHMETIC:

@@ -92,6 +92,22 @@ class PayoffKind(enum.Enum):
     ASIAN_GEOMETRIC = "asian_geometric"
     BARRIER_UP_OUT = "barrier_up_out"
     BARRIER_DOWN_OUT = "barrier_down_out"
+    # Cash-or-nothing digitals, one unit of cash, as a synthetic underlier
+    #     u = K + sign(S_T − K)
+    # so the vanilla channels price BOTH digitals in one pass:
+    # df·max(K−u,0) = df·1{S_T<K} (digital put), df·max(u−K,0) =
+    # df·1{S_T>K} (digital call). S_T is the dynamics' terminal value (the
+    # basket combine for baskets), drawn from the SAME bit stream as
+    # TERMINAL — digital-vs-vanilla identities hold under common random
+    # numbers, and every engine/sampling/term combination is inherited.
+    # E[u] = K + 2·P(S_T>K) − 1 is closed-form exactly where the discrete
+    # terminal law is known (GBM flat/curved: ops/analytic.py::digital_price;
+    # Merton: exact series — so call-via-parity works there), but MEAN
+    # normalization is gated off regardless: multiplicative rescaling of a
+    # two-point ±1 encoding would corrupt the indicator, not recenter it.
+    # IPA Greeks are refused (a.e.-zero pathwise derivative, like the
+    # knockouts) — ``ops/greeks.py::bump_greeks`` covers digitals.
+    DIGITAL = "digital"
     # Early exercise on the timestep grid (Bermudan → American as the grid
     # refines) via Longstaff–Schwartz regression MC (ops/american.py). The
     # per-path discounted cashflow cf is re-encoded as a SYNTHETIC underlier
@@ -609,6 +625,19 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
             )
     if (
         params.normalization == ForwardNormalization.MEAN
+        and params.payoff == PayoffKind.DIGITAL
+    ):
+        return Failure(
+            InvalidSimulationParams(
+                field="normalization",
+                value=params.normalization.value,
+                reason="the digital ±1 underlier encoding is not "
+                "scale-equivariant: multiplicative mean rescaling would "
+                "corrupt the indicator; use normalization='none'",
+            )
+        )
+    if (
+        params.normalization == ForwardNormalization.MEAN
         and not has_closed_form_mean(
             params.model, params.payoff, combine=params.basket.combine if params.basket else None
         )
@@ -646,6 +675,16 @@ def has_closed_form_mean(
         # the synthetic LSMC underlier's mean is strike − price/df — exactly
         # the unknown being estimated; and early exercise breaks parity anyway
         return False
+    if payoff == PayoffKind.DIGITAL:
+        # E[u] = K + 2·P(S_T>K) − 1 needs the exact discrete terminal law:
+        # GBM (flat or curves) and Merton (exact transitions → series) have
+        # it; the Heston Euler scheme's P(S_T>K) and the arithmetic basket's
+        # do not (the continuous-Heston P2 would import discretization bias)
+        if model == ModelKind.HESTON:
+            return False
+        if model == ModelKind.BASKET_GBM and combine == BasketCombine.ARITHMETIC:
+            return False
+        return True
     if model in (ModelKind.HESTON, ModelKind.MERTON_JUMP):
         # both keep the discounted spot a martingale (Heston by construction,
         # Merton via the -lam*m compensator) but lose the geometric average
@@ -1005,8 +1044,8 @@ def simulate_underlier_rows(
             antithetic_half=antithetic_half,
             term=term,
         )
-    if payoff == PayoffKind.TERMINAL:
-        return simulate_terminal_rows(
+    if payoff in (PayoffKind.TERMINAL, PayoffKind.DIGITAL):
+        terminal = simulate_terminal_rows(
             contract_key,
             contract,
             timesteps=timesteps,
@@ -1020,6 +1059,10 @@ def simulate_underlier_rows(
             mc_seed=mc_seed,
             term=term,
         )
+        if payoff == PayoffKind.DIGITAL:
+            strike = contract[1].astype(dtype)
+            return strike + jnp.sign(terminal - strike)
+        return terminal
 
     spot, _, maturity, rate, div_yield, vol = (contract[i].astype(dtype) for i in range(6))
     dt = maturity / jnp.asarray(timesteps, dtype)
@@ -1124,6 +1167,29 @@ def expected_underlier_mean(
     """
     if payoff in BARRIER_PAYOFFS or payoff in AMERICAN_PAYOFFS:
         return None
+    if payoff == PayoffKind.DIGITAL:
+        # E[u] = K + P(S_T>K) − P(S_T<K) = K + 2·N(d2_eff) − 1, exact for
+        # the log-Euler terminal law (flat or curved). Feeds call-via-parity
+        # (call − put = (E[u] − K)·df reproduces the digital parity
+        # call + put = df); MEAN normalization is gated off separately.
+        from jax.scipy.special import erf
+
+        spot_d, strike_d, maturity_d, rate_d, div_d, vol_d = (
+            contract[i].astype(dtype) for i in range(6)
+        )
+        if term is not None and not term.is_flat():
+            vs, rs, qs = term.shapes(timesteps)
+            n_t = jnp.asarray(timesteps, dtype)
+            dt_t = maturity_d / n_t
+            vsa, rsa, qsa = (jnp.asarray(s, dtype) for s in (vs, rs, qs))
+            var = jnp.sum((vol_d * vsa) ** 2 * dt_t)
+            drift = jnp.sum((rate_d * rsa - div_d * qsa) * dt_t)
+        else:
+            var = vol_d * vol_d * maturity_d
+            drift = (rate_d - div_d) * maturity_d
+        d2 = (jnp.log(spot_d / strike_d) + drift - 0.5 * var) / jnp.sqrt(var)
+        n_d2 = 0.5 * (1.0 + erf(d2 / jnp.sqrt(jnp.asarray(2.0, dtype))))
+        return strike_d + 2.0 * n_d2 - 1.0
     if term is not None and term.is_flat():
         # all-ones curves must reproduce the flat formulas bit-for-bit (the
         # weighted sums below are the same values in exact arithmetic but a

@@ -956,6 +956,26 @@ def simulate_underlier_rows_pallas(
     """
     if term is not None and term.is_flat():
         term = None  # flat curves are bit-identical to no curves
+    if payoff == PayoffKind.DIGITAL:
+        # digital = sign transform of the SAME terminal draw: every route
+        # below (term kernel, flat kernel, XLA fallback) is inherited
+        # stream-identically (ops/gbm.py::PayoffKind.DIGITAL)
+        terminal = simulate_underlier_rows_pallas(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            scheme=scheme,
+            payoff=PayoffKind.TERMINAL,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            term=term,
+            interpret=interpret,
+        )
+        strike = contract[1].astype(dtype)
+        return strike + jnp.sign(terminal - strike)
     if term is not None:
         if scheme == PathScheme.LOG_EULER and (
             (
@@ -1576,6 +1596,23 @@ def simulate_heston_underlier_rows_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused Heston kernel; falls back to the XLA scan when unsupported."""
+    if payoff == PayoffKind.DIGITAL:
+        # digital = sign transform of the SAME terminal draw (every engine
+        # route inherited; ops/gbm.py::PayoffKind.DIGITAL)
+        terminal = simulate_heston_underlier_rows_pallas(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            payoff=PayoffKind.TERMINAL,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            interpret=interpret,
+        )
+        strike = contract[1].astype(dtype)
+        return strike + jnp.sign(terminal - strike)
     interpretable = (
         interpret
         and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
@@ -2051,6 +2088,24 @@ def simulate_basket_underlier_rows_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused basket kernel; falls back to the XLA scan when unsupported."""
+    if payoff == PayoffKind.DIGITAL:
+        # digital = sign transform of the SAME terminal draw (every engine
+        # route inherited; ops/gbm.py::PayoffKind.DIGITAL)
+        terminal = simulate_basket_underlier_rows_pallas(
+            contract_key,
+            contract,
+            spec=spec,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            payoff=PayoffKind.TERMINAL,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            interpret=interpret,
+        )
+        strike = contract[1].astype(dtype)
+        return strike + jnp.sign(terminal - strike)
     interpretable = (
         interpret
         and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
@@ -2555,6 +2610,23 @@ def simulate_merton_underlier_rows_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused Merton kernel; falls back to the XLA scan when unsupported."""
+    if payoff == PayoffKind.DIGITAL:
+        # digital = sign transform of the SAME terminal draw (every engine
+        # route inherited; ops/gbm.py::PayoffKind.DIGITAL)
+        terminal = simulate_merton_underlier_rows_pallas(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            payoff=PayoffKind.TERMINAL,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            interpret=interpret,
+        )
+        strike = contract[1].astype(dtype)
+        return strike + jnp.sign(terminal - strike)
     interpretable = (
         interpret
         and jnp.dtype(dtype) == jnp.dtype(jnp.float32)

@@ -137,17 +137,19 @@ def make_mc_price_fn(
     kernel + analytic pathwise VJP where eligible, XLA otherwise).
     """
     from spectralmc_tpu.ops.dispatch import make_mean_target, make_underlier_simulator
-    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
+    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS, PayoffKind
 
-    if sim.payoff in BARRIER_PAYOFFS:
-        # IPA differentiates through the knockout indicator, whose pathwise
-        # derivative is zero a.e. — the estimator would silently drop the
-        # barrier's delta contribution. Refuse rather than mislead (the
-        # bump-and-reprice estimator lives at ``bump_greeks``).
+    if sim.payoff in BARRIER_PAYOFFS or sim.payoff == PayoffKind.DIGITAL:
+        # IPA differentiates through an indicator (the knockout flag / the
+        # digital's sign), whose pathwise derivative is zero a.e. — the
+        # estimator would silently drop the discontinuity's contribution.
+        # Refuse rather than mislead (the bump-and-reprice estimator lives
+        # at ``bump_greeks``).
         raise ValueError(
-            "pathwise (IPA) Greeks are invalid for knockout payoffs; use "
-            "bump_greeks (bump-and-reprice under common random numbers) or "
-            "differentiate the learned pricer (predict_greeks) instead"
+            "pathwise (IPA) Greeks are invalid for indicator payoffs "
+            f"({sim.payoff.value}); use bump_greeks (bump-and-reprice under "
+            "common random numbers) or differentiate the learned pricer "
+            "(predict_greeks) instead"
         )
     # NOTE for the AMERICAN kinds: jax.grad through the LSMC program is the
     # standard fixed-policy pathwise estimator (the regression solve IS
@@ -364,10 +366,10 @@ def term_bucket_greeks(
             "term_bucket_greeks needs sim.term (flat markets: mc_greeks gives "
             "the scalar vega/rho)"
         )
-    if sim.payoff in BARRIER_PAYOFFS:
+    if sim.payoff in BARRIER_PAYOFFS or sim.payoff == PayoffKind.DIGITAL:
         raise ValueError(
-            "pathwise ladders are invalid for knockout payoffs; use bump_greeks "
-            "on the scalar fields"
+            "pathwise ladders are invalid for indicator payoffs "
+            f"({sim.payoff.value}); use bump_greeks on the scalar fields"
         )
     if sim.payoff in AMERICAN_PAYOFFS:
         raise ValueError(

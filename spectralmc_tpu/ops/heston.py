@@ -232,7 +232,7 @@ def simulate_heston_underlier_rows(
         logx, v = heston_euler_step(logx, v, z_v, z_orth, **step_consts)
         if barrier:
             acc = extreme_fn(acc, logx)
-        elif payoff != PayoffKind.TERMINAL:
+        elif payoff not in (PayoffKind.TERMINAL, PayoffKind.DIGITAL):
             acc = acc + (logx if geometric else jnp.exp(logx))
         return (logx, v, acc), None
 
@@ -249,6 +249,11 @@ def simulate_heston_underlier_rows(
         level = jnp.log(spot * jnp.asarray(barrier_rel, dtype))
         knocked = acc >= level if up else acc <= level
         return jnp.where(knocked, strike, jnp.exp(logx))
+    if payoff == PayoffKind.DIGITAL:
+        # same bit stream as TERMINAL: u = K + sign(S_T − K) prices both
+        # cash-or-nothing channels (ops/gbm.py::PayoffKind.DIGITAL)
+        strike = contract[1].astype(dtype)
+        return strike + jnp.sign(jnp.exp(logx) - strike)
     if payoff == PayoffKind.TERMINAL:
         return jnp.exp(logx)
     mean = acc / n

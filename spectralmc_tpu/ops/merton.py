@@ -241,7 +241,7 @@ def simulate_merton_underlier_rows(
         logx = logx + drift + vol * sqrt_dt * z_d + jump
         if barrier:
             acc = extreme_fn(acc, logx)
-        elif payoff != PayoffKind.TERMINAL:
+        elif payoff not in (PayoffKind.TERMINAL, PayoffKind.DIGITAL):
             acc = acc + (logx if geometric else jnp.exp(logx))
         return (logx, acc), None
 
@@ -257,6 +257,11 @@ def simulate_merton_underlier_rows(
         level = jnp.log(spot * jnp.asarray(barrier_rel, dtype))
         knocked = acc >= level if up else acc <= level
         return jnp.where(knocked, strike, jnp.exp(logx))
+    if payoff == PayoffKind.DIGITAL:
+        # same bit stream as TERMINAL: u = K + sign(S_T − K) prices both
+        # cash-or-nothing channels (ops/gbm.py::PayoffKind.DIGITAL)
+        strike = contract[1].astype(dtype)
+        return strike + jnp.sign(jnp.exp(logx) - strike)
     if payoff == PayoffKind.TERMINAL:
         return jnp.exp(logx)
     mean = acc / n
@@ -282,6 +287,33 @@ def merton_expected_underlier_mean(
         g = jnp.exp((rate - div_yield) * dt)
         series = jnp.where(jnp.abs(g - 1.0) < 1e-12, n, g * (g**n - 1.0) / (g - 1.0))
         return spot * series / n
+    if payoff == PayoffKind.DIGITAL:
+        # E[u] = K + 2·P(S_T>K) − 1, exact: the per-step exact transitions
+        # compose to the continuous Merton terminal law, so conditional on
+        # N = n total jumps (Poisson(λT) — the plain intensity; the λ(1+m)
+        # tilt belongs to the S·N(d1) term of the price series, not to the
+        # probability) ln S_T is Gaussian and
+        #   P(S_T>K) = Σ_n e^{−λT}(λT)^n/n! · N(d_n),
+        #   d_n = (ln(S0/K) + (r−q−λm−σ²/2)T + n·μ_J) / sqrt(σ²T + n·σ_J²).
+        # 64 static terms: the Poisson tail beyond is < 1e-15 for λT ≤ 20
+        # (far past any calibrated desk intensity).
+        from jax.scipy.special import erf, gammaln
+
+        strike_d, vol_d, lam_d, mu_j, sd_j = (
+            contract[i].astype(dtype) for i in (1, 5, 6, 7, 8)
+        )
+        m = jnp.exp(mu_j + 0.5 * sd_j * sd_j) - 1.0
+        lam_t = lam_d * maturity
+        k = jnp.arange(64, dtype=dtype)
+        # log Poisson weights; guard λT = 0 (k·log 0 → −inf·0 at k = 0)
+        log_lam_t = jnp.log(jnp.maximum(lam_t, jnp.finfo(dtype).tiny))
+        log_w = -lam_t + k * log_lam_t - gammaln(k + 1.0)
+        w = jnp.where(lam_t > 0.0, jnp.exp(log_w), jnp.where(k == 0.0, 1.0, 0.0))
+        drift = (rate - div_yield - lam_d * m - 0.5 * vol_d * vol_d) * maturity
+        var_k = vol_d * vol_d * maturity + k * sd_j * sd_j
+        d_k = (jnp.log(spot / strike_d) + drift + k * mu_j) / jnp.sqrt(var_k)
+        prob_up = jnp.sum(w * 0.5 * (1.0 + erf(d_k / jnp.sqrt(jnp.asarray(2.0, dtype)))))
+        return strike_d + 2.0 * prob_up - 1.0
     return None
 
 

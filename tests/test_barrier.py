@@ -296,7 +296,7 @@ def test_mc_greeks_refuses_barrier_payoffs() -> None:
         barrier_rel=1.3,
         normalization=ForwardNormalization.NONE,
     )
-    with pytest.raises(ValueError, match="knockout"):
+    with pytest.raises(ValueError, match="indicator payoffs"):
         mc_greeks(sim, make_contract(), option=OptionSide.CALL)
 
 

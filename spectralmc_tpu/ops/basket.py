@@ -264,12 +264,19 @@ def simulate_basket_underlier_rows(
         def normals(t: jax.Array) -> jax.Array:
             return basket_component_normals(row_keys, sign, t, a_n, cols, dtype)
 
-    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
+    from spectralmc_tpu.ops.gbm import (
+        BARRIER_PAYOFFS,
+        LOOKBACK_MAX_PAYOFFS,
+        LOOKBACK_PAYOFFS,
+        lookback_underlier,
+    )
 
     geometric_time = payoff == PayoffKind.ASIAN_GEOMETRIC
     terminal = payoff in (PayoffKind.TERMINAL, PayoffKind.DIGITAL)
     barrier = payoff in BARRIER_PAYOFFS
-    up = payoff == PayoffKind.BARRIER_UP_OUT
+    lookback = payoff in LOOKBACK_PAYOFFS
+    track_extreme = barrier or lookback
+    up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
     extreme_fn = jnp.maximum if up else jnp.minimum
 
     def basket_value(logx: jax.Array) -> jax.Array:
@@ -283,8 +290,8 @@ def simulate_basket_underlier_rows(
     def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
         logx, acc = carry
         logx = basket_euler_step(logx, normals(t), drift=drift, sig_sqdt=sig_sqdt, chol=chol)
-        if barrier:
-            # knockout monitors the BASKET value (standard basket-barrier)
+        if track_extreme:
+            # extremes monitor the BASKET value (standard basket convention)
             acc = extreme_fn(acc, basket_value(logx))
         elif not terminal:
             value = basket_value(logx)
@@ -292,7 +299,7 @@ def simulate_basket_underlier_rows(
         return (logx, acc), None
 
     log0 = jnp.zeros((a_n, rows, cols), dtype) + jnp.log(spots)[:, None, None]
-    acc0 = basket_value(log0) if barrier else jnp.zeros((rows, cols), dtype)
+    acc0 = basket_value(log0) if track_extreme else jnp.zeros((rows, cols), dtype)
     (logx, acc), _ = jax.lax.scan(body, (log0, acc0), jnp.arange(timesteps))
     if barrier:
         assert barrier_rel is not None
@@ -300,6 +307,9 @@ def simulate_basket_underlier_rows(
         level = basket_value(log0)[0, 0] * jnp.asarray(barrier_rel, dtype)
         knocked = acc >= level if up else acc <= level
         return jnp.where(knocked, strike, basket_value(logx))
+    if lookback:
+        strike = contract[1].astype(dtype)
+        return lookback_underlier(payoff, strike, acc, basket_value(logx))
     if payoff == PayoffKind.DIGITAL:
         # same bit stream as TERMINAL: u = K + sign(B_T − K) prices both
         # cash-or-nothing channels on the basket value
@@ -375,11 +385,16 @@ def expected_basket_underlier_mean(
     lognormal, so all three payoff kinds have closed forms (the geometric
     time-average reuses the Asian (N+1)(2N+1)/(6N) variance).
     """
-    from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, BARRIER_PAYOFFS, PayoffKind
+    from spectralmc_tpu.ops.gbm import (
+        AMERICAN_PAYOFFS,
+        BARRIER_PAYOFFS,
+        LOOKBACK_PAYOFFS,
+        PayoffKind,
+    )
 
-    if payoff in BARRIER_PAYOFFS or payoff in AMERICAN_PAYOFFS:
-        # knocked-out means have no closed form; the American synthetic
-        # underlier's mean IS the unknown price being estimated
+    if payoff in BARRIER_PAYOFFS or payoff in AMERICAN_PAYOFFS or payoff in LOOKBACK_PAYOFFS:
+        # knocked-out and running-extreme means have no closed form; the
+        # American synthetic underlier's mean IS the unknown price
         return None
     spot, _, maturity, rate, div_yield, _ = (contract[i].astype(dtype) for i in range(6))
     n = jnp.asarray(timesteps, dtype)

@@ -108,6 +108,27 @@ class PayoffKind(enum.Enum):
     # IPA Greeks are refused (a.e.-zero pathwise derivative, like the
     # knockouts) — ``ops/greeks.py::bump_greeks`` covers digitals.
     DIGITAL = "digital"
+    # Lookbacks on the running extreme over the monitor grid t_0..t_N
+    # (t_0 INCLUDED — M ≥ S_0, m ≤ S_0). Named by the traded product; the
+    # learned put channel carries it via a synthetic underlier (the
+    # American precedent: encode so df·max(K−u,0) IS the product):
+    #   LOOKBACK_FIXED_CALL  pays (M−K)+        u = 2K − M   (strike
+    #     reflection: max(K−u,0) = max(M−K,0))
+    #   LOOKBACK_FIXED_PUT   pays (K−m)+        u = m        (natural)
+    #   LOOKBACK_FLOAT_PUT   pays M − S_T ≥ 0   u = K − (M − S_T)
+    #   LOOKBACK_FLOAT_CALL  pays S_T − m ≥ 0   u = K − (S_T − m)
+    # The call channel reports NaN (E[extreme] has no closed form on a
+    # discrete grid, so no parity route; the float payoffs are certain —
+    # their "call" channel is identically zero by construction). Oracle:
+    # ``ops/analytic.py::lookback_price`` — barrier-survival integration
+    # with the simulator's exact discrete monitoring (and, for geometric
+    # baskets, at the effective-GBM parameters — ln B is itself a GBM).
+    # IPA Greeks are VALID (running extremes are a.e. differentiable,
+    # like the Asian average) — mc_greeks works unchanged.
+    LOOKBACK_FIXED_CALL = "lookback_fixed_call"
+    LOOKBACK_FIXED_PUT = "lookback_fixed_put"
+    LOOKBACK_FLOAT_CALL = "lookback_float_call"
+    LOOKBACK_FLOAT_PUT = "lookback_float_put"
     # Early exercise on the timestep grid (Bermudan → American as the grid
     # refines) via Longstaff–Schwartz regression MC (ops/american.py). The
     # per-path discounted cashflow cf is re-encoded as a SYNTHETIC underlier
@@ -130,6 +151,35 @@ class PayoffKind(enum.Enum):
 
 BARRIER_PAYOFFS = frozenset({PayoffKind.BARRIER_UP_OUT, PayoffKind.BARRIER_DOWN_OUT})
 AMERICAN_PAYOFFS = frozenset({PayoffKind.AMERICAN_PUT, PayoffKind.AMERICAN_CALL})
+LOOKBACK_PAYOFFS = frozenset(
+    {
+        PayoffKind.LOOKBACK_FIXED_CALL,
+        PayoffKind.LOOKBACK_FIXED_PUT,
+        PayoffKind.LOOKBACK_FLOAT_CALL,
+        PayoffKind.LOOKBACK_FLOAT_PUT,
+    }
+)
+# kinds whose extreme is the running MAX (the others track the running MIN)
+LOOKBACK_MAX_PAYOFFS = frozenset(
+    {PayoffKind.LOOKBACK_FIXED_CALL, PayoffKind.LOOKBACK_FLOAT_PUT}
+)
+
+
+def lookback_underlier(
+    payoff: PayoffKind, strike: jax.Array, extreme: jax.Array, terminal: jax.Array
+) -> jax.Array:
+    """The lookback kinds' synthetic underlier (PayoffKind docstring).
+
+    ``extreme``/``terminal`` in LINEAR price space; shared by the XLA scans
+    and the Pallas kernel epilogues so the encoding cannot desync."""
+    if payoff == PayoffKind.LOOKBACK_FIXED_CALL:
+        return 2.0 * strike - extreme
+    if payoff == PayoffKind.LOOKBACK_FIXED_PUT:
+        return extreme
+    if payoff == PayoffKind.LOOKBACK_FLOAT_PUT:
+        return strike - (extreme - terminal)
+    assert payoff == PayoffKind.LOOKBACK_FLOAT_CALL
+    return strike - (terminal - extreme)
 
 
 class ModelKind(enum.Enum):
@@ -675,6 +725,10 @@ def has_closed_form_mean(
         # the synthetic LSMC underlier's mean is strike − price/df — exactly
         # the unknown being estimated; and early exercise breaks parity anyway
         return False
+    if payoff in LOOKBACK_PAYOFFS:
+        # E[running extreme] over a discrete grid has no closed form (the
+        # continuous-monitoring formulas carry O(sqrt(dt)) monitoring bias)
+        return False
     if payoff == PayoffKind.DIGITAL:
         # E[u] = K + 2·P(S_T>K) − 1 needs the exact discrete terminal law:
         # GBM (flat or curves) and Merton (exact transitions → series) have
@@ -1118,6 +1172,30 @@ def simulate_underlier_rows(
         knocked = ext >= level if up else ext <= level
         return jnp.where(knocked, strike, terminal)
 
+    if payoff in LOOKBACK_PAYOFFS:
+        strike = contract[1].astype(dtype)
+        extreme_fn = jnp.maximum if payoff in LOOKBACK_MAX_PAYOFFS else jnp.minimum
+        if scheme == PathScheme.LOG_EULER:
+
+            def body_l(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+                logx, ext = carry
+                logx = logx + log_drift(t) + vol_step(t) * normals(t)
+                return (logx, extreme_fn(ext, logx)), None
+
+            log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
+            (logx, ext), _ = jax.lax.scan(body_l, (log0, log0), jnp.arange(timesteps))
+            terminal, extreme = jnp.exp(logx), jnp.exp(ext)
+        else:
+
+            def body_le(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+                x, ext = carry
+                x = jnp.abs(x * (1.0 + lin_drift(t) + vol_step(t) * normals(t)))
+                return (x, extreme_fn(ext, x)), None
+
+            x0 = jnp.full((rows, cols), 1.0, dtype) * spot
+            (terminal, extreme), _ = jax.lax.scan(body_le, (x0, x0), jnp.arange(timesteps))
+        return lookback_underlier(payoff, strike, extreme, terminal)
+
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     if scheme == PathScheme.LOG_EULER:
 
@@ -1167,6 +1245,8 @@ def expected_underlier_mean(
     """
     if payoff in BARRIER_PAYOFFS or payoff in AMERICAN_PAYOFFS:
         return None
+    if payoff in LOOKBACK_PAYOFFS:
+        return None  # E[running extreme] has no closed form on a discrete grid
     if payoff == PayoffKind.DIGITAL:
         # E[u] = K + P(S_T>K) − P(S_T<K) = K + 2·N(d2_eff) − 1, exact for
         # the log-Euler terminal law (flat or curved). Feeds call-via-parity

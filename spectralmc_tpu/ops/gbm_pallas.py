@@ -34,7 +34,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS, PathScheme, PayoffKind
+from spectralmc_tpu.ops.gbm import (
+    BARRIER_PAYOFFS,
+    LOOKBACK_MAX_PAYOFFS,
+    LOOKBACK_PAYOFFS,
+    PathScheme,
+    PayoffKind,
+    lookback_underlier,
+)
 
 # Block shape: (8, 128) is the fp32 min tile; (256, 256) keeps a 256 KiB state
 # block resident in VMEM with room for the two random-bit buffers.
@@ -365,10 +372,10 @@ def _gbm_term_block_kernel(
         if timesteps % 2:
             logx = step_single(jnp.int32(timesteps - 1), logx)
         out_ref[:, :] = jnp.exp(logx)
-    elif payoff in BARRIER_PAYOFFS:
-        up = payoff == PayoffKind.BARRIER_UP_OUT
+    elif payoff in BARRIER_PAYOFFS or payoff in LOOKBACK_PAYOFFS:
+        lookback = payoff in LOOKBACK_PAYOFFS
+        up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
         extreme_fn = jnp.maximum if up else jnp.minimum
-        level = jnp.log(spot * jnp.float32(barrier_rel))
 
         def step_barrier(
             t: jax.Array, carry: tuple[jax.Array, jax.Array]
@@ -378,8 +385,14 @@ def _gbm_term_block_kernel(
             return (logx, extreme_fn(ext, logx))
 
         logx, ext = _fori_unrolled_idx(timesteps, step_barrier, (log0, log0))
-        knocked = ext >= level if up else ext <= level
-        out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
+        if lookback:
+            out_ref[:, :] = lookback_underlier(
+                payoff, params_ref[0, 1], jnp.exp(ext), jnp.exp(logx)
+            )
+        else:
+            level = jnp.log(spot * jnp.float32(barrier_rel))
+            knocked = ext >= level if up else ext <= level
+            out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
     else:
         geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
 
@@ -478,12 +491,13 @@ def _gbm_block_kernel(
             if timesteps % 2:
                 logx = step_single(logx)
             out_ref[:, :] = jnp.exp(logx)
-        elif payoff in BARRIER_PAYOFFS:
-            # knockout: track the path's running log-extreme in VMEM, mask
-            # knocked paths to strike (zeroes both vanilla payoffs)
-            up = payoff == PayoffKind.BARRIER_UP_OUT
+        elif payoff in BARRIER_PAYOFFS or payoff in LOOKBACK_PAYOFFS:
+            # knockout/lookback: track the path's running log-extreme in
+            # VMEM; barriers mask knocked paths to strike, lookbacks emit
+            # the extreme through the shared underlier encoding
+            lookback = payoff in LOOKBACK_PAYOFFS
+            up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
             extreme_fn = jnp.maximum if up else jnp.minimum
-            level = jnp.log(spot * jnp.float32(barrier_rel))
 
             def step_barrier(
                 carry: tuple[jax.Array, jax.Array]
@@ -493,8 +507,14 @@ def _gbm_block_kernel(
                 return (logx, extreme_fn(ext, logx))
 
             logx, ext = _fori_unrolled(timesteps, step_barrier, (log0, log0))
-            knocked = ext >= level if up else ext <= level
-            out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
+            if lookback:
+                out_ref[:, :] = lookback_underlier(
+                    payoff, params_ref[0, 1], jnp.exp(ext), jnp.exp(logx)
+                )
+            else:
+                level = jnp.log(spot * jnp.float32(barrier_rel))
+                knocked = ext >= level if up else ext <= level
+                out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
         else:
             # Path-dependent average: every intermediate state feeds the
             # running sum, so the pair-step shortcut does not apply.
@@ -521,10 +541,10 @@ def _gbm_block_kernel(
         x0 = jnp.full(shape, 1.0, jnp.float32) * spot
         if payoff == PayoffKind.TERMINAL:
             out_ref[:, :] = _fori_unrolled(timesteps, step_euler, x0)
-        elif payoff in BARRIER_PAYOFFS:
-            up = payoff == PayoffKind.BARRIER_UP_OUT
+        elif payoff in BARRIER_PAYOFFS or payoff in LOOKBACK_PAYOFFS:
+            lookback = payoff in LOOKBACK_PAYOFFS
+            up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
             extreme_fn = jnp.maximum if up else jnp.minimum
-            level = spot * jnp.float32(barrier_rel)
 
             def step_euler_barrier(
                 carry: tuple[jax.Array, jax.Array]
@@ -534,8 +554,12 @@ def _gbm_block_kernel(
                 return (x, extreme_fn(ext, x))
 
             x, ext = _fori_unrolled(timesteps, step_euler_barrier, (x0, x0))
-            knocked = ext >= level if up else ext <= level
-            out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], x)
+            if lookback:
+                out_ref[:, :] = lookback_underlier(payoff, params_ref[0, 1], ext, x)
+            else:
+                level = spot * jnp.float32(barrier_rel)
+                knocked = ext >= level if up else ext <= level
+                out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], x)
         else:
             geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
 
@@ -1468,7 +1492,9 @@ def _heston_block_kernel(
 
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     barrier = payoff in BARRIER_PAYOFFS
-    up = payoff == PayoffKind.BARRIER_UP_OUT
+    lookback = payoff in LOOKBACK_PAYOFFS
+    track_extreme = barrier or lookback
+    up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
     extreme_fn = jnp.maximum if up else jnp.minimum
     inv_n = jnp.float32(1.0 / timesteps)
     # in-block antithetic pairing (see _gbm_block_kernel): negating the 2D
@@ -1497,7 +1523,7 @@ def _heston_block_kernel(
         sqrt_v_sdt = jnp.sqrt(v_plus * dt)
         logx = logx + rq_dt - jnp.float32(0.5) * v_plus * dt + sqrt_v_sdt * z_s
         v = v + ktheta_dt - kdt * v_plus + xi * sqrt_v_sdt * z_v
-        if barrier:
+        if track_extreme:
             acc = extreme_fn(acc, logx)
         elif payoff != PayoffKind.TERMINAL:
             acc = acc + (logx if geometric else jnp.exp(logx))
@@ -1506,9 +1532,15 @@ def _heston_block_kernel(
     log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
     vinit = jnp.full(shape, 1.0, jnp.float32) * v0
     logx, _, acc = _fori_unrolled(
-        timesteps, step, (log0, vinit, log0 if barrier else jnp.zeros(shape, jnp.float32))
+        timesteps,
+        step,
+        (log0, vinit, log0 if track_extreme else jnp.zeros(shape, jnp.float32)),
     )
-    if barrier:
+    if lookback:
+        out_ref[:, :] = lookback_underlier(
+            payoff, params_ref[0, 1], jnp.exp(acc), jnp.exp(logx)
+        )
+    elif barrier:
         level = jnp.log(spot * jnp.float32(barrier_rel))
         knocked = acc >= level if up else acc <= level
         out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
@@ -1926,8 +1958,10 @@ def _basket_block_kernel(
 
     geometric_time = payoff == PayoffKind.ASIAN_GEOMETRIC
     barrier = payoff in BARRIER_PAYOFFS
+    lookback = payoff in LOOKBACK_PAYOFFS
+    track_extreme = barrier or lookback
     terminal = payoff == PayoffKind.TERMINAL
-    up = payoff == PayoffKind.BARRIER_UP_OUT
+    up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
     extreme_fn = jnp.maximum if up else jnp.minimum
     inv_n = jnp.float32(1.0 / timesteps)
 
@@ -1965,7 +1999,7 @@ def _basket_block_kernel(
                 if chol[a][b] != 0.0:
                     zm = zm + jnp.float32(chol[a][b]) * z[b]
             new_logx.append(logx[a] + drift[a] + sig_sdt[a] * zm)
-        if barrier:
+        if track_extreme:
             acc = extreme_fn(acc, basket_value(new_logx))
         elif not terminal:
             value = basket_value(new_logx)
@@ -1976,10 +2010,14 @@ def _basket_block_kernel(
         jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot * jnp.float32(m))
         for m in spot_multipliers
     )
-    acc0 = basket_value(list(log0)) if barrier else jnp.zeros(shape, jnp.float32)
+    acc0 = basket_value(list(log0)) if track_extreme else jnp.zeros(shape, jnp.float32)
     logx, acc = _fori_unrolled(timesteps, step, (log0, acc0))
     logx = list(logx)
-    if barrier:
+    if lookback:
+        out_ref[:, :] = lookback_underlier(
+            payoff, params_ref[0, 1], acc, basket_value(logx)
+        )
+    elif barrier:
         # level = initial basket value x barrier_rel (matches the XLA path)
         g0 = 0.0
         if geometric_combine:
@@ -2497,7 +2535,9 @@ def _merton_block_kernel(
 
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     barrier = payoff in BARRIER_PAYOFFS
-    up = payoff == PayoffKind.BARRIER_UP_OUT
+    lookback = payoff in LOOKBACK_PAYOFFS
+    track_extreme = barrier or lookback
+    up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
     extreme_fn = jnp.maximum if up else jnp.minimum
     inv_n = jnp.float32(1.0 / timesteps)
 
@@ -2512,7 +2552,7 @@ def _merton_block_kernel(
         counts = _share(_poisson_counts(_uniform_24bit(gen_shape), lam_dt))
         jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
         logx = logx + drift + vol_sdt * z_d + jump
-        if barrier:
+        if track_extreme:
             acc = extreme_fn(acc, logx)
         elif payoff != PayoffKind.TERMINAL:
             acc = acc + (logx if geometric else jnp.exp(logx))
@@ -2520,9 +2560,13 @@ def _merton_block_kernel(
 
     log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
     logx, acc = _fori_unrolled(
-        timesteps, step, (log0, log0 if barrier else jnp.zeros(shape, jnp.float32))
+        timesteps, step, (log0, log0 if track_extreme else jnp.zeros(shape, jnp.float32))
     )
-    if barrier:
+    if lookback:
+        out_ref[:, :] = lookback_underlier(
+            payoff, params_ref[0, 1], jnp.exp(acc), jnp.exp(logx)
+        )
+    elif barrier:
         level = jnp.log(spot * jnp.float32(barrier_rel))
         knocked = acc >= level if up else acc <= level
         out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))

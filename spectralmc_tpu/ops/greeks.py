@@ -376,6 +376,15 @@ def term_bucket_greeks(
             "curve ladders for the LSMC payoffs are unsupported (the exercise "
             "policy consumes static curves); bump the scalar fields instead"
         )
+    from spectralmc_tpu.ops.gbm import LOOKBACK_PAYOFFS
+
+    if sim.payoff in LOOKBACK_PAYOFFS:
+        raise ValueError(
+            "curve ladders for the lookback kinds are not implemented (the "
+            "ladder program rebuilds the payoff and carries no running "
+            "extreme); mc_greeks gives the scalar greeks — IPA is valid for "
+            "lookbacks — and bump_greeks covers the scalar fields"
+        )
     dtype = sim.precision.to_jnp()
     timesteps = sim.timesteps
     rows, cols = sim.batches_per_mc_run, sim.network_size

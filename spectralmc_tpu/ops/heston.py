@@ -214,10 +214,17 @@ def simulate_heston_underlier_rows(
         def component_normals(t: jax.Array, comp: int) -> jax.Array:
             return heston_component_normals(row_keys, sign, t, comp, cols, dtype)
 
-    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
+    from spectralmc_tpu.ops.gbm import (
+        BARRIER_PAYOFFS,
+        LOOKBACK_MAX_PAYOFFS,
+        LOOKBACK_PAYOFFS,
+        lookback_underlier,
+    )
 
     barrier = payoff in BARRIER_PAYOFFS
-    up = payoff == PayoffKind.BARRIER_UP_OUT
+    lookback = payoff in LOOKBACK_PAYOFFS
+    track_extreme = barrier or lookback
+    up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     extreme_fn = jnp.maximum if up else jnp.minimum
     step_consts = dict(
@@ -230,7 +237,7 @@ def simulate_heston_underlier_rows(
         z_v = component_normals(t, 0)
         z_orth = component_normals(t, 1)
         logx, v = heston_euler_step(logx, v, z_v, z_orth, **step_consts)
-        if barrier:
+        if track_extreme:
             acc = extreme_fn(acc, logx)
         elif payoff not in (PayoffKind.TERMINAL, PayoffKind.DIGITAL):
             acc = acc + (logx if geometric else jnp.exp(logx))
@@ -240,7 +247,7 @@ def simulate_heston_underlier_rows(
     log0 = jnp.full(shape, 0.0, dtype) + jnp.log(spot)
     vinit = jnp.full(shape, 1.0, dtype) * v0
     (logx, _, acc), _ = jax.lax.scan(
-        body, (log0, vinit, log0 if barrier else jnp.zeros(shape, dtype)),
+        body, (log0, vinit, log0 if track_extreme else jnp.zeros(shape, dtype)),
         jnp.arange(timesteps),
     )
     if barrier:
@@ -249,6 +256,9 @@ def simulate_heston_underlier_rows(
         level = jnp.log(spot * jnp.asarray(barrier_rel, dtype))
         knocked = acc >= level if up else acc <= level
         return jnp.where(knocked, strike, jnp.exp(logx))
+    if lookback:
+        strike = contract[1].astype(dtype)
+        return lookback_underlier(payoff, strike, jnp.exp(acc), jnp.exp(logx))
     if payoff == PayoffKind.DIGITAL:
         # same bit stream as TERMINAL: u = K + sign(S_T − K) prices both
         # cash-or-nothing channels (ops/gbm.py::PayoffKind.DIGITAL)

@@ -224,10 +224,17 @@ def simulate_merton_underlier_rows(
         def diffusion_normals(t: jax.Array) -> jax.Array:
             return merton_component_normals(row_keys, sign, t, 0, cols, dtype)
 
-    from spectralmc_tpu.ops.gbm import BARRIER_PAYOFFS
+    from spectralmc_tpu.ops.gbm import (
+        BARRIER_PAYOFFS,
+        LOOKBACK_MAX_PAYOFFS,
+        LOOKBACK_PAYOFFS,
+        lookback_underlier,
+    )
 
     barrier = payoff in BARRIER_PAYOFFS
-    up = payoff == PayoffKind.BARRIER_UP_OUT
+    lookback = payoff in LOOKBACK_PAYOFFS
+    track_extreme = barrier or lookback
+    up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     extreme_fn = jnp.maximum if up else jnp.minimum
 
@@ -239,7 +246,7 @@ def simulate_merton_underlier_rows(
         # conditional on the count, the jump sum is exactly Gaussian
         jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
         logx = logx + drift + vol * sqrt_dt * z_d + jump
-        if barrier:
+        if track_extreme:
             acc = extreme_fn(acc, logx)
         elif payoff not in (PayoffKind.TERMINAL, PayoffKind.DIGITAL):
             acc = acc + (logx if geometric else jnp.exp(logx))
@@ -248,7 +255,7 @@ def simulate_merton_underlier_rows(
     shape = (rows, cols)
     log0 = jnp.full(shape, 0.0, dtype) + jnp.log(spot)
     (logx, acc), _ = jax.lax.scan(
-        body, (log0, log0 if barrier else jnp.zeros(shape, dtype)),
+        body, (log0, log0 if track_extreme else jnp.zeros(shape, dtype)),
         jnp.arange(timesteps),
     )
     if barrier:
@@ -257,6 +264,9 @@ def simulate_merton_underlier_rows(
         level = jnp.log(spot * jnp.asarray(barrier_rel, dtype))
         knocked = acc >= level if up else acc <= level
         return jnp.where(knocked, strike, jnp.exp(logx))
+    if lookback:
+        strike = contract[1].astype(dtype)
+        return lookback_underlier(payoff, strike, jnp.exp(acc), jnp.exp(logx))
     if payoff == PayoffKind.DIGITAL:
         # same bit stream as TERMINAL: u = K + sign(S_T − K) prices both
         # cash-or-nothing channels (ops/gbm.py::PayoffKind.DIGITAL)

@@ -524,6 +524,76 @@ def geometric_asian_price(
     )
 
 
+def variance_option_price(
+    strike: float,
+    maturity: float,
+    rate: float,
+    div_yield: float,
+    vol: float,
+    *,
+    timesteps: int,
+) -> AnalyticPrices:
+    """Exact discrete-grid variance call/put prices under flat log-Euler GBM
+    (host-side float64 oracle; extension — no reference counterpart).
+
+    The annualized realized variance over the N-step grid,
+    RV = (1/T)·Σ(Δln S)², with Δln S ~ iid N(a, b²), a = (r−q−σ²/2)·dt,
+    b² = σ²·dt, is a scaled noncentral chi-square:
+
+        RV ~ (b²/T)·χ'²(ν=N, λ=N·a²/b²).
+
+    Tail-mean identity x·f_{ν,λ}(x) = ν·f_{ν+2,λ}(x) + λ·f_{ν+4,λ}(x) gives
+    E[X·1{X>y}] = ν·Q_{ν+2,λ}(y) + λ·Q_{ν+4,λ}(y) (Q = survival function),
+    so the variance cap df·E[max(RV−K,0)] — the call channel of
+    ``PayoffKind.VARIANCE_SWAP`` — is closed-form; the floor (put channel)
+    follows by parity with E[RV] = (b²/T)(ν+λ). Zero discretization slop:
+    the MC estimator's increments ARE iid N(a, b²), so this is as sharp as
+    the Black formula is for TERMINAL. ``strike`` is in vol² units.
+    """
+    import numpy as np
+    from scipy.stats import ncx2
+
+    n = int(timesteps)
+    dt = maturity / n
+    a = (rate - div_yield - 0.5 * vol * vol) * dt
+    b2 = vol * vol * dt
+    lam = n * a * a / b2
+    scale = b2 / maturity
+    y = strike / scale
+    df = float(np.exp(-rate * maturity))
+    q_y = float(ncx2.sf(y, n, lam))
+    e_tail = n * float(ncx2.sf(y, n + 2, lam)) + lam * float(ncx2.sf(y, n + 4, lam))
+    call = df * scale * (e_tail - y * q_y)
+    e_rv = scale * (n + lam)
+    put = call - df * (e_rv - strike)  # parity on the exact mean
+    call_intr = df * max(e_rv - strike, 0.0)
+    put_intr = df * max(strike - e_rv, 0.0)
+    return AnalyticPrices(
+        put=put,
+        call=call,
+        put_intrinsic=put_intr,
+        call_intrinsic=call_intr,
+        put_convexity=put - put_intr,
+        call_convexity=call - call_intr,
+    )
+
+
+def variance_fair_strike(
+    maturity: float,
+    rate: float,
+    div_yield: float,
+    vol: float,
+    *,
+    timesteps: int,
+) -> float:
+    """E[RV] on the discrete grid — the strike that zeroes the variance-swap
+    leg (exact under flat log-Euler GBM; matches
+    ``ops/gbm.py::expected_underlier_mean(VARIANCE_SWAP)``)."""
+    dt = maturity / timesteps
+    a = (rate - div_yield - 0.5 * vol * vol) * dt
+    return timesteps * (a * a + vol * vol * dt) / maturity
+
+
 def implied_vol(
     price: Any,
     spot: Any,

@@ -287,6 +287,32 @@ def simulate_basket_underlier_rows(
 
     sig_sqdt = sigmas * sqrt_dt
 
+    if payoff == PayoffKind.VARIANCE_SWAP:
+        # realized variance of the BASKET value (the payoff's underlier is
+        # always the combine, matching the extreme/average conventions):
+        # carry the previous ln B alongside the running sum of squares
+        def log_basket(logx: jax.Array) -> jax.Array:
+            if spec.combine == BasketCombine.GEOMETRIC:
+                return jnp.einsum("a,arc->rc", weights, logx)
+            return jnp.log(jnp.einsum("a,arc->rc", weights, jnp.exp(logx)))
+
+        def body_var(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
+            logx, prev_lb, acc = carry
+            logx = basket_euler_step(
+                logx, normals(t), drift=drift, sig_sqdt=sig_sqdt, chol=chol
+            )
+            lb = log_basket(logx)
+            inc = lb - prev_lb
+            return (logx, lb, acc + inc * inc), None
+
+        log0_v = jnp.zeros((a_n, rows, cols), dtype) + jnp.log(spots)[:, None, None]
+        (_, _, acc_v), _ = jax.lax.scan(
+            body_var,
+            (log0_v, log_basket(log0_v), jnp.zeros((rows, cols), dtype)),
+            jnp.arange(timesteps),
+        )
+        return acc_v / maturity  # annualized (ops/gbm.py::PayoffKind)
+
     def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
         logx, acc = carry
         logx = basket_euler_step(logx, normals(t), drift=drift, sig_sqdt=sig_sqdt, chol=chol)
@@ -399,6 +425,13 @@ def expected_basket_underlier_mean(
     spot, _, maturity, rate, div_yield, _ = (contract[i].astype(dtype) for i in range(6))
     n = jnp.asarray(timesteps, dtype)
     dt = maturity / n
+    if payoff == PayoffKind.VARIANCE_SWAP:
+        if spec.combine == BasketCombine.ARITHMETIC:
+            return None  # ln(Σ wᵢSᵢ) increments have no closed moments
+        # geometric combine: Δln B ~ N(μ̄·dt, s̄²·dt) exactly per step, so
+        # E[RV] = N·((μ̄dt)² + s̄²dt)/T (the effective-GBM map)
+        mu_bar, s2_bar = basket_log_moments(contract, spec, dtype=dtype)
+        return n * ((mu_bar * dt) ** 2 + s2_bar * dt) / maturity
     if spec.combine == BasketCombine.ARITHMETIC:
         if payoff == PayoffKind.DIGITAL:
             return None  # P(B_arith > K) has no closed form

@@ -147,6 +147,27 @@ class PayoffKind(enum.Enum):
     # vs heston_call_price / merton_call_price / the same-stream European.
     AMERICAN_PUT = "american_put"
     AMERICAN_CALL = "american_call"
+    # Realized variance over the monitor grid:
+    #     u = RV = (1/T) · Σ_{i=1..N} (ln(S_i/S_{i-1}))²
+    # (annualized; for baskets the increments of the BASKET value). The
+    # strike field carries the variance strike K in vol² units, so the two
+    # channels are the traded variance options — put = df·max(K−RV,0)
+    # (variance floor), call = df·max(RV−K,0) (variance cap) — and the payer
+    # variance-swap leg is call − put = df·(E[RV] − K), delivered exactly by
+    # call-via-parity wherever E[RV] has a closed form: GBM (flat AND curved
+    # terms — per-step second moments are exact under log-Euler), Merton
+    # (exact transitions), geometric baskets (ln B is an effective GBM).
+    # Heston's full-truncation E[v⁺] and the arithmetic basket's
+    # log-increments have no closed form (parity and MEAN gated off there).
+    # Under flat log-Euler GBM the whole DISTRIBUTION is known:
+    # RV ~ (v²dt/T)·χ'²(N, λ=N·a²/(v²dt)), a = (r−q−v²/2)dt — a noncentral
+    # chi-square, so both channels have an exact discrete-grid oracle
+    # (ops/analytic.py::variance_option_price). IPA Greeks are VALID (RV is
+    # smooth in vol/rate; its pathwise delta is identically 0 under
+    # log-Euler — the true model delta of a variance swap). MEAN
+    # normalization is multiplicative on a positive underlier and allowed
+    # exactly where E[RV] is closed-form.
+    VARIANCE_SWAP = "variance_swap"
 
 
 BARRIER_PAYOFFS = frozenset({PayoffKind.BARRIER_UP_OUT, PayoffKind.BARRIER_DOWN_OUT})
@@ -739,6 +760,17 @@ def has_closed_form_mean(
         if model == ModelKind.BASKET_GBM and combine == BasketCombine.ARITHMETIC:
             return False
         return True
+    if payoff == PayoffKind.VARIANCE_SWAP:
+        # E[RV] needs exact per-step second moments of the log-increments:
+        # GBM (flat or curved) and Merton (exact transitions) have them, and
+        # the geometric basket's ln B is an effective GBM; Heston's
+        # full-truncation E[v⁺] and the arithmetic basket's log-increments
+        # have no closed form
+        if model == ModelKind.HESTON:
+            return False
+        if model == ModelKind.BASKET_GBM and combine == BasketCombine.ARITHMETIC:
+            return False
+        return True
     if model in (ModelKind.HESTON, ModelKind.MERTON_JUMP):
         # both keep the discounted spot a martingale (Heston by construction,
         # Merton via the -lam*m compensator) but lose the geometric average
@@ -1143,6 +1175,26 @@ def simulate_underlier_rows(
         mc_seed=mc_seed,
     )
 
+    if payoff == PayoffKind.VARIANCE_SWAP:
+        # RV needs only the log-increments — no path state at all under
+        # either scheme (log-Euler: inc = drift + vol·z; Euler: the ratio
+        # x'/x = |1 + lin + vol·z| is state-free), so the scan carries just
+        # the running sum of squares.
+        if scheme == PathScheme.LOG_EULER:
+
+            def body_v(acc: jax.Array, t: jax.Array):
+                inc = log_drift(t) + vol_step(t) * normals(t)
+                return acc + inc * inc, None
+
+        else:
+
+            def body_v(acc: jax.Array, t: jax.Array):
+                inc = jnp.log(jnp.abs(1.0 + lin_drift(t) + vol_step(t) * normals(t)))
+                return acc + inc * inc, None
+
+        acc, _ = jax.lax.scan(body_v, jnp.zeros((rows, cols), dtype), jnp.arange(timesteps))
+        return acc / maturity
+
     if payoff in BARRIER_PAYOFFS:
         assert barrier_rel is not None  # enforced by build_simulation_params
         strike = contract[1].astype(dtype)
@@ -1270,6 +1322,24 @@ def expected_underlier_mean(
         d2 = (jnp.log(spot_d / strike_d) + drift - 0.5 * var) / jnp.sqrt(var)
         n_d2 = 0.5 * (1.0 + erf(d2 / jnp.sqrt(jnp.asarray(2.0, dtype))))
         return strike_d + 2.0 * n_d2 - 1.0
+    if payoff == PayoffKind.VARIANCE_SWAP:
+        # E[RV] = (1/T)·Σ_t (a_t² + v_t²·dt) with a_t the per-step log-drift
+        # — exact under log-Euler (each increment is Gaussian(a_t, v_t²dt));
+        # for EULER it is the continuous-limit approximation, like the
+        # Asian formulas above.
+        _, _, maturity_v, rate_v, div_v, vol_v = (
+            contract[i].astype(dtype) for i in range(6)
+        )
+        n_v = jnp.asarray(timesteps, dtype)
+        dt_v = maturity_v / n_v
+        if term is not None and not term.is_flat():
+            vs, rs, qs = term.shapes(timesteps)
+            vsa, rsa, qsa = (jnp.asarray(s, dtype) for s in (vs, rs, qs))
+            vol_t = vol_v * vsa
+            a_t = (rate_v * rsa - div_v * qsa - 0.5 * vol_t * vol_t) * dt_v
+            return jnp.sum(a_t * a_t + vol_t * vol_t * dt_v) / maturity_v
+        a_f = (rate_v - div_v - 0.5 * vol_v * vol_v) * dt_v
+        return n_v * (a_f * a_f + vol_v * vol_v * dt_v) / maturity_v
     if term is not None and term.is_flat():
         # all-ones curves must reproduce the flat formulas bit-for-bit (the
         # weighted sums below are the same values in exact arithmetic but a

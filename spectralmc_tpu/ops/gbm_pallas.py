@@ -228,6 +228,13 @@ def _bm_radius(u1: jax.Array) -> jax.Array:
     1.19e-7, far above the floor.
     """
     x = jnp.float32(-2.0) * jnp.log(u1)
+    return _radius_from_sq(x)
+
+
+def _radius_from_sq(x: jax.Array) -> jax.Array:
+    """``sqrt(x)`` as ``x * rsqrt(x)`` for a precomputed x = r² (same emitted
+    ops as ``_bm_radius`` — callers that also need r² reuse x instead of
+    squaring the radius back)."""
     return x * jax.lax.rsqrt(jnp.maximum(x, jnp.float32(1e-30)))
 
 
@@ -393,6 +400,31 @@ def _gbm_term_block_kernel(
             level = jnp.log(spot * jnp.float32(barrier_rel))
             knocked = ext >= level if up else ext <= level
             out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
+    elif payoff == PayoffKind.VARIANCE_SWAP:
+        # state-free RV: per-step vols break the phase-shift z1+z2 trick,
+        # but ONE _sincos_turns fold still yields both increments of a pair
+        # (inc_a on r·cos, inc_b on r·sin — independent normals)
+        def step_pair_var(p: jax.Array, acc: jax.Array) -> jax.Array:
+            u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+            u2 = _uniform_24bit(gen_shape)
+            radius = _bm_radius(u1)
+            sin_t, cos_t = _sincos_turns(u2)
+            t = 2 * p
+            inc_a = step_ref[t, 0] + step_ref[t, 1] * _mirror(radius * cos_t)
+            inc_b = step_ref[t + 1, 0] + step_ref[t + 1, 1] * _mirror(radius * sin_t)
+            return acc + inc_a * inc_a + inc_b * inc_b
+
+        acc = _fori_unrolled_idx(
+            timesteps // 2, step_pair_var, jnp.zeros(shape, jnp.float32)
+        )
+        if timesteps % 2:
+            u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+            u2 = _uniform_24bit(gen_shape)
+            z = _mirror(_bm_radius(u1) * _sin_turns(u2 + jnp.float32(0.25)))
+            t_last = jnp.int32(timesteps - 1)
+            inc = step_ref[t_last, 0] + step_ref[t_last, 1] * z
+            acc = acc + inc * inc
+        out_ref[:, :] = acc / params_ref[0, 2]
     else:
         geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
 
@@ -515,6 +547,38 @@ def _gbm_block_kernel(
                 level = jnp.log(spot * jnp.float32(barrier_rel))
                 knocked = ext >= level if up else ext <= level
                 out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
+        elif payoff == PayoffKind.VARIANCE_SWAP:
+            # RV is STATE-FREE under log-Euler, and the pair-step shortcut
+            # survives squaring: with a = drift, b = vol·√dt,
+            #   (a+b·z1)² + (a+b·z2)² = 2a² + b²·r² + 2ab·(z1+z2),
+            #   z1+z2 = r·√2·sin(θ+π/4),  r² = −2·ln u1
+            # — ONE sine and ZERO exp per TWO timesteps; x = r² is reused
+            # instead of squaring the radius back.
+            base_c = jnp.float32(2.0) * drift * drift
+            b_sq = vol_sdt * vol_sdt
+            cross_c = jnp.float32(2.0 * math.sqrt(2.0)) * drift * vol_sdt
+
+            def step_pair_var(acc: jax.Array) -> jax.Array:
+                u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+                u2 = _uniform_24bit(gen_shape)
+                x = jnp.float32(-2.0) * jnp.log(u1)  # r²
+                s = _radius_from_sq(x) * _sin_turns(u2 + jnp.float32(0.125))
+                base = base_c + b_sq * x
+                delta = cross_c * s
+                if antithetic:  # z → −z flips only the cross term
+                    return acc + jnp.concatenate([base + delta, base - delta], axis=0)
+                return acc + base + delta
+
+            def step_single_var(acc: jax.Array) -> jax.Array:
+                inc = drift + vol_sdt * normals()
+                return acc + inc * inc
+
+            acc = _fori_unrolled(
+                timesteps // 2, step_pair_var, jnp.zeros(shape, jnp.float32)
+            )
+            if timesteps % 2:
+                acc = step_single_var(acc)
+            out_ref[:, :] = acc / maturity
         else:
             # Path-dependent average: every intermediate state feeds the
             # running sum, so the pair-step shortcut does not apply.
@@ -560,6 +624,17 @@ def _gbm_block_kernel(
                 level = spot * jnp.float32(barrier_rel)
                 knocked = ext >= level if up else ext <= level
                 out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], x)
+        elif payoff == PayoffKind.VARIANCE_SWAP:
+            # the ratio x'/x = |growth + vol·√dt·z| is state-free, so the
+            # Euler RV needs no path state either
+            def step_euler_var(acc: jax.Array) -> jax.Array:
+                inc = jnp.log(jnp.abs(growth + vol_sdt * normals()))
+                return acc + inc * inc
+
+            acc = _fori_unrolled(
+                timesteps, step_euler_var, jnp.zeros(shape, jnp.float32)
+            )
+            out_ref[:, :] = acc / maturity
         else:
             geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
 
@@ -1493,6 +1568,7 @@ def _heston_block_kernel(
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     barrier = payoff in BARRIER_PAYOFFS
     lookback = payoff in LOOKBACK_PAYOFFS
+    variance = payoff == PayoffKind.VARIANCE_SWAP
     track_extreme = barrier or lookback
     up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
     extreme_fn = jnp.maximum if up else jnp.minimum
@@ -1521,6 +1597,12 @@ def _heston_block_kernel(
         v_plus = jnp.maximum(v, jnp.float32(0.0))
         # sqrt(v)*sqrt(dt) fused into one sqrt; recursion uses hoisted scalars
         sqrt_v_sdt = jnp.sqrt(v_plus * dt)
+        if variance:
+            inc = rq_dt - jnp.float32(0.5) * v_plus * dt + sqrt_v_sdt * z_s
+            logx = logx + inc
+            acc = acc + inc * inc
+            v = v + ktheta_dt - kdt * v_plus + xi * sqrt_v_sdt * z_v
+            return (logx, v, acc)
         logx = logx + rq_dt - jnp.float32(0.5) * v_plus * dt + sqrt_v_sdt * z_s
         v = v + ktheta_dt - kdt * v_plus + xi * sqrt_v_sdt * z_v
         if track_extreme:
@@ -1546,6 +1628,8 @@ def _heston_block_kernel(
         out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
     elif payoff == PayoffKind.TERMINAL:
         out_ref[:, :] = jnp.exp(logx)
+    elif variance:
+        out_ref[:, :] = acc / maturity  # annualized RV (ops/gbm.py::PayoffKind)
     elif geometric:
         out_ref[:, :] = jnp.exp(acc * inv_n)
     else:
@@ -1988,8 +2072,7 @@ def _basket_block_kernel(
             acc = acc + jnp.float32(weights[a]) * jnp.exp(logx[a])
         return acc
 
-    def step(carry):
-        logx, acc = carry
+    def advance(logx) -> list[jax.Array]:
         z = raw_normals()
         new_logx = []
         for a in range(a_n):
@@ -1999,6 +2082,43 @@ def _basket_block_kernel(
                 if chol[a][b] != 0.0:
                     zm = zm + jnp.float32(chol[a][b]) * z[b]
             new_logx.append(logx[a] + drift[a] + sig_sdt[a] * zm)
+        return new_logx
+
+    log0 = tuple(
+        jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot * jnp.float32(m))
+        for m in spot_multipliers
+    )
+
+    if payoff == PayoffKind.VARIANCE_SWAP:
+        # realized variance of the BASKET value (combine convention): the
+        # geometric combine's ln B is the weighted log-sum directly; the
+        # arithmetic combine takes ln of the mixed value
+        def log_basket_value(logx) -> jax.Array:
+            if geometric_combine:
+                lb = jnp.float32(weights[0]) * logx[0]
+                for a in range(1, a_n):
+                    lb = lb + jnp.float32(weights[a]) * logx[a]
+                return lb
+            return jnp.log(basket_value(logx))
+
+        def step_var(carry):
+            logx, prev_lb, acc = carry
+            new_logx = advance(logx)
+            lb = log_basket_value(new_logx)
+            inc = lb - prev_lb
+            return (tuple(new_logx), lb, acc + inc * inc)
+
+        _, _, acc_v = _fori_unrolled(
+            timesteps,
+            step_var,
+            (log0, log_basket_value(list(log0)), jnp.zeros(shape, jnp.float32)),
+        )
+        out_ref[:, :] = acc_v / maturity  # annualized (ops/gbm.py::PayoffKind)
+        return
+
+    def step(carry):
+        logx, acc = carry
+        new_logx = advance(logx)
         if track_extreme:
             acc = extreme_fn(acc, basket_value(new_logx))
         elif not terminal:
@@ -2006,10 +2126,6 @@ def _basket_block_kernel(
             acc = acc + (jnp.log(value) if geometric_time else value)
         return (tuple(new_logx), acc)
 
-    log0 = tuple(
-        jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot * jnp.float32(m))
-        for m in spot_multipliers
-    )
     acc0 = basket_value(list(log0)) if track_extreme else jnp.zeros(shape, jnp.float32)
     logx, acc = _fori_unrolled(timesteps, step, (log0, acc0))
     logx = list(logx)
@@ -2536,6 +2652,7 @@ def _merton_block_kernel(
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     barrier = payoff in BARRIER_PAYOFFS
     lookback = payoff in LOOKBACK_PAYOFFS
+    variance = payoff == PayoffKind.VARIANCE_SWAP
     track_extreme = barrier or lookback
     up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
     extreme_fn = jnp.maximum if up else jnp.minimum
@@ -2551,6 +2668,11 @@ def _merton_block_kernel(
         z_j = _mirror(radius * sin_t)
         counts = _share(_poisson_counts(_uniform_24bit(gen_shape), lam_dt))
         jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
+        if variance:
+            # summed first so the increment is available; the other branch
+            # keeps the original association (bit-stream stability)
+            inc = drift + vol_sdt * z_d + jump
+            return (logx + inc, acc + inc * inc)
         logx = logx + drift + vol_sdt * z_d + jump
         if track_extreme:
             acc = extreme_fn(acc, logx)
@@ -2572,6 +2694,8 @@ def _merton_block_kernel(
         out_ref[:, :] = jnp.where(knocked, params_ref[0, 1], jnp.exp(logx))
     elif payoff == PayoffKind.TERMINAL:
         out_ref[:, :] = jnp.exp(logx)
+    elif variance:
+        out_ref[:, :] = acc / maturity  # annualized RV (ops/gbm.py::PayoffKind)
     elif geometric:
         out_ref[:, :] = jnp.exp(acc * inv_n)
     else:

@@ -347,9 +347,10 @@ def term_bucket_greeks(
     Impossible through ``mc_greeks`` (shapes are static config there) and
     impossible in the reference at any price (its kernel is opaque to
     autograd and its market data is flat scalars). Supported payoffs:
-    TERMINAL and the Asian kinds (knockouts have no valid pathwise
-    derivative — ``bump_greeks`` covers them; the LSMC payoffs' regression
-    consumes static curves and is out of scope for ladders).
+    TERMINAL, the Asian kinds, and VARIANCE_SWAP — a vol-strip ladder of a
+    variance swap is the natural hedge report for that product (knockouts
+    have no valid pathwise derivative — ``bump_greeks`` covers them; the
+    LSMC payoffs' regression consumes static curves and is out of scope).
     """
     from spectralmc_tpu.ops.gbm import (
         AMERICAN_PAYOFFS,
@@ -396,6 +397,7 @@ def term_bucket_greeks(
     anti = rows // 2 if sim.antithetic else None
     normalize = sim.normalization == ForwardNormalization.MEAN
     geometric = sim.payoff == PayoffKind.ASIAN_GEOMETRIC
+    variance = sim.payoff == PayoffKind.VARIANCE_SWAP
     log_euler = sim.scheme == PathScheme.LOG_EULER
 
     normals = _normals_source(
@@ -427,8 +429,13 @@ def term_bucket_greeks(
 
                 def body(carry, t):
                     logx, acc = carry
-                    logx = logx + drift[t] + vstep[t] * normals(t)
-                    acc = acc + (logx if geometric else jnp.exp(logx))
+                    if variance:
+                        inc = drift[t] + vstep[t] * normals(t)
+                        logx = logx + inc
+                        acc = acc + inc * inc
+                    else:
+                        logx = logx + drift[t] + vstep[t] * normals(t)
+                        acc = acc + (logx if geometric else jnp.exp(logx))
                     return (logx, acc), None
 
                 log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
@@ -442,8 +449,14 @@ def term_bucket_greeks(
 
                 def body_e(carry, t):
                     x, acc = carry
-                    x = jnp.abs(x * (growth[t] + vstep[t] * normals(t)))
-                    acc = acc + (jnp.log(x) if geometric else x)
+                    if variance:
+                        g = growth[t] + vstep[t] * normals(t)
+                        x = jnp.abs(x * g)
+                        inc = jnp.log(jnp.abs(g))
+                        acc = acc + inc * inc
+                    else:
+                        x = jnp.abs(x * (growth[t] + vstep[t] * normals(t)))
+                        acc = acc + (jnp.log(x) if geometric else x)
                     return (x, acc), None
 
                 x0 = jnp.full((rows, cols), 1.0, dtype) * spot
@@ -452,6 +465,8 @@ def term_bucket_greeks(
                 )
             if payoff_kind == PayoffKind.TERMINAL:
                 u = terminal
+            elif variance:
+                u = acc / maturity  # annualized realized variance
             else:
                 mean_acc = acc / n
                 u = jnp.exp(mean_acc) if geometric else mean_acc
@@ -459,7 +474,10 @@ def term_bucket_greeks(
             # expected_underlier_mean / terminal_to_prices term branches)
             cum = jnp.cumsum(lin)
             if normalize:
-                if payoff_kind == PayoffKind.TERMINAL:
+                if variance:
+                    a_v = lin - 0.5 * vol_t * vol_t * dt
+                    target = jnp.sum(a_v * a_v + vol_t * vol_t * dt) / maturity
+                elif payoff_kind == PayoffKind.TERMINAL:
                     target = spot * jnp.exp(cum[-1])
                 elif payoff_kind == PayoffKind.ASIAN_ARITHMETIC:
                     target = spot * jnp.mean(jnp.exp(cum))

@@ -232,13 +232,19 @@ def simulate_heston_underlier_rows(
         rho=rho, rho_bar=rho_bar, kappa=kappa, theta=theta, xi=xi,
     )
 
+    variance = payoff == PayoffKind.VARIANCE_SWAP
+
     def body(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
         logx, v, acc = carry
         z_v = component_normals(t, 0)
         z_orth = component_normals(t, 1)
+        prev = logx
         logx, v = heston_euler_step(logx, v, z_v, z_orth, **step_consts)
         if track_extreme:
             acc = extreme_fn(acc, logx)
+        elif variance:
+            inc = logx - prev
+            acc = acc + inc * inc
         elif payoff not in (PayoffKind.TERMINAL, PayoffKind.DIGITAL):
             acc = acc + (logx if geometric else jnp.exp(logx))
         return (logx, v, acc), None
@@ -266,6 +272,8 @@ def simulate_heston_underlier_rows(
         return strike + jnp.sign(jnp.exp(logx) - strike)
     if payoff == PayoffKind.TERMINAL:
         return jnp.exp(logx)
+    if variance:
+        return acc / maturity  # annualized realized variance (PayoffKind)
     mean = acc / n
     return jnp.exp(mean) if geometric else mean
 

@@ -238,6 +238,8 @@ def simulate_merton_underlier_rows(
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     extreme_fn = jnp.maximum if up else jnp.minimum
 
+    variance = payoff == PayoffKind.VARIANCE_SWAP
+
     def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
         logx, acc = carry
         z_d = diffusion_normals(t)
@@ -245,6 +247,13 @@ def simulate_merton_underlier_rows(
         counts = merton_jump_counts(row_keys, t, lam_dt, cols, dtype)
         # conditional on the count, the jump sum is exactly Gaussian
         jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
+        if variance:
+            # summed first so the increment is available; the non-variance
+            # branch keeps the original association (bit-stream stability)
+            inc = drift + vol * sqrt_dt * z_d + jump
+            logx = logx + inc
+            acc = acc + inc * inc
+            return (logx, acc), None
         logx = logx + drift + vol * sqrt_dt * z_d + jump
         if track_extreme:
             acc = extreme_fn(acc, logx)
@@ -274,6 +283,8 @@ def simulate_merton_underlier_rows(
         return strike + jnp.sign(jnp.exp(logx) - strike)
     if payoff == PayoffKind.TERMINAL:
         return jnp.exp(logx)
+    if variance:
+        return acc / maturity  # annualized realized variance (PayoffKind)
     mean = acc / n
     return jnp.exp(mean) if geometric else mean
 
@@ -297,6 +308,17 @@ def merton_expected_underlier_mean(
         g = jnp.exp((rate - div_yield) * dt)
         series = jnp.where(jnp.abs(g - 1.0) < 1e-12, n, g * (g**n - 1.0) / (g - 1.0))
         return spot * series / n
+    if payoff == PayoffKind.VARIANCE_SWAP:
+        # Exact: the per-step log-increment X = a·dt' + σ√dt'·Z + Σ^P Y with
+        # P ~ Poisson(λdt'), Y ~ N(μ_J, σ_J²) has E[X] = a·dt' + λdt'·μ_J and
+        # Var[X] = σ²dt' + λdt'(σ_J² + μ_J²) (law of total variance), so
+        # E[RV] = N·(Var[X] + E[X]²)/T under the exact-transition sampler.
+        vol_v, lam_v, mu_j, sd_j = (contract[i].astype(dtype) for i in (5, 6, 7, 8))
+        m_v = jnp.exp(mu_j + 0.5 * sd_j * sd_j) - 1.0
+        a_dt = (rate - div_yield - lam_v * m_v - 0.5 * vol_v * vol_v) * dt
+        mean_inc = a_dt + lam_v * dt * mu_j
+        var_inc = vol_v * vol_v * dt + lam_v * dt * (sd_j * sd_j + mu_j * mu_j)
+        return n * (var_inc + mean_inc * mean_inc) / maturity
     if payoff == PayoffKind.DIGITAL:
         # E[u] = K + 2·P(S_T>K) − 1, exact: the per-step exact transitions
         # compose to the continuous Merton terminal law, so conditional on

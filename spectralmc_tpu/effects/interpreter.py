@@ -271,6 +271,26 @@ class MonteCarloInterpreter:
                             reason="down-and-out barrier must be in (0, 1)x spot",
                         )
                     )
+            if payoff == PayoffKind.FORWARD_START:
+                # mirror build_simulation_params: the strike-setting date
+                # must be an interior grid index
+                if not (1 <= effect.forward_start_step < effect.timesteps):
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="forward_start requires an interior "
+                            f"forward_start_step (got {effect.forward_start_step} "
+                            f"for timesteps={effect.timesteps})",
+                        )
+                    )
+            elif effect.forward_start_step:
+                return Failure(
+                    MonteCarloError(
+                        effect_kind=effect.kind,
+                        reason=f"payoff={payoff.value!r} takes no "
+                        "strike-setting date",
+                    )
+                )
             term = None
             if effect.term_vol or effect.term_rate or effect.term_div:
                 # the model==GBM gate already returned above (SimulatePaths
@@ -311,6 +331,7 @@ class MonteCarloInterpreter:
                 barrier_rel=effect.barrier_rel if effect.barrier_rel > 0.0 else None,
                 lsmc_basis_degree=effect.lsmc_basis_degree,
                 lsmc_exercise_every=effect.lsmc_exercise_every,
+                forward_start_step=effect.forward_start_step or None,
                 sampling=sampling,
                 mc_seed=effect.seed,
                 term=term,
@@ -326,6 +347,7 @@ class MonteCarloInterpreter:
                     payoff=payoff,
                     dtype=dtype,
                     term=term,
+                    forward_start_step=effect.forward_start_step or None,
                 )
                 if normalize
                 else None,

@@ -108,6 +108,8 @@ class SimulatePaths:
     # LSMC knobs (AMERICAN payoff kinds only; mirror SimulationParams)
     lsmc_basis_degree: int = 5
     lsmc_exercise_every: int = 1
+    # strike-setting grid index (FORWARD_START payoff only; 0 = unset)
+    forward_start_step: int = 0
     sampling: str = "pseudo"  # SamplingKind value (path-increment source)
     # piecewise-constant curves (TermStructure shapes; () = flat). GBM only.
     term_vol: tuple[float, ...] = ()

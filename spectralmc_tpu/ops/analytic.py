@@ -578,6 +578,49 @@ def variance_option_price(
     )
 
 
+def forward_start_price(
+    spot: float,
+    strike: float,
+    maturity: float,
+    rate: float,
+    div_yield: float,
+    vol: float,
+    *,
+    timesteps: int,
+    start_step: int,
+    vol_shape: tuple[float, ...] = (),
+    rate_shape: tuple[float, ...] = (),
+    div_shape: tuple[float, ...] = (),
+) -> AnalyticPrices:
+    """Exact discrete-grid forward-start put/call under log-Euler GBM, flat
+    or curved (extension oracle — no reference counterpart).
+
+    The underlier u = spot·S_T/S_m (``PayoffKind.FORWARD_START``) is exactly
+    lognormal in the TAIL increments: ln u ~ N(ln spot + Σ_{t≥m} a_t,
+    Σ_{t≥m} v_t²·dt) with a_t = (r_t − q_t − v_t²/2)·dt — so the Black-type
+    formula on a lognormal (``lognormal_black_price``) applies with zero
+    discretization slop. Discounting uses the FULL curve (e^{−∫₀ᵀ r}), the
+    classic forward-start structure: strike sets at t_m, premium pays today.
+    ``strike`` is absolute; k = strike/spot is the relative strike the desk
+    quotes. Matches Rubinstein's formula in the flat continuous limit.
+    """
+    import math
+
+    n = int(timesteps)
+    m = int(start_step)
+    dt = maturity / n
+    vs = vol_shape or (1.0,) * n
+    rs = rate_shape or (1.0,) * n
+    qs = div_shape or (1.0,) * n
+    mu = math.log(spot) + sum(
+        (rate * rs[t] - div_yield * qs[t] - 0.5 * (vol * vs[t]) ** 2) * dt
+        for t in range(m, n)
+    )
+    s2 = sum((vol * vs[t]) ** 2 * dt for t in range(m, n))
+    rate_eff = rate * (sum(rs) / n)
+    return lognormal_black_price(mu, s2, strike, rate_eff, maturity)
+
+
 def variance_fair_strike(
     maturity: float,
     rate: float,

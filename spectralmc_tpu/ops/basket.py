@@ -190,7 +190,7 @@ def basket_euler_step(
     jax.jit,
     static_argnames=(
         "spec", "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
-        "antithetic_half", "sampling", "mc_seed",
+        "antithetic_half", "forward_start_step", "sampling", "mc_seed",
     ),
 )
 def simulate_basket_underlier_rows(
@@ -206,6 +206,7 @@ def simulate_basket_underlier_rows(
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
+    forward_start_step: int | None = None,
     sampling: "object | None" = None,
     mc_seed: int = 0,
 ) -> jax.Array:
@@ -287,14 +288,34 @@ def simulate_basket_underlier_rows(
 
     sig_sqdt = sigmas * sqrt_dt
 
-    if payoff == PayoffKind.VARIANCE_SWAP:
-        # realized variance of the BASKET value (the payoff's underlier is
-        # always the combine, matching the extreme/average conventions):
-        # carry the previous ln B alongside the running sum of squares
+    if payoff in (PayoffKind.VARIANCE_SWAP, PayoffKind.FORWARD_START):
+        # both kinds work on ln of the BASKET value (the payoff's underlier
+        # is always the combine, matching the extreme/average conventions)
         def log_basket(logx: jax.Array) -> jax.Array:
             if spec.combine == BasketCombine.GEOMETRIC:
                 return jnp.einsum("a,arc->rc", weights, logx)
             return jnp.log(jnp.einsum("a,arc->rc", weights, jnp.exp(logx)))
+
+        if payoff == PayoffKind.FORWARD_START:
+            assert forward_start_step is not None  # build_simulation_params
+
+            # capture ln B_m (state after step m−1); the arithmetic combine
+            # couples B_m to the per-asset levels, so the full path walks
+            def body_fs(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+                logx, cap = carry
+                logx = basket_euler_step(
+                    logx, normals(t), drift=drift, sig_sqdt=sig_sqdt, chol=chol
+                )
+                cap = jnp.where(t == forward_start_step - 1, log_basket(logx), cap)
+                return (logx, cap), None
+
+            log0_f = jnp.zeros((a_n, rows, cols), dtype) + jnp.log(spots)[:, None, None]
+            b0 = log_basket(log0_f)
+            (logx_f, cap_f), _ = jax.lax.scan(
+                body_fs, (log0_f, b0), jnp.arange(timesteps)
+            )
+            # u = B₀·B_T/B_m (ops/gbm.py::PayoffKind.FORWARD_START)
+            return jnp.exp(b0 + log_basket(logx_f) - cap_f)
 
         def body_var(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
             logx, prev_lb, acc = carry
@@ -402,6 +423,7 @@ def expected_basket_underlier_mean(
     timesteps: int,
     payoff: "object",
     dtype: jnp.dtype,
+    forward_start_step: int | None = None,
 ) -> jax.Array | None:
     """Analytic E[underlier] for MEAN normalization, or None if no closed form.
 
@@ -432,6 +454,15 @@ def expected_basket_underlier_mean(
         # E[RV] = N·((μ̄dt)² + s̄²dt)/T (the effective-GBM map)
         mu_bar, s2_bar = basket_log_moments(contract, spec, dtype=dtype)
         return n * ((mu_bar * dt) ** 2 + s2_bar * dt) / maturity
+    if payoff == PayoffKind.FORWARD_START:
+        if spec.combine == BasketCombine.ARITHMETIC:
+            return None  # E[B_T/B_m] of a ratio of weighted sums: no closed form
+        # geometric combine: B_T/B_m is the effective GBM's tail ratio
+        assert forward_start_step is not None
+        mu_bar, s2_bar = basket_log_moments(contract, spec, dtype=dtype)
+        n_tail = jnp.asarray(timesteps - forward_start_step, dtype)
+        g0 = basket_g0(contract, spec, dtype=dtype)
+        return g0 * jnp.exp((mu_bar + 0.5 * s2_bar) * dt * n_tail)
     if spec.combine == BasketCombine.ARITHMETIC:
         if payoff == PayoffKind.DIGITAL:
             return None  # P(B_arith > K) has no closed form

@@ -194,6 +194,7 @@ def make_underlier_simulator(
                 payoff=sim.payoff,
                 row_offset=row_offset,
                 barrier_rel=sim.barrier_rel,
+                forward_start_step=sim.forward_start_step,
                 antithetic_half=anti_half,
                 **sampling_kwargs,
             )
@@ -223,6 +224,7 @@ def make_underlier_simulator(
                 payoff=sim.payoff,
                 row_offset=row_offset,
                 barrier_rel=sim.barrier_rel,
+                forward_start_step=sim.forward_start_step,
                 antithetic_half=anti_half,
                 **sampling_kwargs,
             )
@@ -252,6 +254,7 @@ def make_underlier_simulator(
                 payoff=sim.payoff,
                 row_offset=row_offset,
                 barrier_rel=sim.barrier_rel,
+                forward_start_step=sim.forward_start_step,
                 antithetic_half=anti_half,
                 **sampling_kwargs,
             )
@@ -286,6 +289,7 @@ def make_underlier_simulator(
             payoff=sim.payoff,
             row_offset=row_offset,
             barrier_rel=sim.barrier_rel,
+            forward_start_step=sim.forward_start_step,
             antithetic_half=anti_half,
             **gbm_kwargs,
         )
@@ -306,7 +310,8 @@ def make_mean_target(
 
         def basket_mean(contract: jax.Array) -> jax.Array | None:
             return expected_basket_underlier_mean(
-                contract, spec, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype
+                contract, spec, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype,
+                forward_start_step=sim.forward_start_step,
             )
 
         return basket_mean
@@ -322,6 +327,8 @@ def make_mean_target(
         kwargs: dict[str, object] = {}
         if sim.model == ModelKind.GBM and sim.term is not None:
             kwargs["term"] = sim.term
+        if sim.forward_start_step is not None:
+            kwargs["forward_start_step"] = sim.forward_start_step
         return _mean(
             contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype, **kwargs
         )

@@ -168,6 +168,28 @@ class PayoffKind(enum.Enum):
     # normalization is multiplicative on a positive underlier and allowed
     # exactly where E[RV] is closed-form.
     VARIANCE_SWAP = "variance_swap"
+    # Forward-start (strike-setting) options: the strike fixes at grid date
+    # t_m = m·dt (m = ``SimulationParams.forward_start_step``, 1 ≤ m < N)
+    # as a multiple of the then-spot. The underlier re-bases the ratio to
+    # today's spot:
+    #     u = spot · S_T / S_m          (B₀·B_T/B_m for baskets)
+    # so the put channel df·max(K − u, 0) = spot·df·max(k − S_T/S_m, 0) is
+    # the traded forward-start put with relative strike k = K/spot, and the
+    # call channel its twin. E[u] = spot·E[S_T/S_m] is EXACT for every
+    # dynamics whose discounted spot is a per-step martingale — GBM (flat
+    # and curved), Heston (the full-truncation step preserves it) and
+    # Merton (the compensator) — so parity and MEAN normalization work for
+    # all three; only the arithmetic basket (a ratio of weighted sums) has
+    # no closed form. Under log-Euler GBM the ratio S_T/S_m is lognormal in
+    # the TAIL increments alone, giving an exact discrete-grid oracle
+    # (ops/analytic.py::forward_start_price) — and a state-free simulation:
+    # GBM/Merton/geometric baskets integrate only steps m..N−1, Heston and
+    # arithmetic baskets walk the full path and capture state at t_m. IPA
+    # Greeks are VALID; the payoff is homogeneous of degree 1 in (spot,
+    # strike), so spot·Δ + K·∂K = price exactly (Euler's identity — gated in
+    # tests), and vol buckets before t_m carry ZERO vega under GBM (the
+    # ratio never sees them).
+    FORWARD_START = "forward_start"
 
 
 BARRIER_PAYOFFS = frozenset({PayoffKind.BARRIER_UP_OUT, PayoffKind.BARRIER_DOWN_OUT})
@@ -491,6 +513,10 @@ class SimulationParams(BaseModel):
     # (t_k, t_2k, ..., t_T; must divide timesteps). 1 = every date (the
     # American-limit default). Checkpointed for the same reason.
     lsmc_exercise_every: int = 1
+    # strike-setting grid index for the FORWARD_START payoff (the strike
+    # fixes at t_m = forward_start_step·dt; 1 ≤ m < timesteps). Required iff
+    # payoff == FORWARD_START. Checkpointed: it defines the product.
+    forward_start_step: int | None = None
     # path-increment source (see SamplingKind); SOBOL_BB is a different bit
     # stream, so it is checkpointed and routes to the XLA engine
     sampling: SamplingKind = SamplingKind.PSEUDO
@@ -614,6 +640,33 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                 field="barrier_rel",
                 value=params.barrier_rel,
                 reason=f"payoff={params.payoff.value!r} takes no barrier",
+            )
+        )
+    if params.payoff == PayoffKind.FORWARD_START:
+        if params.forward_start_step is None:
+            return Failure(
+                InvalidSimulationParams(
+                    field="forward_start_step",
+                    value=None,
+                    reason="payoff='forward_start' requires forward_start_step",
+                )
+            )
+        if not (1 <= params.forward_start_step < params.timesteps):
+            return Failure(
+                InvalidSimulationParams(
+                    field="forward_start_step",
+                    value=params.forward_start_step,
+                    reason="strike-setting date must be an interior grid "
+                    "index (1 <= m < timesteps)",
+                )
+            )
+    elif params.forward_start_step is not None:
+        return Failure(
+            InvalidSimulationParams(
+                field="forward_start_step",
+                value=params.forward_start_step,
+                reason=f"payoff={params.payoff.value!r} takes no "
+                "strike-setting date",
             )
         )
     if params.payoff in AMERICAN_PAYOFFS:
@@ -771,6 +824,12 @@ def has_closed_form_mean(
         if model == ModelKind.BASKET_GBM and combine == BasketCombine.ARITHMETIC:
             return False
         return True
+    if payoff == PayoffKind.FORWARD_START:
+        # E[S_T/S_m] = e^{(r−q)(T−t_m)} wherever the discounted spot is a
+        # per-step martingale — GBM, Heston (full truncation preserves it)
+        # and Merton (the compensator); the arithmetic basket's ratio of
+        # weighted sums has no closed form
+        return not (model == ModelKind.BASKET_GBM and combine == BasketCombine.ARITHMETIC)
     if model in (ModelKind.HESTON, ModelKind.MERTON_JUMP):
         # both keep the discounted spot a martingale (Heston by construction,
         # Merton via the -lam*m compensator) but lose the geometric average
@@ -1070,6 +1129,7 @@ def simulate_terminal_rows(
         "antithetic_half",
         "lsmc_basis_degree",
         "lsmc_exercise_every",
+        "forward_start_step",
         "sampling",
         "mc_seed",
         "term",
@@ -1090,6 +1150,7 @@ def simulate_underlier_rows(
     antithetic_half: int | None = None,
     lsmc_basis_degree: int = 5,
     lsmc_exercise_every: int = 1,
+    forward_start_step: int | None = None,
     sampling: SamplingKind = SamplingKind.PSEUDO,
     mc_seed: int = 0,
     term: "TermStructure | None" = None,
@@ -1174,6 +1235,30 @@ def simulate_underlier_rows(
         sampling=sampling,
         mc_seed=mc_seed,
     )
+
+    if payoff == PayoffKind.FORWARD_START:
+        assert forward_start_step is not None  # enforced by build_simulation_params
+        # state-free tail integration: S_T/S_m depends only on increments
+        # m..N−1 under BOTH schemes (reflection included — x_T/x_m is the
+        # product of the per-step |growth| factors), so the scan starts at m
+        # and carries just the running log-ratio.
+        if scheme == PathScheme.LOG_EULER:
+
+            def body_f(acc: jax.Array, t: jax.Array):
+                return acc + log_drift(t) + vol_step(t) * normals(t), None
+
+        else:
+
+            def body_f(acc: jax.Array, t: jax.Array):
+                inc = jnp.log(jnp.abs(1.0 + lin_drift(t) + vol_step(t) * normals(t)))
+                return acc + inc, None
+
+        acc, _ = jax.lax.scan(
+            body_f,
+            jnp.zeros((rows, cols), dtype),
+            jnp.arange(forward_start_step, timesteps),
+        )
+        return spot * jnp.exp(acc)
 
     if payoff == PayoffKind.VARIANCE_SWAP:
         # RV needs only the log-increments — no path state at all under
@@ -1284,6 +1369,7 @@ def expected_underlier_mean(
     payoff: PayoffKind,
     dtype: jnp.dtype,
     term: "TermStructure | None" = None,
+    forward_start_step: int | None = None,
 ) -> jax.Array | None:
     """Analytic E[underlier] under the log-Euler discretization.
 
@@ -1340,6 +1426,23 @@ def expected_underlier_mean(
             return jnp.sum(a_t * a_t + vol_t * vol_t * dt_v) / maturity_v
         a_f = (rate_v - div_v - 0.5 * vol_v * vol_v) * dt_v
         return n_v * (a_f * a_f + vol_v * vol_v * dt_v) / maturity_v
+    if payoff == PayoffKind.FORWARD_START:
+        # E[u] = spot·E[S_T/S_m] = spot·exp(Σ_{t≥m}(r_t − q_t)dt) — exact
+        # under log-Euler (each tail growth factor has mean e^{(r_t−q_t)dt});
+        # continuous-limit approximation for EULER like the kinds above.
+        assert forward_start_step is not None
+        spot_f, _, maturity_f, rate_f, div_f, _ = (
+            contract[i].astype(dtype) for i in range(6)
+        )
+        dt_f = maturity_f / jnp.asarray(timesteps, dtype)
+        if term is not None and not term.is_flat():
+            vs, rs, qs = term.shapes(timesteps)
+            rsa, qsa = (jnp.asarray(s, dtype) for s in (rs, qs))
+            tail = jnp.arange(timesteps) >= forward_start_step
+            lin_t = (rate_f * rsa - div_f * qsa) * dt_f
+            return spot_f * jnp.exp(jnp.sum(jnp.where(tail, lin_t, 0.0)))
+        n_tail = jnp.asarray(timesteps - forward_start_step, dtype)
+        return spot_f * jnp.exp((rate_f - div_f) * dt_f * n_tail)
     if term is not None and term.is_flat():
         # all-ones curves must reproduce the flat formulas bit-for-bit (the
         # weighted sums below are the same values in exact arithmetic but a

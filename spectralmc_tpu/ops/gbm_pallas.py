@@ -1036,6 +1036,7 @@ def simulate_underlier_rows_pallas(
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
+    forward_start_step: int | None = None,
     term: "object | None" = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -1055,6 +1056,70 @@ def simulate_underlier_rows_pallas(
     """
     if term is not None and term.is_flat():
         term = None  # flat curves are bit-identical to no curves
+    if payoff == PayoffKind.FORWARD_START:
+        # u = spot·S_T/S_m is a TERMINAL walk of the TAIL steps alone (the
+        # ratio never sees steps < m under either scheme), so the forward-
+        # start kernel IS the terminal kernel at timesteps' = N−m with the
+        # contract's maturity rescaled to preserve dt (the kernels derive
+        # dt = maturity/timesteps; the stream is the terminal stream of the
+        # tail length). Curved terms slice their coefficient tables to the
+        # tail below.
+        assert forward_start_step is not None  # enforced by build_simulation_params
+        m = forward_start_step
+        tail = timesteps - m
+        fs_supported = (
+            interpret
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and rows % min(BLOCK_ROWS, rows) == 0
+            and cols % min(BLOCK_COLS, cols) == 0
+        ) or pallas_supported(dtype=dtype, rows=rows, cols=cols)
+        if not fs_supported or (term is not None and scheme != PathScheme.LOG_EULER):
+            # fall back to the XLA FORWARD_START stream (t-keyed tail), NOT
+            # the terminal-tail trick — the fallback must be the engine the
+            # checkpoint records
+            from spectralmc_tpu.ops.gbm import simulate_underlier_rows
+
+            return simulate_underlier_rows(
+                contract_key,
+                contract,
+                timesteps=timesteps,
+                rows=rows,
+                cols=cols,
+                dtype=dtype,
+                scheme=scheme,
+                payoff=payoff,
+                row_offset=row_offset,
+                antithetic_half=antithetic_half,
+                forward_start_step=forward_start_step,
+                term=term,
+            )
+        contract_tail = contract.at[2].multiply(tail / timesteps)
+        if term is not None:
+            vs, rs, qs = term.shapes(timesteps)
+            return _simulate_term_rows_pallas_f32(
+                contract_key,
+                contract_tail,
+                timesteps=tail,
+                rows=rows,
+                cols=cols,
+                payoff=PayoffKind.TERMINAL,
+                term_shapes=(vs[m:], rs[m:], qs[m:]),
+                antithetic=antithetic_half is not None,
+                row_offset=row_offset,
+                interpret=interpret,
+            )
+        return simulate_terminal_rows_pallas(
+            contract_key,
+            contract_tail,
+            timesteps=tail,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            scheme=scheme,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            interpret=interpret,
+        )
     if payoff == PayoffKind.DIGITAL:
         # digital = sign transform of the SAME terminal draw: every route
         # below (term kernel, flat kernel, XLA fallback) is inherited
@@ -1535,6 +1600,7 @@ def _heston_block_kernel(
     cols_per_block: int,
     barrier_rel: float | None = None,
     antithetic: bool = False,
+    forward_start_step: int | None = None,
 ) -> None:
     i = pl.program_id(0) + seeds_ref[0, 2]
     j = pl.program_id(1)
@@ -1569,6 +1635,7 @@ def _heston_block_kernel(
     barrier = payoff in BARRIER_PAYOFFS
     lookback = payoff in LOOKBACK_PAYOFFS
     variance = payoff == PayoffKind.VARIANCE_SWAP
+    forward_start = payoff == PayoffKind.FORWARD_START
     track_extreme = barrier or lookback
     up = payoff == PayoffKind.BARRIER_UP_OUT or payoff in LOOKBACK_MAX_PAYOFFS
     extreme_fn = jnp.maximum if up else jnp.minimum
@@ -1613,6 +1680,29 @@ def _heston_block_kernel(
 
     log0 = jnp.full(shape, 0.0, jnp.float32) + jnp.log(spot)
     vinit = jnp.full(shape, 1.0, jnp.float32) * v0
+    if forward_start:
+        # the variance state couples S_m to the tail: walk the full path and
+        # capture ln S_m (state after step m−1) in a third VMEM block
+        def step_fs(
+            t: jax.Array, carry: tuple[jax.Array, jax.Array, jax.Array]
+        ) -> tuple[jax.Array, jax.Array, jax.Array]:
+            logx, v, cap = carry
+            u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+            u2 = _uniform_24bit(gen_shape)
+            radius = _bm_radius(u1)
+            sin_t, cos_t = _sincos_turns(u2)
+            z_v = _mirror(radius * cos_t)
+            z_s = rho * z_v + rho_bar * _mirror(radius * sin_t)
+            v_plus = jnp.maximum(v, jnp.float32(0.0))
+            sqrt_v_sdt = jnp.sqrt(v_plus * dt)
+            logx = logx + rq_dt - jnp.float32(0.5) * v_plus * dt + sqrt_v_sdt * z_s
+            v = v + ktheta_dt - kdt * v_plus + xi * sqrt_v_sdt * z_v
+            cap = jnp.where(t == jnp.int32(forward_start_step - 1), logx, cap)
+            return (logx, v, cap)
+
+        logx, _, cap = _fori_unrolled_idx(timesteps, step_fs, (log0, vinit, log0))
+        out_ref[:, :] = spot * jnp.exp(logx - cap)  # spot·S_T/S_m
+        return
     logx, _, acc = _fori_unrolled(
         timesteps,
         step,
@@ -1639,7 +1729,8 @@ def _heston_block_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "timesteps", "rows", "cols", "payoff", "barrier_rel", "antithetic", "interpret"
+        "timesteps", "rows", "cols", "payoff", "barrier_rel", "antithetic",
+        "forward_start_step", "interpret",
     ),
 )
 def _simulate_heston_rows_pallas_f32(
@@ -1652,6 +1743,7 @@ def _simulate_heston_rows_pallas_f32(
     payoff: PayoffKind,
     barrier_rel: float | None = None,
     antithetic: bool = False,
+    forward_start_step: int | None = None,
     row_offset: jax.Array | int = 0,
     interpret: bool = False,
 ) -> jax.Array:
@@ -1673,6 +1765,7 @@ def _simulate_heston_rows_pallas_f32(
         cols_per_block=block_cols,
         barrier_rel=barrier_rel,
         antithetic=antithetic,
+        forward_start_step=forward_start_step,
     )
     grid = (rows // block_rows, cols // block_cols)
     return pl.pallas_call(
@@ -1709,6 +1802,7 @@ def simulate_heston_underlier_rows_pallas(
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
+    forward_start_step: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused Heston kernel; falls back to the XLA scan when unsupported."""
@@ -1749,6 +1843,7 @@ def simulate_heston_underlier_rows_pallas(
             row_offset=row_offset,
             barrier_rel=barrier_rel,
             antithetic_half=antithetic_half,
+            forward_start_step=forward_start_step,
         )
     return _simulate_heston_rows_pallas_f32(
         contract_key,
@@ -1759,6 +1854,7 @@ def simulate_heston_underlier_rows_pallas(
         payoff=payoff,
         barrier_rel=barrier_rel,
         antithetic=antithetic_half is not None,
+        forward_start_step=forward_start_step,
         row_offset=row_offset,
         interpret=interpret,
     )
@@ -1999,6 +2095,7 @@ def _basket_block_kernel(
     geometric_combine: bool,
     barrier_rel: float | None = None,
     antithetic: bool = False,
+    forward_start_step: int | None = None,
 ) -> None:
     """Fused multi-asset GBM: A correlated log-Euler components per path.
 
@@ -2089,6 +2186,24 @@ def _basket_block_kernel(
         for m in spot_multipliers
     )
 
+    if payoff == PayoffKind.FORWARD_START:
+        # arithmetic combine reaches here (the wrapper routes the geometric
+        # combine through the terminal-tail trick): walk the full path and
+        # capture B_m (state after step m−1)
+        def step_fs(t: jax.Array, carry):
+            logx, cap = carry
+            new_logx = advance(logx)
+            cap = jnp.where(
+                t == jnp.int32(forward_start_step - 1), basket_value(new_logx), cap
+            )
+            return (tuple(new_logx), cap)
+
+        b0 = basket_value(list(log0))
+        logx_f, cap_f = _fori_unrolled_idx(timesteps, step_fs, (log0, b0))
+        # u = B₀·B_T/B_m (ops/gbm.py::PayoffKind.FORWARD_START)
+        out_ref[:, :] = b0 * basket_value(list(logx_f)) / cap_f
+        return
+
     if payoff == PayoffKind.VARIANCE_SWAP:
         # realized variance of the BASKET value (combine convention): the
         # geometric combine's ln B is the weighted log-sum directly; the
@@ -2158,7 +2273,7 @@ def _basket_block_kernel(
     jax.jit,
     static_argnames=(
         "spec", "timesteps", "rows", "cols", "payoff", "barrier_rel", "antithetic",
-        "interpret",
+        "forward_start_step", "interpret",
     ),
 )
 def _simulate_basket_rows_pallas_f32(
@@ -2172,6 +2287,7 @@ def _simulate_basket_rows_pallas_f32(
     payoff: PayoffKind,
     barrier_rel: float | None = None,
     antithetic: bool = False,
+    forward_start_step: int | None = None,
     row_offset: jax.Array | int = 0,
     interpret: bool = False,
 ) -> jax.Array:
@@ -2201,6 +2317,7 @@ def _simulate_basket_rows_pallas_f32(
         geometric_combine=spec.combine == BasketCombine.GEOMETRIC,
         barrier_rel=barrier_rel,
         antithetic=antithetic,
+        forward_start_step=forward_start_step,
     )
     grid = (rows // block_rows, cols // block_cols)
     a_n = spec.n_assets
@@ -2239,9 +2356,58 @@ def simulate_basket_underlier_rows_pallas(
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
+    forward_start_step: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused basket kernel; falls back to the XLA scan when unsupported."""
+    from spectralmc_tpu.ops.basket import BasketCombine as _BC
+
+    if (
+        payoff == PayoffKind.FORWARD_START
+        and getattr(spec, "combine", None) == _BC.GEOMETRIC
+    ):
+        # the geometric combine's B_T/B_m is the effective GBM's tail ratio:
+        # route through the terminal kernel at the tail length with maturity
+        # rescaled to preserve dt (GBM/Merton precedent). The arithmetic
+        # combine couples B_m to per-asset levels and takes the in-kernel
+        # capture branch below.
+        assert forward_start_step is not None
+        fs_supported = (
+            interpret
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and rows % min(BLOCK_ROWS, rows) == 0
+            and cols % min(BLOCK_COLS, cols) == 0
+        ) or pallas_supported(dtype=dtype, rows=rows, cols=cols)
+        if not fs_supported:
+            from spectralmc_tpu.ops.basket import simulate_basket_underlier_rows
+
+            return simulate_basket_underlier_rows(
+                contract_key,
+                contract,
+                spec=spec,
+                timesteps=timesteps,
+                rows=rows,
+                cols=cols,
+                dtype=dtype,
+                payoff=payoff,
+                row_offset=row_offset,
+                antithetic_half=antithetic_half,
+                forward_start_step=forward_start_step,
+            )
+        tail = timesteps - forward_start_step
+        return simulate_basket_underlier_rows_pallas(
+            contract_key,
+            contract.at[2].multiply(tail / timesteps),
+            spec=spec,
+            timesteps=tail,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            payoff=PayoffKind.TERMINAL,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            interpret=interpret,
+        )
     if payoff == PayoffKind.DIGITAL:
         # digital = sign transform of the SAME terminal draw (every engine
         # route inherited; ops/gbm.py::PayoffKind.DIGITAL)
@@ -2281,6 +2447,7 @@ def simulate_basket_underlier_rows_pallas(
             row_offset=row_offset,
             barrier_rel=barrier_rel,
             antithetic_half=antithetic_half,
+            forward_start_step=forward_start_step,
         )
     return _simulate_basket_rows_pallas_f32(
         contract_key,
@@ -2292,6 +2459,7 @@ def simulate_basket_underlier_rows_pallas(
         payoff=payoff,
         barrier_rel=barrier_rel,
         antithetic=antithetic_half is not None,
+        forward_start_step=forward_start_step,
         row_offset=row_offset,
         interpret=interpret,
     )
@@ -2775,9 +2943,51 @@ def simulate_merton_underlier_rows_pallas(
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
+    forward_start_step: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused Merton kernel; falls back to the XLA scan when unsupported."""
+    if payoff == PayoffKind.FORWARD_START:
+        # exact transitions make the tail independent of S_m, so the
+        # forward-start kernel IS the terminal kernel at the tail length
+        # with maturity rescaled to preserve dt (ops/gbm_pallas.py GBM
+        # precedent); unsupported shapes fall back to the XLA
+        # FORWARD_START stream directly
+        assert forward_start_step is not None
+        fs_supported = (
+            interpret
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and rows % min(BLOCK_ROWS, rows) == 0
+            and cols % min(BLOCK_COLS, cols) == 0
+        ) or pallas_supported(dtype=dtype, rows=rows, cols=cols)
+        if not fs_supported:
+            from spectralmc_tpu.ops.merton import simulate_merton_underlier_rows
+
+            return simulate_merton_underlier_rows(
+                contract_key,
+                contract,
+                timesteps=timesteps,
+                rows=rows,
+                cols=cols,
+                dtype=dtype,
+                payoff=payoff,
+                row_offset=row_offset,
+                antithetic_half=antithetic_half,
+                forward_start_step=forward_start_step,
+            )
+        tail = timesteps - forward_start_step
+        return simulate_merton_underlier_rows_pallas(
+            contract_key,
+            contract.at[2].multiply(tail / timesteps),
+            timesteps=tail,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            payoff=PayoffKind.TERMINAL,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            interpret=interpret,
+        )
     if payoff == PayoffKind.DIGITAL:
         # digital = sign transform of the SAME terminal draw (every engine
         # route inherited; ops/gbm.py::PayoffKind.DIGITAL)

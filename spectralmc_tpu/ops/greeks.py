@@ -398,6 +398,8 @@ def term_bucket_greeks(
     normalize = sim.normalization == ForwardNormalization.MEAN
     geometric = sim.payoff == PayoffKind.ASIAN_GEOMETRIC
     variance = sim.payoff == PayoffKind.VARIANCE_SWAP
+    fstart = sim.payoff == PayoffKind.FORWARD_START
+    m_fs = sim.forward_start_step if fstart else None
     log_euler = sim.scheme == PathScheme.LOG_EULER
 
     normals = _normals_source(
@@ -433,6 +435,12 @@ def term_bucket_greeks(
                         inc = drift[t] + vstep[t] * normals(t)
                         logx = logx + inc
                         acc = acc + inc * inc
+                    elif fstart:
+                        # tail-masked log-ratio: zeros before t_m keep the
+                        # accumulation bit-identical to the tail-only scan
+                        inc = drift[t] + vstep[t] * normals(t)
+                        logx = logx + inc
+                        acc = acc + jnp.where(t >= m_fs, inc, 0.0)
                     else:
                         logx = logx + drift[t] + vstep[t] * normals(t)
                         acc = acc + (logx if geometric else jnp.exp(logx))
@@ -454,6 +462,10 @@ def term_bucket_greeks(
                         x = jnp.abs(x * g)
                         inc = jnp.log(jnp.abs(g))
                         acc = acc + inc * inc
+                    elif fstart:
+                        g = growth[t] + vstep[t] * normals(t)
+                        x = jnp.abs(x * g)
+                        acc = acc + jnp.where(t >= m_fs, jnp.log(jnp.abs(g)), 0.0)
                     else:
                         x = jnp.abs(x * (growth[t] + vstep[t] * normals(t)))
                         acc = acc + (jnp.log(x) if geometric else x)
@@ -467,6 +479,8 @@ def term_bucket_greeks(
                 u = terminal
             elif variance:
                 u = acc / maturity  # annualized realized variance
+            elif fstart:
+                u = spot * jnp.exp(acc)  # spot·S_T/S_m from the tail sum
             else:
                 mean_acc = acc / n
                 u = jnp.exp(mean_acc) if geometric else mean_acc
@@ -477,6 +491,9 @@ def term_bucket_greeks(
                 if variance:
                     a_v = lin - 0.5 * vol_t * vol_t * dt
                     target = jnp.sum(a_v * a_v + vol_t * vol_t * dt) / maturity
+                elif fstart:
+                    tail_mask = jnp.arange(timesteps) >= m_fs
+                    target = spot * jnp.exp(jnp.sum(jnp.where(tail_mask, lin, 0.0)))
                 elif payoff_kind == PayoffKind.TERMINAL:
                     target = spot * jnp.exp(cum[-1])
                 elif payoff_kind == PayoffKind.ASIAN_ARITHMETIC:

@@ -145,7 +145,7 @@ def heston_euler_step(
     jax.jit,
     static_argnames=(
         "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
-        "antithetic_half", "sampling", "mc_seed",
+        "antithetic_half", "forward_start_step", "sampling", "mc_seed",
     ),
 )
 def simulate_heston_underlier_rows(
@@ -160,6 +160,7 @@ def simulate_heston_underlier_rows(
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
+    forward_start_step: int | None = None,
     sampling: "object | None" = None,
     mc_seed: int = 0,
 ) -> jax.Array:
@@ -233,6 +234,9 @@ def simulate_heston_underlier_rows(
     )
 
     variance = payoff == PayoffKind.VARIANCE_SWAP
+    forward_start = payoff == PayoffKind.FORWARD_START
+    if forward_start:
+        assert forward_start_step is not None  # enforced by build_simulation_params
 
     def body(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
         logx, v, acc = carry
@@ -245,6 +249,10 @@ def simulate_heston_underlier_rows(
         elif variance:
             inc = logx - prev
             acc = acc + inc * inc
+        elif forward_start:
+            # the variance state couples S_m to the tail, so Heston walks
+            # the full path and captures ln S_m (state after step m−1)
+            acc = jnp.where(t == forward_start_step - 1, logx, acc)
         elif payoff not in (PayoffKind.TERMINAL, PayoffKind.DIGITAL):
             acc = acc + (logx if geometric else jnp.exp(logx))
         return (logx, v, acc), None
@@ -274,12 +282,19 @@ def simulate_heston_underlier_rows(
         return jnp.exp(logx)
     if variance:
         return acc / maturity  # annualized realized variance (PayoffKind)
+    if forward_start:
+        return spot * jnp.exp(logx - acc)  # spot·S_T/S_m (PayoffKind)
     mean = acc / n
     return jnp.exp(mean) if geometric else mean
 
 
 def heston_expected_underlier_mean(
-    contract: jax.Array, *, timesteps: int, payoff: PayoffKind, dtype: jnp.dtype
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    payoff: PayoffKind,
+    dtype: jnp.dtype,
+    forward_start_step: int | None = None,
 ) -> jax.Array | None:
     """Analytic E[underlier], or None when no closed form exists.
 
@@ -297,6 +312,12 @@ def heston_expected_underlier_mean(
         g = jnp.exp((rate - div_yield) * dt)
         series = jnp.where(jnp.abs(g - 1.0) < 1e-12, n, g * (g**n - 1.0) / (g - 1.0))
         return spot * series / n
+    if payoff == PayoffKind.FORWARD_START:
+        # the full-truncation step preserves E[e^{Δln S}|F] = e^{(r−q)dt}
+        # exactly, so E[S_T/S_m] = e^{(r−q)(T−t_m)} like under GBM
+        assert forward_start_step is not None
+        n_tail = jnp.asarray(timesteps - forward_start_step, dtype)
+        return spot * jnp.exp((rate - div_yield) * dt * n_tail)
     return None
 
 

@@ -150,7 +150,7 @@ def merton_jump_counts(
     jax.jit,
     static_argnames=(
         "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
-        "antithetic_half", "sampling", "mc_seed",
+        "antithetic_half", "forward_start_step", "sampling", "mc_seed",
     ),
 )
 def simulate_merton_underlier_rows(
@@ -165,6 +165,7 @@ def simulate_merton_underlier_rows(
     row_offset: jax.Array | int = 0,
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
+    forward_start_step: int | None = None,
     sampling: "object | None" = None,
     mc_seed: int = 0,
 ) -> jax.Array:
@@ -240,6 +241,25 @@ def simulate_merton_underlier_rows(
 
     variance = payoff == PayoffKind.VARIANCE_SWAP
 
+    if payoff == PayoffKind.FORWARD_START:
+        assert forward_start_step is not None  # enforced by build_simulation_params
+
+        # exact transitions make the tail increments independent of S_m, so
+        # the ratio S_T/S_m integrates steps m..N−1 only (ops/gbm.py)
+        def body_f(acc: jax.Array, t: jax.Array):
+            z_d = diffusion_normals(t)
+            z_j = merton_component_normals(row_keys, sign, t, 1, cols, dtype)
+            counts = merton_jump_counts(row_keys, t, lam_dt, cols, dtype)
+            jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
+            return acc + (drift + vol * sqrt_dt * z_d + jump), None
+
+        acc_f, _ = jax.lax.scan(
+            body_f,
+            jnp.zeros((rows, cols), dtype),
+            jnp.arange(forward_start_step, timesteps),
+        )
+        return spot * jnp.exp(acc_f)
+
     def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
         logx, acc = carry
         z_d = diffusion_normals(t)
@@ -290,7 +310,12 @@ def simulate_merton_underlier_rows(
 
 
 def merton_expected_underlier_mean(
-    contract: jax.Array, *, timesteps: int, payoff: PayoffKind, dtype: jnp.dtype
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    payoff: PayoffKind,
+    dtype: jnp.dtype,
+    forward_start_step: int | None = None,
 ) -> jax.Array | None:
     """Analytic E[underlier], or None when no closed form exists.
 
@@ -319,6 +344,12 @@ def merton_expected_underlier_mean(
         mean_inc = a_dt + lam_v * dt * mu_j
         var_inc = vol_v * vol_v * dt + lam_v * dt * (sd_j * sd_j + mu_j * mu_j)
         return n * (var_inc + mean_inc * mean_inc) / maturity
+    if payoff == PayoffKind.FORWARD_START:
+        # the compensator keeps each growth factor's mean at e^{(r−q)dt}, so
+        # E[S_T/S_m] = e^{(r−q)(T−t_m)} exactly (as under GBM/Heston)
+        assert forward_start_step is not None
+        n_tail = jnp.asarray(timesteps - forward_start_step, dtype)
+        return spot * jnp.exp((rate - div_yield) * dt * n_tail)
     if payoff == PayoffKind.DIGITAL:
         # E[u] = K + 2·P(S_T>K) − 1, exact: the per-step exact transitions
         # compose to the continuous Merton terminal law, so conditional on

@@ -207,6 +207,7 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         antithetic=sim.antithetic,
         lsmc_basis_degree=sim.lsmc_basis_degree,
         lsmc_exercise_every=sim.lsmc_exercise_every,
+        forward_start_step=sim.forward_start_step or 0,  # 0 encodes absent
         sampling=sim.sampling.value,
     )
     if sim.basket is not None:
@@ -250,6 +251,8 @@ def sim_params_from_proto(
                 # 0 = absent (pre-round-3 checkpoint) -> the default degree
                 lsmc_basis_degree=proto.lsmc_basis_degree or 5,
                 lsmc_exercise_every=proto.lsmc_exercise_every or 1,
+                # 0 = absent (non-forward-start checkpoint)
+                forward_start_step=proto.forward_start_step or None,
                 # "" = pre-QMC checkpoint -> the pseudo stream it was trained on
                 sampling=SamplingKind(proto.sampling or "pseudo"),
                 # absent = pre-term-structure checkpoint -> flat market

@@ -53,6 +53,7 @@ def build_simulation_effects(
                 barrier_rel=sim.barrier_rel or 0.0,
                 lsmc_basis_degree=sim.lsmc_basis_degree,
                 lsmc_exercise_every=sim.lsmc_exercise_every,
+                forward_start_step=sim.forward_start_step or 0,
                 sampling=sim.sampling.value,
                 term_vol=sim.term.vol_shape if sim.term else (),
                 term_rate=sim.term.rate_shape if sim.term else (),

@@ -291,6 +291,58 @@ class MonteCarloInterpreter:
                         "strike-setting date",
                     )
                 )
+            if payoff == PayoffKind.CLIQUET:
+                # mirror build_simulation_params: reset grid + clip levels
+                if (
+                    effect.cliquet_reset_every <= 0
+                    or effect.cliquet_floor is None
+                    or effect.cliquet_cap is None
+                ):
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="cliquet requires cliquet_reset_every, "
+                            "cliquet_floor and cliquet_cap",
+                        )
+                    )
+                if (
+                    effect.timesteps % effect.cliquet_reset_every
+                    or effect.timesteps // effect.cliquet_reset_every < 2
+                ):
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="cliquet_reset_every must divide timesteps "
+                            "with >= 2 reset periods",
+                        )
+                    )
+                if not (-1.0 < effect.cliquet_floor < effect.cliquet_cap):
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="need -1 < cliquet_floor < cliquet_cap",
+                        )
+                    )
+                if effect.normalization == "mean":
+                    return Failure(
+                        MonteCarloError(
+                            effect_kind=effect.kind,
+                            reason="the cliquet clipped-return sum is not "
+                            "scale-equivariant; use normalization='none'",
+                        )
+                    )
+            elif (
+                effect.cliquet_reset_every
+                or effect.cliquet_floor is not None
+                or effect.cliquet_cap is not None
+            ):
+                return Failure(
+                    MonteCarloError(
+                        effect_kind=effect.kind,
+                        reason=f"payoff={payoff.value!r} takes no cliquet "
+                        "reset grid or clip levels",
+                    )
+                )
             term = None
             if effect.term_vol or effect.term_rate or effect.term_div:
                 # the model==GBM gate already returned above (SimulatePaths
@@ -332,6 +384,9 @@ class MonteCarloInterpreter:
                 lsmc_basis_degree=effect.lsmc_basis_degree,
                 lsmc_exercise_every=effect.lsmc_exercise_every,
                 forward_start_step=effect.forward_start_step or None,
+                cliquet_reset_every=effect.cliquet_reset_every or None,
+                cliquet_floor=effect.cliquet_floor,
+                cliquet_cap=effect.cliquet_cap,
                 sampling=sampling,
                 mc_seed=effect.seed,
                 term=term,

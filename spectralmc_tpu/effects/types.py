@@ -110,6 +110,11 @@ class SimulatePaths:
     lsmc_exercise_every: int = 1
     # strike-setting grid index (FORWARD_START payoff only; 0 = unset)
     forward_start_step: int = 0
+    # cliquet reset grid + clip levels (CLIQUET payoff only; reset 0 = unset;
+    # floor/cap are None-when-absent — 0.0 is a meaningful floor)
+    cliquet_reset_every: int = 0
+    cliquet_floor: float | None = None
+    cliquet_cap: float | None = None
     sampling: str = "pseudo"  # SamplingKind value (path-increment source)
     # piecewise-constant curves (TermStructure shapes; () = flat). GBM only.
     term_vol: tuple[float, ...] = ()

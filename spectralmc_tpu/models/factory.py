@@ -54,7 +54,7 @@ class Activation(enum.Enum):
 class LinearCfg(BaseModel):
     """Dense layer; ``width=None`` preserves the incoming width (reference WidthSpec.Preserve)."""
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
     kind: Literal["linear"] = "linear"
     width: int | None = None
     bias: bool = True
@@ -62,17 +62,17 @@ class LinearCfg(BaseModel):
 
 
 class NaiveBNCfg(BaseModel):
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
     kind: Literal["naive_bn"] = "naive_bn"
 
 
 class CovBNCfg(BaseModel):
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
     kind: Literal["cov_bn"] = "cov_bn"
 
 
 class SequentialCfg(BaseModel):
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
     kind: Literal["sequential"] = "sequential"
     layers: tuple["LayerCfg", ...]
 
@@ -80,7 +80,7 @@ class SequentialCfg(BaseModel):
 class ResidualCfg(BaseModel):
     """Residual block; a projection is auto-inserted when the body changes width."""
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
     kind: Literal["residual"] = "residual"
     body: "LayerCfg"
     activation: Activation = Activation.NONE
@@ -98,7 +98,7 @@ ResidualCfg.model_rebuild()
 class CVNNConfig(BaseModel):
     """Architecture record; serialized into checkpoints (reference CVNNConfig)."""
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
     precision: Precision = Precision.float32
     layers: tuple[LayerCfg, ...]
     seed: int

@@ -621,6 +621,104 @@ def forward_start_price(
     return lognormal_black_price(mu, s2, strike, rate_eff, maturity)
 
 
+def cliquet_price(
+    spot: float,
+    strike: float,
+    maturity: float,
+    rate: float,
+    div_yield: float,
+    vol: float,
+    *,
+    timesteps: int,
+    reset_every: int,
+    local_floor: float,
+    local_cap: float,
+    vol_shape: tuple[float, ...] = (),
+    rate_shape: tuple[float, ...] = (),
+    div_shape: tuple[float, ...] = (),
+    grid: int = 1 << 16,
+) -> AnalyticPrices:
+    """Exact discrete-grid cliquet put/call under log-Euler GBM, flat or
+    curved (host-side float64 lattice oracle; extension — no reference
+    counterpart).
+
+    The underlier u = Σ_j clip(R_j, floor, cap) (``PayoffKind.CLIQUET``)
+    sums INDEPENDENT clipped period returns: period j's log-return is
+    Gaussian with μ_j = Σ_{t∈j} a_t, s_j² = Σ_{t∈j} v_t²·dt, so each
+    clipped return has a known mixed law (atoms at floor/cap + a lognormal
+    body) and the law of u is their convolution. Each period's law is laid
+    on a shared lattice anchored at ``local_floor`` (atom mass split
+    mean-preservingly across straddling cells); the product of their FFTs
+    is the sum's pmf — the lattice is sized so the P-fold support cannot
+    wrap. Lattice bias is O(h²) ≈ (cap−floor)²·P²/grid², far below MC
+    standard errors at any test path count. ``strike`` is in RETURN units
+    (the guarantee level); discounting uses the full effective curve.
+    ``spot`` is accepted for signature symmetry but cancels out of every
+    period ratio.
+    """
+    import math
+
+    import numpy as np
+    from scipy.stats import norm
+
+    n = int(timesteps)
+    k = int(reset_every)
+    periods = n // k
+    dt = maturity / n
+    vs = vol_shape or (1.0,) * n
+    rs = rate_shape or (1.0,) * n
+    qs = div_shape or (1.0,) * n
+    mus = []
+    sds = []
+    for j in range(periods):
+        steps = range(j * k, (j + 1) * k)
+        mus.append(
+            sum((rate * rs[t] - div_yield * qs[t] - 0.5 * (vol * vs[t]) ** 2) * dt for t in steps)
+        )
+        sds.append(math.sqrt(sum((vol * vs[t]) ** 2 * dt for t in steps)))
+
+    # shared lattice: anchored at the floor, step h small enough that the
+    # P-fold index sum stays inside the FFT grid (no circular wrap)
+    h = (local_cap - local_floor) * periods / (grid - 8)
+    m_cells = int(math.ceil((local_cap - local_floor) / h)) + 1
+    x = local_floor + h * np.arange(m_cells)
+    edges = np.concatenate([x - h / 2, [x[-1] + h / 2]])
+    ce = np.clip(edges, local_floor, local_cap)
+
+    F = np.ones(grid // 2 + 1, dtype=np.complex128)
+    for mu, s in zip(mus, sds):
+        pmf = np.zeros(grid)
+        pmf[:m_cells] = np.diff(norm.cdf((np.log1p(ce) - mu) / s))
+        pmf[0] += norm.cdf((math.log1p(local_floor) - mu) / s)
+        p_cap = 1.0 - norm.cdf((math.log1p(local_cap) - mu) / s)
+        j_f = (local_cap - local_floor) / h
+        j0 = min(int(math.floor(j_f)), m_cells - 1)
+        w1 = j_f - j0
+        pmf[j0] += p_cap * (1.0 - w1)
+        pmf[min(j0 + 1, m_cells - 1)] += p_cap * w1
+        pmf /= pmf.sum()
+        F *= np.fft.rfft(pmf)
+    conv = np.maximum(np.fft.irfft(F, grid), 0.0)
+    conv /= conv.sum()
+    xs = local_floor * periods + h * np.arange(grid)
+
+    rate_eff = rate * (sum(rs) / n)
+    df = float(math.exp(-rate_eff * maturity))
+    put = df * float(np.sum(np.maximum(strike - xs, 0.0) * conv))
+    call = df * float(np.sum(np.maximum(xs - strike, 0.0) * conv))
+    mean_u = float(np.sum(xs * conv))
+    call_intr = df * max(mean_u - strike, 0.0)
+    put_intr = df * max(strike - mean_u, 0.0)
+    return AnalyticPrices(
+        put=put,
+        call=call,
+        put_intrinsic=put_intr,
+        call_intrinsic=call_intr,
+        put_convexity=put - put_intr,
+        call_convexity=call - call_intr,
+    )
+
+
 def variance_fair_strike(
     maturity: float,
     rate: float,

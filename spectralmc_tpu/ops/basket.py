@@ -44,7 +44,7 @@ class BasketCombine(enum.Enum):
 class BasketSpec(BaseModel):
     """Static basket structure (part of the checkpoint via SimulationParams)."""
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
 
     weights: tuple[float, ...]
     spot_multipliers: tuple[float, ...]
@@ -190,7 +190,8 @@ def basket_euler_step(
     jax.jit,
     static_argnames=(
         "spec", "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
-        "antithetic_half", "forward_start_step", "sampling", "mc_seed",
+        "antithetic_half", "forward_start_step", "cliquet_reset_every",
+        "cliquet_floor", "cliquet_cap", "sampling", "mc_seed",
     ),
 )
 def simulate_basket_underlier_rows(
@@ -207,6 +208,9 @@ def simulate_basket_underlier_rows(
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
     forward_start_step: int | None = None,
+    cliquet_reset_every: int | None = None,
+    cliquet_floor: float | None = None,
+    cliquet_cap: float | None = None,
     sampling: "object | None" = None,
     mc_seed: int = 0,
 ) -> jax.Array:
@@ -288,13 +292,48 @@ def simulate_basket_underlier_rows(
 
     sig_sqdt = sigmas * sqrt_dt
 
-    if payoff in (PayoffKind.VARIANCE_SWAP, PayoffKind.FORWARD_START):
-        # both kinds work on ln of the BASKET value (the payoff's underlier
+    if payoff in (PayoffKind.VARIANCE_SWAP, PayoffKind.FORWARD_START, PayoffKind.CLIQUET):
+        # these kinds work on ln of the BASKET value (the payoff's underlier
         # is always the combine, matching the extreme/average conventions)
         def log_basket(logx: jax.Array) -> jax.Array:
             if spec.combine == BasketCombine.GEOMETRIC:
                 return jnp.einsum("a,arc->rc", weights, logx)
             return jnp.log(jnp.einsum("a,arc->rc", weights, jnp.exp(logx)))
+
+        if payoff == PayoffKind.CLIQUET:
+            assert (  # enforced by build_simulation_params
+                cliquet_reset_every is not None
+                and cliquet_floor is not None
+                and cliquet_cap is not None
+            )
+            # period returns of the BASKET value: carry the period-start
+            # ln B alongside the clipped accumulator (the arithmetic
+            # combine couples B to the per-asset levels, so the full path
+            # walks; the geometric combine rides the same scan)
+            floor_c = jnp.asarray(cliquet_floor, dtype)
+            cap_c = jnp.asarray(cliquet_cap, dtype)
+
+            def body_cq(
+                carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array
+            ):
+                logx, start, acc = carry
+                logx = basket_euler_step(
+                    logx, normals(t), drift=drift, sig_sqdt=sig_sqdt, chol=chol
+                )
+                lb = log_basket(logx)
+                boundary = (t + 1) % cliquet_reset_every == 0
+                clipped = jnp.clip(jnp.exp(lb - start) - 1.0, floor_c, cap_c)
+                acc = jnp.where(boundary, acc + clipped, acc)
+                start = jnp.where(boundary, lb, start)
+                return (logx, start, acc), None
+
+            log0_c = jnp.zeros((a_n, rows, cols), dtype) + jnp.log(spots)[:, None, None]
+            (_, _, acc_cq), _ = jax.lax.scan(
+                body_cq,
+                (log0_c, log_basket(log0_c), jnp.zeros((rows, cols), dtype)),
+                jnp.arange(timesteps),
+            )
+            return acc_cq
 
         if payoff == PayoffKind.FORWARD_START:
             assert forward_start_step is not None  # build_simulation_params
@@ -424,6 +463,9 @@ def expected_basket_underlier_mean(
     payoff: "object",
     dtype: jnp.dtype,
     forward_start_step: int | None = None,
+    cliquet_reset_every: int | None = None,
+    cliquet_floor: float | None = None,
+    cliquet_cap: float | None = None,
 ) -> jax.Array | None:
     """Analytic E[underlier] for MEAN normalization, or None if no closed form.
 
@@ -463,6 +505,26 @@ def expected_basket_underlier_mean(
         n_tail = jnp.asarray(timesteps - forward_start_step, dtype)
         g0 = basket_g0(contract, spec, dtype=dtype)
         return g0 * jnp.exp((mu_bar + 0.5 * s2_bar) * dt * n_tail)
+    if payoff == PayoffKind.CLIQUET:
+        if spec.combine == BasketCombine.ARITHMETIC:
+            return None  # period returns of a weighted sum: no closed form
+        # geometric combine: each period return of B is lognormal at the
+        # effective-GBM moments, so E[u] = periods·E[clip] (ops/gbm.py)
+        from spectralmc_tpu.ops.gbm import expected_clipped_lognormal_return
+
+        assert (
+            cliquet_reset_every is not None
+            and cliquet_floor is not None
+            and cliquet_cap is not None
+        )
+        mu_bar, s2_bar = basket_log_moments(contract, spec, dtype=dtype)
+        k_c = jnp.asarray(cliquet_reset_every, dtype)
+        periods = timesteps // cliquet_reset_every
+        mu_p = mu_bar * dt * k_c
+        s_p = jnp.sqrt(s2_bar * dt * k_c)
+        return jnp.asarray(periods, dtype) * expected_clipped_lognormal_return(
+            mu_p, s_p, jnp.asarray(cliquet_floor, dtype), jnp.asarray(cliquet_cap, dtype)
+        )
     if spec.combine == BasketCombine.ARITHMETIC:
         if payoff == PayoffKind.DIGITAL:
             return None  # P(B_arith > K) has no closed form

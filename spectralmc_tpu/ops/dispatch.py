@@ -166,6 +166,13 @@ def make_underlier_simulator(
     if sim.sampling != SamplingKind.PSEUDO:
         sampling_kwargs["sampling"] = sim.sampling
         sampling_kwargs["mc_seed"] = sim.mc_seed
+    if sim.cliquet_reset_every is not None:
+        # splatted (not positional) so the Pallas wrappers, which take no
+        # cliquet knobs yet, are never reached with them (CLIQUET resolves
+        # to the XLA engine — ops/gbm.py::resolve_implementation)
+        sampling_kwargs["cliquet_reset_every"] = sim.cliquet_reset_every
+        sampling_kwargs["cliquet_floor"] = sim.cliquet_floor
+        sampling_kwargs["cliquet_cap"] = sim.cliquet_cap
 
     if sim.model == ModelKind.BASKET_GBM:
         if use_pallas:
@@ -312,6 +319,9 @@ def make_mean_target(
             return expected_basket_underlier_mean(
                 contract, spec, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype,
                 forward_start_step=sim.forward_start_step,
+                cliquet_reset_every=sim.cliquet_reset_every,
+                cliquet_floor=sim.cliquet_floor,
+                cliquet_cap=sim.cliquet_cap,
             )
 
         return basket_mean
@@ -329,6 +339,10 @@ def make_mean_target(
             kwargs["term"] = sim.term
         if sim.forward_start_step is not None:
             kwargs["forward_start_step"] = sim.forward_start_step
+        if sim.cliquet_reset_every is not None:
+            kwargs["cliquet_reset_every"] = sim.cliquet_reset_every
+            kwargs["cliquet_floor"] = sim.cliquet_floor
+            kwargs["cliquet_cap"] = sim.cliquet_cap
         return _mean(
             contract, timesteps=sim.timesteps, payoff=sim.payoff, dtype=dtype, **kwargs
         )

@@ -190,6 +190,33 @@ class PayoffKind(enum.Enum):
     # tests), and vol buckets before t_m carry ZERO vega under GBM (the
     # ratio never sees them).
     FORWARD_START = "forward_start"
+    # Cliquet (ratchet): the sum of locally capped/floored period returns
+    # over the reset grid t_0, t_k, t_2k, ... (k = ``cliquet_reset_every``
+    # steps per period, k | timesteps, ≥ 2 periods):
+    #     u = Σ_j clip(S_{t_{j+1}·k}/S_{t_j·k} − 1, floor, cap)
+    # The strike field carries the guarantee level K in RETURN units
+    # (like VARIANCE_SWAP's vol² strike), so the two channels are the traded
+    # structures — call = df·max(u − K, 0) is the globally-floored cliquet's
+    # option leg (the classic minimum-coupon cliquet pays df·(K + call));
+    # put = df·max(K − u, 0) is the shortfall leg. Simulation is state-free
+    # in ln S under both schemes (each period return is a product of
+    # per-step growth factors), so the scan carries only the running period
+    # log-return and the clipped accumulator. E[u] = Σ_j E[clip(R_j)] is
+    # closed-form wherever the per-period return law is known: GBM (flat AND
+    # curved — each period is lognormal in its own segment sums), Merton
+    # (Poisson mixture of lognormals → series), geometric baskets (the
+    # effective GBM); Heston's conditional period law and the arithmetic
+    # basket's have none (parity and MEAN gated off there). MEAN
+    # normalization is additionally gated off for ALL dynamics: u is a sum
+    # of CLIPPED returns (can be ≤ 0, and a multiplicative rescale would
+    # move returns through the clip levels — the digital precedent, not the
+    # variance-swap one). Under flat log-Euler GBM the periods are iid, so
+    # the whole distribution is a P-fold convolution of a known mixed law —
+    # an exact discrete-grid oracle (ops/analytic.py::cliquet_price,
+    # lattice-convolution). IPA Greeks are VALID (clip is a.e.
+    # differentiable; the pathwise spot-delta is identically 0 under
+    # log-Euler, like VARIANCE_SWAP — returns are state-free).
+    CLIQUET = "cliquet"
 
 
 BARRIER_PAYOFFS = frozenset({PayoffKind.BARRIER_UP_OUT, PayoffKind.BARRIER_DOWN_OUT})
@@ -283,7 +310,7 @@ class TermStructure(BaseModel):
     oracle surface, not just new simulation surface.
     """
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
 
     vol_shape: tuple[float, ...] = ()
     rate_shape: tuple[float, ...] = ()
@@ -444,7 +471,7 @@ def bootstrap_vol_shape(
 class BlackScholesContract(BaseModel):
     """One European-option market scenario (parity: reference ``BlackScholes.Inputs``)."""
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
 
     spot: float
     strike: float
@@ -482,7 +509,7 @@ class SimulationParams(BaseModel):
     job (Pallas block shapes are chosen in gbm_pallas.py).
     """
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
 
     timesteps: int
     network_size: int
@@ -517,6 +544,13 @@ class SimulationParams(BaseModel):
     # fixes at t_m = forward_start_step·dt; 1 ≤ m < timesteps). Required iff
     # payoff == FORWARD_START. Checkpointed: it defines the product.
     forward_start_step: int | None = None
+    # cliquet reset grid + local clip levels (see PayoffKind.CLIQUET).
+    # Required iff payoff == CLIQUET: reset_every must divide timesteps with
+    # ≥ 2 periods; floor ∈ (−1, cap), cap > floor. Checkpointed: they define
+    # the product.
+    cliquet_reset_every: int | None = None
+    cliquet_floor: float | None = None
+    cliquet_cap: float | None = None
     # path-increment source (see SamplingKind); SOBOL_BB is a different bit
     # stream, so it is checkpointed and routes to the XLA engine
     sampling: SamplingKind = SamplingKind.PSEUDO
@@ -669,6 +703,62 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                 "strike-setting date",
             )
         )
+    if params.payoff == PayoffKind.CLIQUET:
+        if (
+            params.cliquet_reset_every is None
+            or params.cliquet_floor is None
+            or params.cliquet_cap is None
+        ):
+            return Failure(
+                InvalidSimulationParams(
+                    field="cliquet_reset_every",
+                    value=None,
+                    reason="payoff='cliquet' requires cliquet_reset_every, "
+                    "cliquet_floor and cliquet_cap",
+                )
+            )
+        if params.cliquet_reset_every < 1 or (
+            params.timesteps % params.cliquet_reset_every
+        ):
+            return Failure(
+                InvalidSimulationParams(
+                    field="cliquet_reset_every",
+                    value=params.cliquet_reset_every,
+                    reason="must be >= 1 and divide timesteps (maturity is "
+                    "always a reset date)",
+                )
+            )
+        if params.timesteps // params.cliquet_reset_every < 2:
+            return Failure(
+                InvalidSimulationParams(
+                    field="cliquet_reset_every",
+                    value=params.cliquet_reset_every,
+                    reason="a cliquet needs >= 2 reset periods (one period "
+                    "is a clipped forward — use payoff='terminal')",
+                )
+            )
+        if not (-1.0 < params.cliquet_floor < params.cliquet_cap):
+            return Failure(
+                InvalidSimulationParams(
+                    field="cliquet_floor",
+                    value=params.cliquet_floor,
+                    reason="need -1 < floor < cap (a period return cannot "
+                    "fall below -100%)",
+                )
+            )
+    elif (
+        params.cliquet_reset_every is not None
+        or params.cliquet_floor is not None
+        or params.cliquet_cap is not None
+    ):
+        return Failure(
+            InvalidSimulationParams(
+                field="cliquet_reset_every",
+                value=params.cliquet_reset_every,
+                reason=f"payoff={params.payoff.value!r} takes no cliquet "
+                "reset grid or clip levels",
+            )
+        )
     if params.payoff in AMERICAN_PAYOFFS:
         if params.scheme != PathScheme.LOG_EULER:
             return Failure(
@@ -762,6 +852,20 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
         )
     if (
         params.normalization == ForwardNormalization.MEAN
+        and params.payoff == PayoffKind.CLIQUET
+    ):
+        return Failure(
+            InvalidSimulationParams(
+                field="normalization",
+                value=params.normalization.value,
+                reason="the cliquet sum of clipped returns is not "
+                "scale-equivariant: multiplicative mean rescaling would "
+                "move returns through the clip levels; use "
+                "normalization='none'",
+            )
+        )
+    if (
+        params.normalization == ForwardNormalization.MEAN
         and not has_closed_form_mean(
             params.model, params.payoff, combine=params.basket.combine if params.basket else None
         )
@@ -830,6 +934,19 @@ def has_closed_form_mean(
         # and Merton (the compensator); the arithmetic basket's ratio of
         # weighted sums has no closed form
         return not (model == ModelKind.BASKET_GBM and combine == BasketCombine.ARITHMETIC)
+    if payoff == PayoffKind.CLIQUET:
+        # E[Σ clip(R_j)] needs each period return's exact law: GBM (flat or
+        # curved — lognormal per segment), Merton (Poisson mixture series),
+        # geometric baskets (effective GBM). Heston's period return
+        # conditions on the variance path and the arithmetic basket's is a
+        # ratio of weighted sums — no closed form. (MEAN normalization is
+        # gated off for ALL dynamics separately: clipping is not
+        # scale-equivariant; this gate feeds call-via-parity only.)
+        if model == ModelKind.HESTON:
+            return False
+        if model == ModelKind.BASKET_GBM and combine == BasketCombine.ARITHMETIC:
+            return False
+        return True
     if model in (ModelKind.HESTON, ModelKind.MERTON_JUMP):
         # both keep the discounted spot a martingale (Heston by construction,
         # Merton via the -lam*m compensator) but lose the geometric average
@@ -883,6 +1000,11 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
         # the Brownian-bridge contraction is a [T, T] x [T, paths] matmul —
         # MXU-shaped work the XLA engine expresses directly; the Pallas
         # kernels' in-register streaming RNG has no Sobol counterpart
+        return SimImplementation.XLA
+    if params.payoff == PayoffKind.CLIQUET:
+        # the fused kernels' pair-stepping has no reset-boundary epilogue
+        # yet; cliquets run the XLA scan on every dynamics (same threefry
+        # stream as the other XLA payoff kinds)
         return SimImplementation.XLA
     if params.term is not None and not params.term.is_flat():
         # genuinely curved markets run the term kernel (per-step SMEM
@@ -1130,6 +1252,9 @@ def simulate_terminal_rows(
         "lsmc_basis_degree",
         "lsmc_exercise_every",
         "forward_start_step",
+        "cliquet_reset_every",
+        "cliquet_floor",
+        "cliquet_cap",
         "sampling",
         "mc_seed",
         "term",
@@ -1151,6 +1276,9 @@ def simulate_underlier_rows(
     lsmc_basis_degree: int = 5,
     lsmc_exercise_every: int = 1,
     forward_start_step: int | None = None,
+    cliquet_reset_every: int | None = None,
+    cliquet_floor: float | None = None,
+    cliquet_cap: float | None = None,
     sampling: SamplingKind = SamplingKind.PSEUDO,
     mc_seed: int = 0,
     term: "TermStructure | None" = None,
@@ -1260,6 +1388,45 @@ def simulate_underlier_rows(
         )
         return spot * jnp.exp(acc)
 
+    if payoff == PayoffKind.CLIQUET:
+        assert (  # enforced by build_simulation_params
+            cliquet_reset_every is not None
+            and cliquet_floor is not None
+            and cliquet_cap is not None
+        )
+        # state-free like VARIANCE_SWAP: each period return is the product
+        # of per-step growth factors, so the scan carries the running period
+        # log-return and the clipped accumulator; at reset boundaries
+        # ((t+1) % k == 0) the period closes into the accumulator.
+        floor_c = jnp.asarray(cliquet_floor, dtype)
+        cap_c = jnp.asarray(cliquet_cap, dtype)
+        k_c = cliquet_reset_every
+
+        def close_period(per: jax.Array, acc: jax.Array, t: jax.Array):
+            boundary = (t + 1) % k_c == 0
+            clipped = jnp.clip(jnp.exp(per) - 1.0, floor_c, cap_c)
+            acc = jnp.where(boundary, acc + clipped, acc)
+            per = jnp.where(boundary, 0.0, per)
+            return per, acc
+
+        if scheme == PathScheme.LOG_EULER:
+
+            def body_c(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+                per, acc = carry
+                per = per + log_drift(t) + vol_step(t) * normals(t)
+                return close_period(per, acc, t), None
+
+        else:
+
+            def body_c(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+                per, acc = carry
+                per = per + jnp.log(jnp.abs(1.0 + lin_drift(t) + vol_step(t) * normals(t)))
+                return close_period(per, acc, t), None
+
+        zeros_c = jnp.zeros((rows, cols), dtype)
+        (_, acc), _ = jax.lax.scan(body_c, (zeros_c, zeros_c), jnp.arange(timesteps))
+        return acc
+
     if payoff == PayoffKind.VARIANCE_SWAP:
         # RV needs only the log-increments — no path state at all under
         # either scheme (log-Euler: inc = drift + vol·z; Euler: the ratio
@@ -1362,6 +1529,27 @@ def simulate_underlier_rows(
     return jnp.exp(mean) if geometric else mean
 
 
+def expected_clipped_lognormal_return(
+    mu: jax.Array, s: jax.Array, floor: jax.Array, cap: jax.Array
+) -> jax.Array:
+    """E[clip(e^X − 1, floor, cap)] for X ~ N(mu, s²) — closed form.
+
+    floor·Φ(z_f) + e^{μ+s²/2}(Φ(z_c−s) − Φ(z_f−s)) − (Φ(z_c) − Φ(z_f))
+    + cap·(1 − Φ(z_c)) with z = (ln(1+level) − μ)/s. Broadcasts over its
+    arguments (per-period μ/s vectors under term curves); the cliquet
+    parity target is the sum over periods.
+    """
+    from jax.scipy.special import erf
+
+    def phi(z: jax.Array) -> jax.Array:
+        return 0.5 * (1.0 + erf(z / jnp.sqrt(jnp.asarray(2.0, z.dtype))))
+
+    zf = (jnp.log1p(floor) - mu) / s
+    zc = (jnp.log1p(cap) - mu) / s
+    body = jnp.exp(mu + 0.5 * s * s) * (phi(zc - s) - phi(zf - s)) - (phi(zc) - phi(zf))
+    return floor * phi(zf) + body + cap * (1.0 - phi(zc))
+
+
 def expected_underlier_mean(
     contract: jax.Array,
     *,
@@ -1370,6 +1558,9 @@ def expected_underlier_mean(
     dtype: jnp.dtype,
     term: "TermStructure | None" = None,
     forward_start_step: int | None = None,
+    cliquet_reset_every: int | None = None,
+    cliquet_floor: float | None = None,
+    cliquet_cap: float | None = None,
 ) -> jax.Array | None:
     """Analytic E[underlier] under the log-Euler discretization.
 
@@ -1443,6 +1634,39 @@ def expected_underlier_mean(
             return spot_f * jnp.exp(jnp.sum(jnp.where(tail, lin_t, 0.0)))
         n_tail = jnp.asarray(timesteps - forward_start_step, dtype)
         return spot_f * jnp.exp((rate_f - div_f) * dt_f * n_tail)
+    if payoff == PayoffKind.CLIQUET:
+        # E[u] = Σ_j E[clip(R_j)] — each period's log-return is Gaussian
+        # with μ_j = Σ_{t∈period j} a_t, s_j² = Σ_{t∈period j} v_t²·dt
+        # (exact under log-Euler, flat or curved; continuous-limit
+        # approximation for EULER like the kinds above).
+        assert (
+            cliquet_reset_every is not None
+            and cliquet_floor is not None
+            and cliquet_cap is not None
+        )
+        _, _, maturity_c, rate_c, div_c, vol_c = (
+            contract[i].astype(dtype) for i in range(6)
+        )
+        k_c = cliquet_reset_every
+        periods = timesteps // k_c
+        dt_c = maturity_c / jnp.asarray(timesteps, dtype)
+        floor_a = jnp.asarray(cliquet_floor, dtype)
+        cap_a = jnp.asarray(cliquet_cap, dtype)
+        if term is not None and not term.is_flat():
+            vs, rs, qs = term.shapes(timesteps)
+            vsa, rsa, qsa = (jnp.asarray(s, dtype) for s in (vs, rs, qs))
+            vol_t = vol_c * vsa
+            a_t = (rate_c * rsa - div_c * qsa - 0.5 * vol_t * vol_t) * dt_c
+            mu_j = jnp.sum(a_t.reshape(periods, k_c), axis=1)
+            s_j = jnp.sqrt(jnp.sum((vol_t * vol_t * dt_c).reshape(periods, k_c), axis=1))
+            return jnp.sum(
+                expected_clipped_lognormal_return(mu_j, s_j, floor_a, cap_a)
+            )
+        mu_p = (rate_c - div_c - 0.5 * vol_c * vol_c) * dt_c * k_c
+        s_p = vol_c * jnp.sqrt(dt_c * jnp.asarray(k_c, dtype))
+        return jnp.asarray(periods, dtype) * expected_clipped_lognormal_return(
+            mu_p, s_p, floor_a, cap_a
+        )
     if term is not None and term.is_flat():
         # all-ones curves must reproduce the flat formulas bit-for-bit (the
         # weighted sums below are the same values in exact arithmetic but a
@@ -1676,6 +1900,13 @@ class BlackScholes:
                 kwargs["mc_seed"] = p.mc_seed
             if p.term is not None:
                 kwargs["term"] = p.term
+            if p.cliquet_reset_every is not None:
+                # CLIQUET always resolves to XLA (resolve_implementation)
+                kwargs["cliquet_reset_every"] = p.cliquet_reset_every
+                kwargs["cliquet_floor"] = p.cliquet_floor
+                kwargs["cliquet_cap"] = p.cliquet_cap
+        if p.forward_start_step is not None:
+            kwargs["forward_start_step"] = p.forward_start_step
         return simulate(
             self.contract_key(draw_index),
             contract,
@@ -1701,7 +1932,15 @@ class BlackScholes:
             normalize=p.normalization == ForwardNormalization.MEAN,
             dtype=dtype,
             mean_target=expected_underlier_mean(
-                arr, timesteps=p.timesteps, payoff=p.payoff, dtype=dtype, term=p.term
+                arr,
+                timesteps=p.timesteps,
+                payoff=p.payoff,
+                dtype=dtype,
+                term=p.term,
+                forward_start_step=p.forward_start_step,
+                cliquet_reset_every=p.cliquet_reset_every,
+                cliquet_floor=p.cliquet_floor,
+                cliquet_cap=p.cliquet_cap,
             ),
             term=p.term,
         )

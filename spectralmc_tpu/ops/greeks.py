@@ -347,8 +347,9 @@ def term_bucket_greeks(
     Impossible through ``mc_greeks`` (shapes are static config there) and
     impossible in the reference at any price (its kernel is opaque to
     autograd and its market data is flat scalars). Supported payoffs:
-    TERMINAL, the Asian kinds, and VARIANCE_SWAP — a vol-strip ladder of a
-    variance swap is the natural hedge report for that product (knockouts
+    TERMINAL, the Asian kinds, VARIANCE_SWAP, FORWARD_START and CLIQUET —
+    a vol-strip ladder of a variance swap or a cliquet is the natural hedge
+    report for those products (knockouts
     have no valid pathwise derivative — ``bump_greeks`` covers them; the
     LSMC payoffs' regression consumes static curves and is out of scope).
     """
@@ -400,6 +401,9 @@ def term_bucket_greeks(
     variance = sim.payoff == PayoffKind.VARIANCE_SWAP
     fstart = sim.payoff == PayoffKind.FORWARD_START
     m_fs = sim.forward_start_step if fstart else None
+    cliquet = sim.payoff == PayoffKind.CLIQUET
+    k_cq = sim.cliquet_reset_every
+    f_cq, c_cq = sim.cliquet_floor, sim.cliquet_cap
     log_euler = sim.scheme == PathScheme.LOG_EULER
 
     normals = _normals_source(
@@ -441,12 +445,24 @@ def term_bucket_greeks(
                         inc = drift[t] + vstep[t] * normals(t)
                         logx = logx + inc
                         acc = acc + jnp.where(t >= m_fs, inc, 0.0)
+                    elif cliquet:
+                        # the logx slot carries the RUNNING PERIOD log-return
+                        # (init 0; reset at boundaries) — the clipped-sum
+                        # scan of simulate_underlier_rows re-expressed with
+                        # the curves as traced inputs
+                        logx = logx + drift[t] + vstep[t] * normals(t)
+                        boundary = (t + 1) % k_cq == 0
+                        clipped = jnp.clip(jnp.exp(logx) - 1.0, f_cq, c_cq)
+                        acc = jnp.where(boundary, acc + clipped, acc)
+                        logx = jnp.where(boundary, 0.0, logx)
                     else:
                         logx = logx + drift[t] + vstep[t] * normals(t)
                         acc = acc + (logx if geometric else jnp.exp(logx))
                     return (logx, acc), None
 
-                log0 = jnp.full((rows, cols), 0.0, dtype) + jnp.log(spot)
+                log0 = jnp.full((rows, cols), 0.0, dtype) + (
+                    0.0 if cliquet else jnp.log(spot)
+                )
                 (log_t, acc), _ = jax.lax.scan(
                     body, (log0, jnp.zeros((rows, cols), dtype)), jnp.arange(timesteps)
                 )
@@ -466,12 +482,22 @@ def term_bucket_greeks(
                         g = growth[t] + vstep[t] * normals(t)
                         x = jnp.abs(x * g)
                         acc = acc + jnp.where(t >= m_fs, jnp.log(jnp.abs(g)), 0.0)
+                    elif cliquet:
+                        # the x slot carries the RUNNING PERIOD growth ratio
+                        g = growth[t] + vstep[t] * normals(t)
+                        x = jnp.abs(x * g)
+                        boundary = (t + 1) % k_cq == 0
+                        clipped = jnp.clip(x - 1.0, f_cq, c_cq)
+                        acc = jnp.where(boundary, acc + clipped, acc)
+                        x = jnp.where(boundary, 1.0, x)
                     else:
                         x = jnp.abs(x * (growth[t] + vstep[t] * normals(t)))
                         acc = acc + (jnp.log(x) if geometric else x)
                     return (x, acc), None
 
-                x0 = jnp.full((rows, cols), 1.0, dtype) * spot
+                x0 = jnp.full((rows, cols), 1.0, dtype) * (
+                    1.0 if cliquet else spot
+                )
                 (terminal, acc), _ = jax.lax.scan(
                     body_e, (x0, jnp.zeros((rows, cols), dtype)), jnp.arange(timesteps)
                 )
@@ -481,6 +507,8 @@ def term_bucket_greeks(
                 u = acc / maturity  # annualized realized variance
             elif fstart:
                 u = spot * jnp.exp(acc)  # spot·S_T/S_m from the tail sum
+            elif cliquet:
+                u = acc  # the clipped-return sum IS the underlier
             else:
                 mean_acc = acc / n
                 u = jnp.exp(mean_acc) if geometric else mean_acc

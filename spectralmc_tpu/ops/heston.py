@@ -41,7 +41,7 @@ class HestonContract(BaseModel):
     """One Heston market scenario: the 5 shared market fields (same order as
     ``BlackScholesContract``) + 5 variance-dynamics fields."""
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
 
     spot: float
     strike: float
@@ -145,7 +145,8 @@ def heston_euler_step(
     jax.jit,
     static_argnames=(
         "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
-        "antithetic_half", "forward_start_step", "sampling", "mc_seed",
+        "antithetic_half", "forward_start_step", "cliquet_reset_every",
+        "cliquet_floor", "cliquet_cap", "sampling", "mc_seed",
     ),
 )
 def simulate_heston_underlier_rows(
@@ -161,6 +162,9 @@ def simulate_heston_underlier_rows(
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
     forward_start_step: int | None = None,
+    cliquet_reset_every: int | None = None,
+    cliquet_floor: float | None = None,
+    cliquet_cap: float | None = None,
     sampling: "object | None" = None,
     mc_seed: int = 0,
 ) -> jax.Array:
@@ -237,6 +241,40 @@ def simulate_heston_underlier_rows(
     forward_start = payoff == PayoffKind.FORWARD_START
     if forward_start:
         assert forward_start_step is not None  # enforced by build_simulation_params
+
+    if payoff == PayoffKind.CLIQUET:
+        assert (  # enforced by build_simulation_params
+            cliquet_reset_every is not None
+            and cliquet_floor is not None
+            and cliquet_cap is not None
+        )
+        # the variance state couples periods, so the walk is the full path;
+        # the carry tracks the period-start ln S and the clipped accumulator
+        floor_c = jnp.asarray(cliquet_floor, dtype)
+        cap_c = jnp.asarray(cliquet_cap, dtype)
+
+        def body_cq(
+            carry: tuple[jax.Array, jax.Array, jax.Array, jax.Array], t: jax.Array
+        ):
+            logx, v, start, acc = carry
+            z_v = component_normals(t, 0)
+            z_orth = component_normals(t, 1)
+            logx, v = heston_euler_step(logx, v, z_v, z_orth, **step_consts)
+            boundary = (t + 1) % cliquet_reset_every == 0
+            clipped = jnp.clip(jnp.exp(logx - start) - 1.0, floor_c, cap_c)
+            acc = jnp.where(boundary, acc + clipped, acc)
+            start = jnp.where(boundary, logx, start)
+            return (logx, v, start, acc), None
+
+        shape_cq = (rows, cols)
+        log0_cq = jnp.full(shape_cq, 0.0, dtype) + jnp.log(spot)
+        vinit_cq = jnp.full(shape_cq, 1.0, dtype) * v0
+        (_, _, _, acc_cq), _ = jax.lax.scan(
+            body_cq,
+            (log0_cq, vinit_cq, log0_cq, jnp.zeros(shape_cq, dtype)),
+            jnp.arange(timesteps),
+        )
+        return acc_cq
 
     def body(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
         logx, v, acc = carry

@@ -57,7 +57,7 @@ class MertonContract(BaseModel):
     """One Merton market scenario: the 6 Black-Scholes fields (same order as
     ``BlackScholesContract``) + 3 jump fields."""
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
 
     spot: float
     strike: float
@@ -150,7 +150,8 @@ def merton_jump_counts(
     jax.jit,
     static_argnames=(
         "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
-        "antithetic_half", "forward_start_step", "sampling", "mc_seed",
+        "antithetic_half", "forward_start_step", "cliquet_reset_every",
+        "cliquet_floor", "cliquet_cap", "sampling", "mc_seed",
     ),
 )
 def simulate_merton_underlier_rows(
@@ -166,6 +167,9 @@ def simulate_merton_underlier_rows(
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
     forward_start_step: int | None = None,
+    cliquet_reset_every: int | None = None,
+    cliquet_floor: float | None = None,
+    cliquet_cap: float | None = None,
     sampling: "object | None" = None,
     mc_seed: int = 0,
 ) -> jax.Array:
@@ -260,6 +264,37 @@ def simulate_merton_underlier_rows(
         )
         return spot * jnp.exp(acc_f)
 
+    if payoff == PayoffKind.CLIQUET:
+        assert (  # enforced by build_simulation_params
+            cliquet_reset_every is not None
+            and cliquet_floor is not None
+            and cliquet_cap is not None
+        )
+        # exact transitions make the periods independent and state-free in
+        # ln S (ops/gbm.py::PayoffKind.CLIQUET): carry only the running
+        # period log-return and the clipped accumulator
+        floor_c = jnp.asarray(cliquet_floor, dtype)
+        cap_c = jnp.asarray(cliquet_cap, dtype)
+
+        def body_cq(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+            per, acc = carry
+            z_d = diffusion_normals(t)
+            z_j = merton_component_normals(row_keys, sign, t, 1, cols, dtype)
+            counts = merton_jump_counts(row_keys, t, lam_dt, cols, dtype)
+            jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
+            per = per + drift + vol * sqrt_dt * z_d + jump
+            boundary = (t + 1) % cliquet_reset_every == 0
+            clipped = jnp.clip(jnp.exp(per) - 1.0, floor_c, cap_c)
+            acc = jnp.where(boundary, acc + clipped, acc)
+            per = jnp.where(boundary, 0.0, per)
+            return (per, acc), None
+
+        zeros_cq = jnp.zeros((rows, cols), dtype)
+        (_, acc_cq), _ = jax.lax.scan(
+            body_cq, (zeros_cq, zeros_cq), jnp.arange(timesteps)
+        )
+        return acc_cq
+
     def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
         logx, acc = carry
         z_d = diffusion_normals(t)
@@ -316,6 +351,9 @@ def merton_expected_underlier_mean(
     payoff: PayoffKind,
     dtype: jnp.dtype,
     forward_start_step: int | None = None,
+    cliquet_reset_every: int | None = None,
+    cliquet_floor: float | None = None,
+    cliquet_cap: float | None = None,
 ) -> jax.Array | None:
     """Analytic E[underlier], or None when no closed form exists.
 
@@ -350,6 +388,38 @@ def merton_expected_underlier_mean(
         assert forward_start_step is not None
         n_tail = jnp.asarray(timesteps - forward_start_step, dtype)
         return spot * jnp.exp((rate - div_yield) * dt * n_tail)
+    if payoff == PayoffKind.CLIQUET:
+        # Exact: each period's log-return, conditional on its total jump
+        # count P ~ Poisson(λ·k·dt), is N(μ_p + P·μ_J, σ²·k·dt + P·σ_J²),
+        # so E[clip(R)] is the Poisson-weighted series of the clipped-
+        # lognormal closed form (64 static terms — the digital precedent;
+        # the tail beyond is < 1e-15 for λ·T ≤ 20) and E[u] = periods·E[clip].
+        from jax.scipy.special import gammaln
+
+        from spectralmc_tpu.ops.gbm import expected_clipped_lognormal_return
+
+        assert (
+            cliquet_reset_every is not None
+            and cliquet_floor is not None
+            and cliquet_cap is not None
+        )
+        vol_c, lam_c, mu_j, sd_j = (contract[i].astype(dtype) for i in (5, 6, 7, 8))
+        m_c = jnp.exp(mu_j + 0.5 * sd_j * sd_j) - 1.0
+        k_steps = jnp.asarray(cliquet_reset_every, dtype)
+        periods = timesteps // cliquet_reset_every
+        t_p = dt * k_steps  # period length in years
+        lam_p = lam_c * t_p
+        mu_p = (rate - div_yield - lam_c * m_c - 0.5 * vol_c * vol_c) * t_p
+        p = jnp.arange(64, dtype=dtype)
+        log_lam_p = jnp.log(jnp.maximum(lam_p, jnp.finfo(dtype).tiny))
+        log_w = -lam_p + p * log_lam_p - gammaln(p + 1.0)
+        w = jnp.where(lam_p > 0.0, jnp.exp(log_w), jnp.where(p == 0.0, 1.0, 0.0))
+        mu_k = mu_p + p * mu_j
+        s_k = jnp.sqrt(vol_c * vol_c * t_p + p * sd_j * sd_j)
+        e_clip = expected_clipped_lognormal_return(
+            mu_k, s_k, jnp.asarray(cliquet_floor, dtype), jnp.asarray(cliquet_cap, dtype)
+        )
+        return jnp.asarray(periods, dtype) * jnp.sum(w * e_clip)
     if payoff == PayoffKind.DIGITAL:
         # E[u] = K + 2·P(S_T>K) − 1, exact: the per-step exact transitions
         # compose to the continuous Merton terminal law, so conditional on

@@ -34,7 +34,7 @@ class NormalStreamConfig(BaseModel):
     — ``(rows, cols, seed, dtype, skips)`` — minus the buffer machinery.
     """
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
 
     rows: int
     cols: int

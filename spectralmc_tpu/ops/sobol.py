@@ -155,7 +155,7 @@ def scale_to_bounds(unit: jax.Array, lower: jax.Array, upper: jax.Array) -> jax.
 
 
 class BoundSpec(BaseModel):
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
     lower: float
     upper: float
 
@@ -173,7 +173,7 @@ def build_bound_spec(lower: float, upper: float) -> Result[BoundSpec, SobolError
 class DomainBounds(BaseModel):
     """Field-name → BoundSpec map; must exactly cover the target model's fields."""
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
     bounds: Mapping[str, BoundSpec]
 
 
@@ -204,7 +204,7 @@ def build_domain_bounds(
 class SobolConfig(BaseModel):
     """Parity: reference ``SobolConfig`` (sobol_sampler.py:64-93) — seed + resume skip."""
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
     seed: int
     skip: int = 0
     scramble: bool = True

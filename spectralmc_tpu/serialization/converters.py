@@ -208,8 +208,13 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         lsmc_basis_degree=sim.lsmc_basis_degree,
         lsmc_exercise_every=sim.lsmc_exercise_every,
         forward_start_step=sim.forward_start_step or 0,  # 0 encodes absent
+        cliquet_reset_every=sim.cliquet_reset_every or 0,  # 0 encodes absent
         sampling=sim.sampling.value,
     )
+    if sim.cliquet_floor is not None:
+        proto.cliquet_floor = sim.cliquet_floor  # explicit presence: 0.0 is a level
+    if sim.cliquet_cap is not None:
+        proto.cliquet_cap = sim.cliquet_cap
     if sim.basket is not None:
         proto.basket.CopyFrom(basket_spec_to_proto(sim.basket))
     if sim.term is not None:
@@ -253,6 +258,15 @@ def sim_params_from_proto(
                 lsmc_exercise_every=proto.lsmc_exercise_every or 1,
                 # 0 = absent (non-forward-start checkpoint)
                 forward_start_step=proto.forward_start_step or None,
+                # 0 = absent (non-cliquet checkpoint); floor/cap carry
+                # explicit proto3 presence (0.0 is a meaningful floor)
+                cliquet_reset_every=proto.cliquet_reset_every or None,
+                cliquet_floor=proto.cliquet_floor
+                if proto.HasField("cliquet_floor")
+                else None,
+                cliquet_cap=proto.cliquet_cap
+                if proto.HasField("cliquet_cap")
+                else None,
                 # "" = pre-QMC checkpoint -> the pseudo stream it was trained on
                 sampling=SamplingKind(proto.sampling or "pseudo"),
                 # absent = pre-term-structure checkpoint -> flat market

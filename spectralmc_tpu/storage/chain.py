@@ -19,7 +19,7 @@ GENESIS_SEMVER = "1.0.0"
 class ModelVersion(BaseModel):
     """One Merkle link: ``parent_hash`` must equal the parent's ``content_hash``."""
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
 
     counter: int
     semantic_version: str

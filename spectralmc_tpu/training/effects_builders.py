@@ -54,6 +54,9 @@ def build_simulation_effects(
                 lsmc_basis_degree=sim.lsmc_basis_degree,
                 lsmc_exercise_every=sim.lsmc_exercise_every,
                 forward_start_step=sim.forward_start_step or 0,
+                cliquet_reset_every=sim.cliquet_reset_every or 0,
+                cliquet_floor=sim.cliquet_floor,
+                cliquet_cap=sim.cliquet_cap,
                 sampling=sim.sampling.value,
                 term_vol=sim.term.vol_shape if sim.term else (),
                 term_rate=sim.term.rate_shape if sim.term else (),

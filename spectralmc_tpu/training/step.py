@@ -56,7 +56,7 @@ class LRScheduleConfig(BaseModel):
     so resume ≡ continuous holds with no new checkpoint state.
     """
 
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
 
     peak: float
     decay_steps: int

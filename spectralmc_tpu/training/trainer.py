@@ -80,7 +80,7 @@ IFFT_RESIDUE_WARN = 1e-6  # reference gbm_trainer.py:1709-1767
 
 
 class TrainingConfig(BaseModel):
-    model_config = ConfigDict(frozen=True)
+    model_config = ConfigDict(frozen=True, extra="forbid")
 
     num_batches: int
     batch_size: int

@@ -135,7 +135,7 @@ def test_resolve_implementation_routes_basket_to_xla() -> None:
 # --------------------------------------------------------------------------
 
 
-def _simulate(spec: BasketSpec, contract, *, timesteps=4, rows=64, cols=512, payoff=PayoffKind.TERMINAL, seed=7, forward_start_step=None):
+def _simulate(spec: BasketSpec, contract, *, timesteps=4, rows=64, cols=512, payoff=PayoffKind.TERMINAL, seed=7, forward_start_step=None, **payoff_knobs):
     key = jax.random.PRNGKey(seed)
     return simulate_basket_underlier_rows(
         key,
@@ -147,6 +147,7 @@ def _simulate(spec: BasketSpec, contract, *, timesteps=4, rows=64, cols=512, pay
         dtype=jnp.float32,
         payoff=payoff,
         forward_start_step=forward_start_step,
+        **payoff_knobs,
     )
 
 
@@ -212,23 +213,28 @@ def test_sample_means_hit_closed_forms_all_payoffs() -> None:
         spec = make_spec(combine=combine)
         for payoff in PayoffKind:
             m_fs = 2 if payoff == PayoffKind.FORWARD_START else None
+            knobs = (
+                dict(cliquet_reset_every=2, cliquet_floor=0.0, cliquet_cap=0.05)
+                if payoff == PayoffKind.CLIQUET
+                else {}
+            )
             if not has_closed_form_mean(ModelKind.BASKET_GBM, payoff, combine=combine):
                 assert (
                     expected_basket_underlier_mean(
                         arr, spec, timesteps=4, payoff=payoff, dtype=jnp.float32,
-                        forward_start_step=m_fs,
+                        forward_start_step=m_fs, **knobs,
                     )
                     is None
                 )
                 continue
             vals = _simulate(
                 spec, contract, payoff=payoff, rows=128, cols=1024,
-                forward_start_step=m_fs,
+                forward_start_step=m_fs, **knobs,
             )
             want = float(
                 expected_basket_underlier_mean(
                     arr, spec, timesteps=4, payoff=payoff, dtype=jnp.float32,
-                    forward_start_step=m_fs,
+                    forward_start_step=m_fs, **knobs,
                 )
             )
             got = float(jnp.mean(vals))

@@ -858,6 +858,28 @@ def main() -> None:
     else:
         term_ps = term_xla_ps
 
+    # Cliquet throughput: the per-period kernel (stream gbm_cliquet) draws
+    # ONE Gaussian per reset period — the exact period-return law under flat
+    # log-Euler GBM — so at reset_every=8 it beats even the terminal kernel
+    # per path-STEP. The XLA scan walks every step (measured comparison).
+    from spectralmc_tpu.ops.gbm import simulate_underlier_rows as _sim_rows_xla
+
+    cq_kw = dict(
+        timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"],
+        dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+        payoff=PayoffKind.CLIQUET, cliquet_reset_every=8,
+        cliquet_floor=0.0, cliquet_cap=0.08,
+    )
+
+    def cliquet_pallas_fn(key, contract):
+        return simulate_underlier_rows_pallas(key, contract, **cq_kw)
+
+    def cliquet_xla_fn(key, contract):
+        return _sim_rows_xla(key, contract, **cq_kw)
+
+    cliquet_xla_ps = bench_mc(cliquet_xla_fn, **kw)
+    cliquet_ps = bench_mc(cliquet_pallas_fn, **kw) if on_tpu else cliquet_xla_ps
+
     # Merton family throughput: fused Pallas kernel (exact in-register
     # inverse-CDF Poisson, merton v1) on TPU; the wrapper falls back to the
     # XLA scan elsewhere. Both engines reported (the basket precedent).
@@ -925,6 +947,7 @@ def main() -> None:
         f"american_price_rel_mae={american_rel_mae:.4f} "
         f"merton_path_steps_per_sec={merton_ps:.3e} "
         f"merton_price_rel_mae={merton_rel_mae:.4f} "
+        f"cliquet_path_steps_per_sec={cliquet_ps:.3e} "
         f"qmc_path_steps_per_sec={qmc_ps:.3e} "
         f"qmc_rmse_reduction={qmc_rmse_reduction:.1f} "
         f"inference_contracts_per_sec={inference_cps:.3e}",
@@ -995,6 +1018,12 @@ def main() -> None:
                     "merton_xla_path_steps_per_sec": merton_xla_ps,
                     "merton_price_mae": merton_mae,
                     "merton_price_rel_mae": merton_rel_mae,
+                    # cliquet ratchets: the per-period kernel (ONE Gaussian
+                    # per reset period — the exact period-return law under
+                    # flat log-Euler GBM) vs the per-step XLA scan, both at
+                    # reset_every=8 on the headline shape
+                    "cliquet_path_steps_per_sec": cliquet_ps,
+                    "cliquet_xla_path_steps_per_sec": cliquet_xla_ps,
                     # randomized QMC path sampling (SamplingKind.SOBOL_BB):
                     # throughput at the headline shape (Sobol + ndtri +
                     # bridge matmul included) and the measured RMSE factor

@@ -167,9 +167,12 @@ def make_underlier_simulator(
         sampling_kwargs["sampling"] = sim.sampling
         sampling_kwargs["mc_seed"] = sim.mc_seed
     if sim.cliquet_reset_every is not None:
-        # splatted (not positional) so the Pallas wrappers, which take no
-        # cliquet knobs yet, are never reached with them (CLIQUET resolves
-        # to the XLA engine — ops/gbm.py::resolve_implementation)
+        # the GBM wrappers (both engines) take the knobs: the XLA scan
+        # threads the reset grid and the Pallas wrapper routes flat
+        # log-Euler cliquets to the per-period kernel (falling back itself
+        # in lockstep with ops/gbm.py::resolve_implementation). The other
+        # dynamics' Pallas wrappers take none — cliquets resolve to XLA
+        # there, so use_pallas is False whenever a trainer built the sim.
         sampling_kwargs["cliquet_reset_every"] = sim.cliquet_reset_every
         sampling_kwargs["cliquet_floor"] = sim.cliquet_floor
         sampling_kwargs["cliquet_cap"] = sim.cliquet_cap

@@ -1002,9 +1002,27 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
         # kernels' in-register streaming RNG has no Sobol counterpart
         return SimImplementation.XLA
     if params.payoff == PayoffKind.CLIQUET:
-        # the fused kernels' pair-stepping has no reset-boundary epilogue
-        # yet; cliquets run the XLA scan on every dynamics (same threefry
-        # stream as the other XLA payoff kinds)
+        # GBM cliquets under flat log-Euler take the per-period kernel
+        # (stream key ``gbm_cliquet``): each reset period's log-return is an
+        # exact Gaussian sum, so the kernel draws ONE normal per period —
+        # reset_every× fewer draws for the identical distribution. Other
+        # dynamics carry period-start state (Heston/basket) or per-step jump
+        # semantics (Merton), curved terms break the aggregation, and EULER
+        # ratios are not Gaussian sums — all keep the XLA scan.
+        if (
+            params.model != ModelKind.GBM
+            or params.scheme != PathScheme.LOG_EULER
+            or (params.term is not None and not params.term.is_flat())
+        ):
+            return SimImplementation.XLA
+        from spectralmc_tpu.ops.gbm_pallas import pallas_supported as _ps_cq
+
+        if _ps_cq(
+            dtype=params.precision.to_jnp(),
+            rows=params.batches_per_mc_run if rows is None else rows,
+            cols=params.network_size,
+        ):
+            return SimImplementation.PALLAS
         return SimImplementation.XLA
     if params.term is not None and not params.term.is_flat():
         # genuinely curved markets run the term kernel (per-step SMEM
@@ -1890,6 +1908,11 @@ class BlackScholes:
             simulate = simulate_underlier_rows_pallas
             if p.term is not None:
                 kwargs["term"] = p.term
+            if p.cliquet_reset_every is not None:
+                # GBM flat log-Euler cliquets run the per-period kernel
+                kwargs["cliquet_reset_every"] = p.cliquet_reset_every
+                kwargs["cliquet_floor"] = p.cliquet_floor
+                kwargs["cliquet_cap"] = p.cliquet_cap
         else:
             simulate = simulate_underlier_rows
             if p.payoff in AMERICAN_PAYOFFS:
@@ -1901,7 +1924,6 @@ class BlackScholes:
             if p.term is not None:
                 kwargs["term"] = p.term
             if p.cliquet_reset_every is not None:
-                # CLIQUET always resolves to XLA (resolve_implementation)
                 kwargs["cliquet_reset_every"] = p.cliquet_reset_every
                 kwargs["cliquet_floor"] = p.cliquet_floor
                 kwargs["cliquet_cap"] = p.cliquet_cap

@@ -89,9 +89,16 @@ _HALF_ULP = float(2.0**-25)
 #               order identical to the family kernel; no pair-step — Heston/
 #               basket recursions are state-dependent and Merton keeps the
 #               per-step Poisson semantics).
+#   gbm_cliquet v1 — round 3 cliquet kernel: ONE Gaussian draw per reset
+#               period (under flat log-Euler GBM the period log-return is an
+#               exact Gaussian sum, so per-period sampling is the identical
+#               distribution with reset_every× fewer draws), pair-stepping
+#               two PERIODS per fused sincos. A distinct program — and a
+#               distinct stream — from the per-step kernels.
 PALLAS_STREAM_VERSIONS: dict[str, int] = {
     "gbm": 2,
     "gbm_term": 1,
+    "gbm_cliquet": 1,
     "heston": 3,
     "basket_gbm": 1,
     "merton_jump": 1,
@@ -115,10 +122,13 @@ def pallas_stream_version(
     SMEM coefficient path is a separate program from the flat kernel.
     """
     family = getattr(model, "value", str(model))
-    if payoff is not None and str(
-        getattr(payoff, "value", payoff)
-    ).startswith("american"):
+    payoff_value = str(getattr(payoff, "value", payoff)) if payoff is not None else ""
+    if payoff_value.startswith("american"):
         return PALLAS_STREAM_VERSIONS[f"american_{family}"]
+    if payoff_value == "cliquet" and family == "gbm":
+        # the per-period cliquet kernel is its own program (and only GBM has
+        # one — other dynamics resolve cliquets to the XLA engine)
+        return PALLAS_STREAM_VERSIONS["gbm_cliquet"]
     if term and family == "gbm":
         return PALLAS_STREAM_VERSIONS["gbm_term"]
     return PALLAS_STREAM_VERSIONS[family]
@@ -723,6 +733,151 @@ def _simulate_rows_pallas_f32(
     )(params, seeds)
 
 
+def _gbm_cliquet_block_kernel(
+    params_ref,  # SMEM (1, 6): spot, strike, maturity, rate, div, vol
+    seeds_ref,  # SMEM (1, 3) int32: threefry key words + row-block offset
+    out_ref,  # VMEM (BLOCK_ROWS, BLOCK_COLS)
+    *,
+    timesteps: int,
+    reset_every: int,
+    floor: float,
+    cap: float,
+    rows_per_block: int,
+    cols_per_block: int,
+    antithetic: bool,
+) -> None:
+    """Cliquet accumulator u = Σ_j clip(exp(L_j) − 1, floor, cap), sampling
+    each period's log-return L_j DIRECTLY: under flat log-Euler GBM,
+    L_j = k·drift + vol·√dt·Σ_{t∈period} z_t is an exact Gaussian sum, so one
+    N(k·drift, k·vol²·dt) draw per period is the identical distribution with
+    ``reset_every``× fewer draws. Periods are clipped independently, so the
+    TERMINAL pair-step's one-sine sum shortcut does not apply — instead two
+    periods share one Box–Muller draw pair via the fused ``_sincos_turns``
+    (z1 = r·cosθ like ``normals()``, z2 = r·sinθ — the Heston kernel's
+    convention). Stream key ``gbm_cliquet`` (PALLAS_STREAM_VERSIONS)."""
+    i = pl.program_id(0) + seeds_ref[0, 2]
+    j = pl.program_id(1)
+    spot = params_ref[0, 0]
+    rate = params_ref[0, 3]
+    div_yield = params_ref[0, 4]
+    vol = params_ref[0, 5]
+    seed_a = seeds_ref[0, 0] ^ (
+        (i + 1) * jnp.int32(0x9E3779B1 & 0x7FFFFFFF) + j * jnp.int32(0x85EBCA6B & 0x7FFFFFFF)
+    )
+    seed_b = seeds_ref[0, 1] ^ (
+        (j + 1) * jnp.int32(0xC2B2AE35 & 0x7FFFFFFF) + i * jnp.int32(0x27D4EB2F)
+    )
+    pltpu.prng_seed(seed_a, seed_b)
+
+    del spot  # the accumulator is in RETURN units; spot never enters
+    maturity = params_ref[0, 2]
+    dt = maturity / jnp.float32(timesteps)
+    n_periods = timesteps // reset_every
+    period_drift = (rate - div_yield - jnp.float32(0.5) * vol * vol) * dt * jnp.float32(
+        reset_every
+    )
+    period_vol = vol * jnp.sqrt(dt * jnp.float32(reset_every))
+    floor_c = jnp.float32(floor)
+    cap_c = jnp.float32(cap)
+    shape = (rows_per_block, cols_per_block)
+    gen_shape = (rows_per_block // 2, cols_per_block) if antithetic else shape
+
+    def _mirror(z: jax.Array) -> jax.Array:
+        return jnp.concatenate([z, -z], axis=0) if antithetic else z
+
+    def _clipped(z: jax.Array) -> jax.Array:
+        ret = jnp.exp(period_drift + period_vol * z) - jnp.float32(1.0)
+        return jnp.clip(ret, floor_c, cap_c)
+
+    def period_pair(acc: jax.Array) -> jax.Array:
+        u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(gen_shape)
+        r = _bm_radius(u1)
+        s, c = _sincos_turns(u2)
+        return acc + _clipped(_mirror(r * c)) + _clipped(_mirror(r * s))
+
+    acc = _fori_unrolled(n_periods // 2, period_pair, jnp.zeros(shape, jnp.float32))
+    if n_periods % 2:
+        u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
+        u2 = _uniform_24bit(gen_shape)
+        z = _mirror(_bm_radius(u1) * _sin_turns(u2 + jnp.float32(0.25)))
+        acc = acc + _clipped(z)
+    out_ref[:, :] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "timesteps", "rows", "cols", "reset_every", "floor", "cap",
+        "antithetic", "interpret",
+    ),
+)
+def _simulate_cliquet_rows_pallas_f32(
+    contract_key: jax.Array,
+    contract: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    reset_every: int,
+    floor: float,
+    cap: float,
+    antithetic: bool = False,
+    row_offset: jax.Array | int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    block_rows = min(BLOCK_ROWS, rows)
+    block_cols = min(BLOCK_COLS, cols)
+    if rows % block_rows or cols % block_cols:
+        raise ValueError(
+            f"pallas path needs rows/cols divisible by block ({block_rows},{block_cols})"
+        )
+    key_data = jax.random.key_data(contract_key)
+    row_block = (
+        jnp.asarray(row_offset, jnp.uint32) // jnp.uint32(block_rows)
+    ).astype(jnp.int32)
+    seeds = jnp.concatenate(
+        [key_data.astype(jnp.int32).reshape(2), row_block.reshape(1)]
+    ).reshape(1, 3)
+    params = contract.astype(jnp.float32).reshape(1, 6)
+
+    n_periods = timesteps // reset_every
+    kernel = functools.partial(
+        _gbm_cliquet_block_kernel,
+        timesteps=timesteps,
+        reset_every=reset_every,
+        floor=floor,
+        cap=cap,
+        rows_per_block=block_rows,
+        cols_per_block=block_cols,
+        antithetic=antithetic,
+    )
+    grid = (rows // block_rows, cols // block_cols)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 6), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rows, block_cols),
+                lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        # the work scales with PERIODS, not timesteps — that is the point
+        cost_estimate=pl.CostEstimate(
+            flops=10 * rows * cols * n_periods,
+            bytes_accessed=rows * cols * 4,
+            transcendentals=3 * rows * cols * n_periods,
+        ),
+        interpret=interpret,
+    )(params, seeds)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1037,6 +1192,9 @@ def simulate_underlier_rows_pallas(
     barrier_rel: float | None = None,
     antithetic_half: int | None = None,
     forward_start_step: int | None = None,
+    cliquet_reset_every: int | None = None,
+    cliquet_floor: float | None = None,
+    cliquet_cap: float | None = None,
     term: "object | None" = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -1056,6 +1214,53 @@ def simulate_underlier_rows_pallas(
     """
     if term is not None and term.is_flat():
         term = None  # flat curves are bit-identical to no curves
+    if payoff == PayoffKind.CLIQUET:
+        # per-period kernel (stream ``gbm_cliquet``): flat log-Euler only —
+        # curved terms / EULER lose the Gaussian-sum aggregation, so they
+        # keep the XLA scan (resolve_implementation mirrors this gate)
+        assert (  # enforced by build_simulation_params
+            cliquet_reset_every is not None
+            and cliquet_floor is not None
+            and cliquet_cap is not None
+        )
+        cq_supported = (
+            interpret
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and rows % min(BLOCK_ROWS, rows) == 0
+            and cols % min(BLOCK_COLS, cols) == 0
+        ) or pallas_supported(dtype=dtype, rows=rows, cols=cols)
+        if cq_supported and scheme == PathScheme.LOG_EULER and term is None:
+            return _simulate_cliquet_rows_pallas_f32(
+                contract_key,
+                contract,
+                timesteps=timesteps,
+                rows=rows,
+                cols=cols,
+                reset_every=cliquet_reset_every,
+                floor=cliquet_floor,
+                cap=cliquet_cap,
+                antithetic=antithetic_half is not None,
+                row_offset=row_offset,
+                interpret=interpret,
+            )
+        from spectralmc_tpu.ops.gbm import simulate_underlier_rows
+
+        return simulate_underlier_rows(
+            contract_key,
+            contract,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            scheme=scheme,
+            payoff=payoff,
+            row_offset=row_offset,
+            antithetic_half=antithetic_half,
+            cliquet_reset_every=cliquet_reset_every,
+            cliquet_floor=cliquet_floor,
+            cliquet_cap=cliquet_cap,
+            term=term,
+        )
     if payoff == PayoffKind.FORWARD_START:
         # u = spot·S_T/S_m is a TERMINAL walk of the TAIL steps alone (the
         # ratio never sees steps < m under either scheme), so the forward-

@@ -101,9 +101,29 @@ def test_cliquet_config_validation() -> None:
                                 normalization=ForwardNormalization.NONE)
     )
     assert ok.cliquet_reset_every == 3 and ok.cliquet_floor == 0.0
-    # the XLA scan is the engine for every dynamics (no kernel epilogue yet)
+    # GBM flat log-Euler cliquets resolve to the per-period kernel where the
+    # hardware supports it; the CPU backend (this suite) resolves to XLA
+    from spectralmc_tpu.ops.gbm_pallas import pallas_supported
+
     assert resolve_implementation(
         ok.model_copy(update={"implementation": SimImplementation.PALLAS})
+    ) == (
+        SimImplementation.PALLAS
+        if pallas_supported(
+            dtype=ok.precision.to_jnp(),
+            rows=ok.batches_per_mc_run,
+            cols=ok.network_size,
+        )
+        else SimImplementation.XLA
+    )
+    # EULER loses the Gaussian-sum aggregation — always the XLA scan
+    assert resolve_implementation(
+        ok.model_copy(
+            update={
+                "implementation": SimImplementation.PALLAS,
+                "scheme": PathScheme.EULER,
+            }
+        )
     ) == SimImplementation.XLA
 
 
@@ -550,3 +570,147 @@ def test_blackscholes_facade_threads_forward_start_step() -> None:
     )
     se = float(jnp.std(prices.put_payoffs)) / math.sqrt(64 * 64)
     assert abs(put - ex.put) < 6 * se + 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Round 3: the per-period Pallas kernel (stream key ``gbm_cliquet``).
+# Under flat log-Euler GBM each reset period's log-return is an exact
+# Gaussian sum, so the kernel draws ONE N(k·drift, k·vol²·dt) normal per
+# period — the identical distribution with reset_every× fewer draws. The
+# CPU interpreter stubs the hardware PRNG to all-zero bits, which pins
+# u1 = 2^-25 and theta = 0 exactly — the deterministic skeleton is
+# closed-form checkable; statistics are gated on real TPU below.
+# ---------------------------------------------------------------------------
+
+
+def test_cliquet_pallas_stream_key() -> None:
+    from spectralmc_tpu.ops.gbm_pallas import (
+        PALLAS_STREAM_VERSIONS,
+        pallas_stream_version,
+    )
+
+    assert (
+        pallas_stream_version(ModelKind.GBM, CQ)
+        == PALLAS_STREAM_VERSIONS["gbm_cliquet"]
+    )
+    # the cliquet kernel is its own program: the flat/terminal key is untouched
+    assert (
+        pallas_stream_version(ModelKind.GBM, PayoffKind.TERMINAL)
+        == PALLAS_STREAM_VERSIONS["gbm"]
+    )
+
+
+def _run_cliquet_interpret(
+    *,
+    timesteps: int = 12,
+    reset_every: int = 3,
+    floor: float = -0.02,
+    cap: float = 0.05,
+    rows: int = 8,
+    cols: int = 128,
+    antithetic_half: int | None = None,
+    seed: int = 3,
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
+
+    arr = make_contract(vol=0.3).as_array(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        return simulate_underlier_rows_pallas(
+            jax.random.PRNGKey(seed), arr, timesteps=timesteps, rows=rows,
+            cols=cols, dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            payoff=CQ, cliquet_reset_every=reset_every, cliquet_floor=floor,
+            cliquet_cap=cap, antithetic_half=antithetic_half, interpret=True,
+        )
+
+
+def test_cliquet_pallas_interpret_zero_bits_closed_form() -> None:
+    """Zero-bit RNG: every pair draws (z1, z2) = (r, 0) with
+    r = sqrt(-2 ln 2^-25); an odd trailing period draws z = r. The clipped
+    accumulator is then exact arithmetic — 12 steps / k=3 gives 4 periods =
+    2 pairs; 9 steps / k=3 gives 3 periods = 1 pair + 1 single."""
+    c = make_contract(vol=0.3)
+    r = float(np.sqrt(-2.0 * np.log(np.float32(2.0**-25))))
+
+    def expected(timesteps: int, k: int, floor: float, cap: float) -> float:
+        n_p = timesteps // k
+        dt = c.maturity / timesteps
+        pd = (c.rate - c.div_yield - 0.5 * c.vol**2) * dt * k
+        pv = c.vol * math.sqrt(dt * k)
+        hit = float(np.clip(math.exp(pd + pv * r) - 1.0, floor, cap))
+        mid = float(np.clip(math.exp(pd) - 1.0, floor, cap))
+        return (n_p // 2) * (hit + mid) + (n_p % 2) * hit
+
+    u_even = np.asarray(_run_cliquet_interpret(timesteps=12, reset_every=3))
+    assert u_even.shape == (8, 128)
+    assert np.allclose(u_even, u_even[0, 0])
+    np.testing.assert_allclose(
+        u_even[0, 0], expected(12, 3, -0.02, 0.05), rtol=1e-5
+    )
+    u_odd = np.asarray(
+        _run_cliquet_interpret(timesteps=9, reset_every=3, floor=0.0, cap=0.08)
+    )
+    np.testing.assert_allclose(u_odd[0, 0], expected(9, 3, 0.0, 0.08), rtol=1e-5)
+
+
+def test_cliquet_pallas_interpret_bounds_and_antithetic_mirror() -> None:
+    """The accumulator is bounded in [n_periods·floor, n_periods·cap]; with
+    zero bits every draw is z = +r, so the antithetic bottom half runs the
+    EXACT mirrored skeleton: clip(e^{pd − pv·r} − 1) replaces the top half's
+    clip(e^{pd + pv·r} − 1) while the z2 = 0 period term is shared."""
+    u = np.asarray(_run_cliquet_interpret(antithetic_half=4))
+    n_p = 4
+    assert np.all(u >= n_p * -0.02 - 1e-6) and np.all(u <= n_p * 0.05 + 1e-6)
+    c = make_contract(vol=0.3)
+    r = float(np.sqrt(-2.0 * np.log(np.float32(2.0**-25))))
+    dt = c.maturity / 12
+    pd = (c.rate - c.div_yield - 0.5 * c.vol**2) * dt * 3
+    pv = c.vol * math.sqrt(dt * 3)
+    mid = float(np.clip(math.exp(pd) - 1.0, -0.02, 0.05))
+
+    def half(sign: float) -> float:
+        hit = float(np.clip(math.exp(pd + sign * pv * r) - 1.0, -0.02, 0.05))
+        return (n_p // 2) * (hit + mid)
+
+    np.testing.assert_allclose(u[:4], half(+1.0), rtol=1e-5)
+    np.testing.assert_allclose(u[4:], half(-1.0), rtol=1e-5)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="statistical gate needs the real kernel PRNG"
+)
+def test_cliquet_pallas_statistics_vs_oracle_tpu() -> None:
+    """On-chip: the kernel's per-period sampling must agree with BOTH the
+    exact lattice oracle (price channel) and the XLA engine's estimate —
+    same distribution, different bit streams."""
+    from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas
+
+    c = make_contract(vol=0.35, strike=0.05)  # strike in RETURN units
+    arr = c.as_array(jnp.float32)
+    kw = dict(
+        timesteps=96, rows=4096, cols=256, dtype=jnp.float32,
+        scheme=PathScheme.LOG_EULER, payoff=CQ,
+        cliquet_reset_every=8, cliquet_floor=0.0, cliquet_cap=0.08,
+    )
+    u = np.asarray(
+        simulate_underlier_rows_pallas(jax.random.PRNGKey(11), arr, **kw)
+    ).ravel()
+    ex = cliquet_price(
+        c.spot, c.strike, c.maturity, c.rate, c.div_yield, c.vol,
+        timesteps=96, reset_every=8, local_floor=0.0, local_cap=0.08,
+    )
+    df = math.exp(-c.rate * c.maturity)
+    call = df * np.maximum(u - c.strike, 0.0)
+    z = _z(call, float(ex.call))
+    assert abs(z) < 5.0, (call.mean(), float(ex.call), z)
+    # mean of the raw accumulator vs the closed-form E[u]
+    n_p = 96 // 8
+    dt = c.maturity / 96
+    mu = (c.rate - c.div_yield - 0.5 * c.vol**2) * dt * 8
+    s = c.vol * math.sqrt(dt * 8)
+    eu = n_p * float(expected_clipped_lognormal_return(
+        jnp.float32(mu), jnp.float32(s), jnp.float32(0.0), jnp.float32(0.08)
+    ))
+    zu = _z(u, eu)
+    assert abs(zu) < 5.0, (u.mean(), eu, zu)

@@ -1,0 +1,77 @@
+"""Cliquet-kernel ablation lab (run on a real TPU: `python benchmarks/cliquet_lab.py`).
+
+Quantifies WHY the shipped cliquet engine samples per PERIOD instead of
+walking per STEP (ops/gbm_pallas.py::_gbm_cliquet_block_kernel, stream
+``gbm_cliquet``). Under flat log-Euler GBM the reset period's log-return
+L_j = k·drift + vol·√dt·Σ z is an exact Gaussian sum, so the three
+candidate designs price the SAME distribution:
+
+  period      — the shipped kernel: ONE draw per period, two periods per
+                fused sincos pair (work ∝ n_periods)
+  xla         — the production XLA fallback scan (ops/gbm.py)
+  terminal    — the TERMINAL pair-step kernel at the same shape (the
+                per-step-kernel ceiling: what a reset-boundary-epilogue
+                kernel could AT BEST reach, since it must draw every step
+                and clipping is not free)
+
+v5e numbers that set the shipped design (512 steps x 16.7M paths, k=8):
+period 1.7–2.6e11 across runs (tunnel-dispatch timing spread; 2.56e11
+best, 1.71e11 same-session repeat), xla stable at 2.15e10 path-steps/s
+— 8–12×. The terminal kernel (1.1–1.8e11, same spread) is the per-step
+ceiling and lands BELOW the period kernel in every paired run: drawing
+k× fewer normals beats any epilogue engineering, which is why no
+per-step cliquet kernel ships.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from spectralmc_tpu.ops.gbm import PathScheme, PayoffKind, simulate_underlier_rows
+from spectralmc_tpu.ops.gbm_pallas import (
+    simulate_terminal_rows_pallas,
+    simulate_underlier_rows_pallas,
+)
+
+T, R, C, K = 512, 16384, 1024, 8
+FLOOR, CAP = 0.0, 0.08
+CONTRACT = jnp.array([100.0, 0.05, 1.0, 0.03, 0.01, 0.35], jnp.float32)
+
+
+def _rate(name: str, fn, reps: int = 3) -> float:
+    out = fn(jax.random.PRNGKey(0))
+    out.block_until_ready()
+    t0 = time.time()
+    for i in range(reps):
+        out = fn(jax.random.PRNGKey(i))
+        out.block_until_ready()
+    el = (time.time() - t0) / reps
+    rate = R * C * T / el
+    print(f"{name:10s} {rate:.3e} path-steps/s ({el * 1e3:.1f} ms)", flush=True)
+    return rate
+
+
+def main() -> None:
+    cq = dict(
+        timesteps=T, rows=R, cols=C, dtype=jnp.float32,
+        scheme=PathScheme.LOG_EULER, payoff=PayoffKind.CLIQUET,
+        cliquet_reset_every=K, cliquet_floor=FLOOR, cliquet_cap=CAP,
+    )
+    print(f"shape: {T} steps x {R}x{C} paths, reset_every={K}")
+    _rate("period", jax.jit(lambda k: simulate_underlier_rows_pallas(k, CONTRACT, **cq)))
+    _rate("terminal", jax.jit(lambda k: simulate_terminal_rows_pallas(
+        k, CONTRACT, timesteps=T, rows=R, cols=C,
+        dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+    )))
+    _rate("xla", jax.jit(lambda k: simulate_underlier_rows(k, CONTRACT, **cq)))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,41 @@ from spectralmc_tpu.ops.gbm import PathScheme
 from spectralmc_tpu.ops.greeks import OptionSide
 
 
+def _ridge_chol_solve(
+    gram: list[list[jax.Array]], rhs: list[jax.Array], *, dtype: jnp.dtype
+) -> list[jax.Array]:
+    """Solve ``(G + λ diag) β = rhs`` for a tiny static-k SPD system by a
+    fully UNROLLED Cholesky on scalars — pure arithmetic that XLA fuses into
+    the surrounding date body. ``jnp.linalg.solve`` lowers to an LU custom
+    call that cannot fuse and serializes every backward-induction date behind
+    a dispatch round-trip; at k ≤ 9 the unrolled factorization is ~k³/3
+    scalar FLOPs and free. λ is the RELATIVE Tikhonov ridge: scaled
+    per-column by the Gram diagonal (see ``_lsmc_backward``'s conditioning
+    notes). The inner pivot is clamped at 1e-30 so an empty ITM set (all-zero
+    Gram) yields β = 0 instead of NaN — matching the degenerate behaviour of
+    the previous LU path."""
+    k = len(rhs)
+    eps = jnp.asarray(1e-6, dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+    a = [[gram[i][j] for j in range(k)] for i in range(k)]
+    for i in range(k):
+        a[i][i] = a[i][i] + eps * jnp.maximum(a[i][i], tiny)
+    low: list[list[jax.Array]] = [[a[0][0]] * k for _ in range(k)]  # overwritten
+    for j in range(k):
+        d = a[j][j] - sum(low[j][m] * low[j][m] for m in range(j))
+        low[j][j] = jnp.sqrt(jnp.maximum(d, tiny))
+        for i in range(j + 1, k):
+            s = a[i][j] - sum(low[i][m] * low[j][m] for m in range(j))
+            low[i][j] = s / low[j][j]
+    z: list[jax.Array] = list(rhs)
+    for i in range(k):
+        z[i] = (rhs[i] - sum(low[i][m] * z[m] for m in range(i))) / low[i][i]
+    beta: list[jax.Array] = list(z)
+    for i in reversed(range(k)):
+        beta[i] = (z[i] - sum(low[m][i] * beta[m] for m in range(i + 1, k))) / low[i][i]
+    return beta
+
+
 def _lsmc_backward(
     price_rows: jax.Array,  # [monitor dates, ...path dims...] prices
     *,
@@ -46,6 +81,7 @@ def _lsmc_backward(
     axis_name: str | None = None,
     extra_rows: jax.Array | None = None,  # [monitor dates, ...] per-date state
     disc_to_prev: jax.Array | None = None,  # [monitor dates] per-segment df
+    rows_in_log_space: bool = False,
 ) -> jax.Array:
     """Longstaff–Schwartz backward induction → cashflows discounted to t=0.
 
@@ -57,11 +93,18 @@ def _lsmc_backward(
 
     ONE ``lax.scan`` over reversed time carrying the pathwise cashflow vector.
     The in-the-money regression solves ridge-stabilized normal equations
-    ``(ΦᵀWΦ/N + λI) β = ΦᵀWy/N`` — both moment sums are additive over paths,
-    so under a mesh ``paths`` axis they are ``psum``-reduced (``axis_name``)
-    before the tiny k×k solve: every shard solves the identical system and
-    the sharded policy equals the unsharded one up to reduction order (the
-    same contract as the sharded spectrum, parallel/trainer.py docstring).
+    ``(ΦᵀWΦ/N + λI) β = ΦᵀWy/N``. Because every basis column is a monomial
+    x^a·v^b, the Gram/rhs entries are MOMENTS ``Σ w·x^a·v^b`` — computed here
+    as one fused multi-output reduction over the paths, so no ``[paths, k]``
+    basis matrix is ever materialized (the round-3 implementation built Φ
+    twice per date plus an LU custom call; that was ~93% of American pricing
+    runtime — see docs/performance.md). Per date the only HBM traffic left is
+    the price row and the cashflow vector, twice (moment pass + policy pass).
+    The moment vector is additive over paths, so under a mesh ``paths`` axis
+    it is ``psum``-reduced (``axis_name``) before the tiny k×k solve: every
+    shard solves the identical system and the sharded policy equals the
+    unsharded one up to reduction order (the same contract as the sharded
+    spectrum, parallel/trainer.py docstring).
 
     Basis: powers of (S/K − 1). Centered moneyness keeps the Gram matrix
     well-conditioned in float32 (ITM region maps into (−1, 1)-ish), unlike
@@ -70,30 +113,52 @@ def _lsmc_backward(
     basket's log dispersion ln(B_arith/B_geom)) the basis is augmented with
     [v, v·x, v²] — the standard second-state-variable LSMC regressors: the
     continuation value depends on BOTH state variables.
+
+    ``rows_in_log_space``: ``price_rows`` holds LOG prices, exponentiated
+    per date inside the scan body — the XLA engines hand their scan-stacked
+    log matrix straight in, skipping a full-matrix exp round trip through
+    HBM (exp is cheap VPU work recomputed per pass; the matrix is not).
     """
     base_k = basis_degree + 1
-    k = base_k + (3 if extra_rows is not None else 0)
+    has_extra = extra_rows is not None
+    k = base_k + (3 if has_extra else 0)
     n = price_rows.shape[0]
+
+    # Static column catalogue: column c = x^a · v^b with exponents (a, b).
+    # Centered moneyness RESCALED to O(1): |S/K - 1| is ~0.1 on typical
+    # domains, so raw powers decay 10^-j and the degree-5 Gram is
+    # f32-singular up to reduction-order noise — under a mesh, psum'd
+    # moments then yield visibly different policies per topology. The
+    # x -> 5x column scaling spans the SAME polynomial space (beta
+    # absorbs it exactly) but keeps all moments O(1), so the solve is
+    # well-conditioned and shard-stable, and the ridge shrinks every
+    # degree proportionally. The variance/dispersion state is ~0.05: same
+    # O(1) rescaling (×20) for the augmented columns.
+    col_exp: list[tuple[int, int]] = [(j, 0) for j in range(base_k)]
+    if has_extra:
+        col_exp += [(0, 1), (1, 1), (0, 2)]
+    prod_exp = sorted(
+        {
+            (col_exp[i][0] + col_exp[j][0], col_exp[i][1] + col_exp[j][1])
+            for i in range(k)
+            for j in range(i, k)
+        }
+    )
+    prod_idx = {p: i for i, p in enumerate(prod_exp)}
+    max_a = max(a for a, _ in prod_exp)
+    max_b = max(b for _, b in prod_exp)
 
     def immediate(s: jax.Array) -> jax.Array:
         return jnp.maximum(strike - s, 0.0) if put else jnp.maximum(s - strike, 0.0)
 
-    def basis(s: jax.Array, extra: jax.Array | None) -> jax.Array:  # [..., k]
-        # Centered moneyness RESCALED to O(1): |S/K - 1| is ~0.1 on typical
-        # domains, so raw powers decay 10^-j and the degree-5 Gram is
-        # f32-singular up to reduction-order noise — under a mesh, psum'd
-        # moments then yield visibly different policies per topology. The
-        # x -> 5x column scaling spans the SAME polynomial space (beta
-        # absorbs it exactly) but keeps all moments O(1), so the solve is
-        # well-conditioned and shard-stable, and the ridge shrinks every
-        # degree proportionally.
-        x = (s / strike - 1.0) * 5.0
-        cols = [x**j for j in range(base_k)]
-        if extra is not None:
-            # variance is ~0.05: same O(1) rescaling for the Heston columns
-            v = extra * 20.0
-            cols.extend([v, v * x, v * v])
-        return jnp.stack(cols, axis=-1)
+    def to_price(row: jax.Array) -> jax.Array:
+        return jnp.exp(row) if rows_in_log_space else row
+
+    def powers(z: jax.Array, top: int) -> list[jax.Array]:
+        out = [jnp.ones_like(z)]
+        for _ in range(top):
+            out.append(out[-1] * z)
+        return out
 
     # local path count; the global count folds in the mesh axis size
     n_local = 1
@@ -103,32 +168,43 @@ def _lsmc_backward(
     if axis_name is not None:
         inv_n = inv_n / jax.lax.psum(jnp.asarray(1.0, dtype), axis_name)
 
-    cf_terminal = immediate(price_rows[n - 1])
+    cf_terminal = immediate(to_price(price_rows[n - 1]))
 
     def backward(cf_next: jax.Array, per_date) -> tuple[jax.Array, None]:
-        s_t, extra, disc_step = per_date
+        row_t, extra, disc_step = per_date
+        s_t = to_price(row_t)
         y = disc_step * cf_next  # continuation cashflow valued at THIS date
         exercise_now = immediate(s_t)
         itm = (exercise_now > 0.0).astype(dtype)
-        phi = basis(s_t, extra) * itm[..., None]  # [..., k]
-        flat_phi = phi.reshape(-1, k)
-        flat_y = (y * itm).reshape(-1)
-        gram = (flat_phi.T @ flat_phi) * inv_n
-        rhs = (flat_phi.T @ flat_y) * inv_n
+        x = (s_t / strike - 1.0) * 5.0
+        xp = powers(x, max_a)
+        vp = powers(extra * 20.0, max_b) if extra is not None else [jnp.ones_like(x)]
+        wy = itm * y
+        # ONE fused pass over the paths: all Gram moments + rhs projections
+        # as sibling reductions sharing the same elementwise inputs.
+        moments = (
+            jnp.stack(
+                [jnp.sum(itm * xp[a] * vp[b]) for a, b in prod_exp]
+                + [jnp.sum(wy * xp[a] * vp[b]) for a, b in col_exp]
+            )
+            * inv_n
+        )
         if axis_name is not None:
-            gram = jax.lax.psum(gram, axis_name)
-            rhs = jax.lax.psum(rhs, axis_name)
-        # RELATIVE Tikhonov: λ scaled per-column by the Gram diagonal.
-        # With the rescaled basis above the moments are O(1) and this is
-        # nearly uniform shrinkage; the relative form additionally keeps the
-        # regularization meaningful for any unusual domain where columns DO
-        # span magnitudes (an absolute λ on the normalized Gram previously
-        # deleted the degree-4/5 regressors at the shipped domains —
-        # measured ~1% policy bias toward the degree-3 fit vs the tree).
-        diag = jnp.diagonal(gram)
-        ridge = jnp.asarray(1e-6, dtype) * jnp.maximum(diag, jnp.asarray(1e-30, dtype))
-        beta = jnp.linalg.solve(gram + jnp.diag(ridge), rhs)
-        continuation = basis(s_t, extra) @ beta
+            moments = jax.lax.psum(moments, axis_name)
+        gram = [
+            [
+                moments[
+                    prod_idx[
+                        (col_exp[i][0] + col_exp[j][0], col_exp[i][1] + col_exp[j][1])
+                    ]
+                ]
+                for j in range(k)
+            ]
+            for i in range(k)
+        ]
+        rhs = [moments[len(prod_exp) + j] for j in range(k)]
+        beta = _ridge_chol_solve(gram, rhs, dtype=dtype)
+        continuation = sum(beta[j] * xp[a] * vp[b] for j, (a, b) in enumerate(col_exp))
         take = (itm > 0.0) & (exercise_now > continuation)
         return jnp.where(take, exercise_now, y), None
 
@@ -190,6 +266,7 @@ def encode_monitor_prices(
     extra_rows: jax.Array | None = None,
     disc_to_prev: jax.Array | None = None,  # term curves: per-segment dfs
     df_total: jax.Array | None = None,  # term curves: curve df(0, T)
+    rows_in_log_space: bool = False,
 ) -> jax.Array:
     """Backward induction + synthetic-underlier encode from MONITOR-date
     price rows. The Bermudan cashflow cf (discounted to t=0) is re-encoded
@@ -197,7 +274,9 @@ def encode_monitor_prices(
     ``df·max(strike − u, 0)`` reproduces cf exactly for both option sides
     (``PayoffKind`` docstring in ops/gbm.py). Split out of
     ``_american_encode`` so the Pallas engine — whose fused forward kernel
-    emits monitor-date prices directly — runs the IDENTICAL estimator."""
+    emits monitor-date prices directly — runs the IDENTICAL estimator.
+    ``rows_in_log_space``: the rows are LOG prices, exponentiated per date
+    inside the induction (the XLA engines' path; see ``_lsmc_backward``)."""
     cf = _lsmc_backward(
         price_rows,
         strike=strike,
@@ -208,6 +287,7 @@ def encode_monitor_prices(
         axis_name=axis_name,
         extra_rows=extra_rows,
         disc_to_prev=disc_to_prev,
+        rows_in_log_space=rows_in_log_space,
     )
     df = jnp.exp(-rate * maturity) if df_total is None else df_total
     return strike - cf / df
@@ -241,7 +321,7 @@ def _american_encode(
     so the round trip still reproduces cf exactly.
     """
     check_monitor_grid(timesteps, exercise_every)
-    price_rows = jnp.exp(log_rows[exercise_every - 1 :: exercise_every])
+    log_price_rows = log_rows[exercise_every - 1 :: exercise_every]
     monitor_extra = (
         None if extra_rows is None else extra_rows[exercise_every - 1 :: exercise_every]
     )
@@ -255,7 +335,7 @@ def _american_encode(
         mr = sum(rs) / timesteps
         df_total = jnp.exp(-rate * jnp.asarray(mr, dtype) * maturity)
     return encode_monitor_prices(
-        price_rows,
+        log_price_rows,
         strike=strike,
         maturity=maturity,
         rate=rate,
@@ -267,6 +347,7 @@ def _american_encode(
         extra_rows=monitor_extra,
         disc_to_prev=disc_to_prev,
         df_total=df_total,
+        rows_in_log_space=True,
     )
 
 
@@ -792,8 +873,9 @@ def lsmc_cashflows(
     beats the estimate. Cashflows are discounted to t = 0. Default basis
     degree 5: measured at 1M paths x 16 dates vs the Bermudan tree, degree 3
     prices ~1.0% low (policy bias) and degree 5 ~0.1% low (degree 7 adds
-    nothing); measured 1.9e9 path-steps/s at 1M paths x 16 dates on a v5e
-    chip (bench.py american_lsmc_path_steps_per_sec — ~9 ms per pricing).
+    nothing); measured 5.7e9 path-steps/s at 1M paths x 16 dates on a v5e
+    chip with the fused-moment backward (bench.py
+    american_lsmc_path_steps_per_sec — ~2.9 ms per pricing).
     """
     from spectralmc_tpu.ops.gbm import simulate_paths
 

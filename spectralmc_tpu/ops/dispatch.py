@@ -24,6 +24,7 @@ from spectralmc_tpu.ops.gbm import (
     SimImplementation,
     SimulationParams,
     expected_underlier_mean,
+    resolve_implementation,
     simulate_underlier_rows,
 )
 
@@ -71,20 +72,22 @@ def make_underlier_simulator(
     # global pairing half-count: a shard passes its rows + row_offset, but the
     # antithetic partner is defined on GLOBAL row indices (gbm._row_streams)
     anti_half = sim.batches_per_mc_run // 2 if sim.antithetic else None
+    # Resolve which engine ACTUALLY runs through the single source of truth
+    # (gbm.resolve_implementation) rather than trusting callers to have
+    # pre-resolved sim.implementation: a direct caller passing PALLAS with a
+    # combination the kernels do not take (e.g. a non-GBM cliquet) must route
+    # to the XLA simulator, not splat cliquet kwargs into a Pallas wrapper.
+    resolved = resolve_implementation(sim, rows=rows)
     if sim.payoff in AMERICAN_PAYOFFS:
         from spectralmc_tpu.ops.greeks import OptionSide
 
         american_kwargs: dict[str, object] = {}
         # PALLAS sims take the fused monitor-row forward + identical XLA
-        # backward induction; the wrappers fall back off-TPU / unsupported
-        # shapes themselves (gbm_pallas.pallas_american_supported is the
-        # predicate resolve_implementation mirrors). Curved term structures
-        # run the XLA forward (the monitor kernels take no coefficient
-        # tables; resolve_implementation mirrors this).
+        # backward induction. Curved term structures run the XLA forward
+        # (the monitor kernels take no coefficient tables) — both routes are
+        # what `resolved` already encodes.
         curved_term = sim.term is not None and not sim.term.is_flat()
-        use_pallas_american = (
-            sim.implementation == SimImplementation.PALLAS and not curved_term
-        )
+        use_pallas_american = resolved == SimImplementation.PALLAS
         if sim.model == ModelKind.HESTON:
             if use_pallas_american:
                 from spectralmc_tpu.ops.gbm_pallas import (
@@ -155,13 +158,9 @@ def make_underlier_simulator(
         return simulate_american
 
     # QMC sampling always routes to the XLA simulators (the bridge matmul is
-    # MXU-shaped work; resolve_implementation is the checkpoint-facing source
-    # of truth — this mirrors it for direct callers), and only they take the
-    # sampling knob.
-    use_pallas = (
-        sim.implementation == SimImplementation.PALLAS
-        and sim.sampling == SamplingKind.PSEUDO
-    )
+    # MXU-shaped work), non-GBM cliquets take the XLA scan, and unsupported
+    # dtypes/shapes/backends fall back — all encoded by `resolved` above.
+    use_pallas = resolved == SimImplementation.PALLAS
     sampling_kwargs: dict[str, object] = {}
     if sim.sampling != SamplingKind.PSEUDO:
         sampling_kwargs["sampling"] = sim.sampling

@@ -125,9 +125,12 @@ def pallas_stream_version(
     payoff_value = str(getattr(payoff, "value", payoff)) if payoff is not None else ""
     if payoff_value.startswith("american"):
         return PALLAS_STREAM_VERSIONS[f"american_{family}"]
-    if payoff_value == "cliquet" and family == "gbm":
+    if payoff_value == "cliquet" and family == "gbm" and not term:
         # the per-period cliquet kernel is its own program (and only GBM has
-        # one — other dynamics resolve cliquets to the XLA engine)
+        # one — other dynamics resolve cliquets to the XLA engine). Curved
+        # terms break the per-period Gaussian aggregation, so a curved-term
+        # cliquet is NOT that program — fall through to the term key rather
+        # than misreport the stream for an out-of-band query.
         return PALLAS_STREAM_VERSIONS["gbm_cliquet"]
     if term and family == "gbm":
         return PALLAS_STREAM_VERSIONS["gbm_term"]
@@ -831,6 +834,13 @@ def _simulate_cliquet_rows_pallas_f32(
     if rows % block_rows or cols % block_cols:
         raise ValueError(
             f"pallas path needs rows/cols divisible by block ({block_rows},{block_cols})"
+        )
+    if antithetic and block_rows % 2:
+        # hardware always has block_rows % 8 == 0; reachable via interpret
+        # mode, where half-block mirroring would otherwise fail with an
+        # opaque concatenate shape error at trace time
+        raise ValueError(
+            f"antithetic pairing needs an even row block, got block_rows={block_rows}"
         )
     key_data = jax.random.key_data(contract_key)
     row_block = (

@@ -1,18 +1,29 @@
-"""American monitor-row kernel lab (run on a real TPU:
-`python benchmarks/american_lab.py`).
+"""American LSMC lab (run on a real TPU: `python benchmarks/american_lab.py`).
 
-Measures where the LSMC runtime lives and what the fused monitor-row
-forward buys, at the production American shape (1M paths x 16 dates) and a
-4x larger one. Variants:
+Measures where American pricing runtime lives, end to end, with the
+fused-moment backward induction (ops/american.py::_lsmc_backward: every
+Gram/rhs entry is a monomial moment reduction; the k×k solve is an
+unrolled scalar Cholesky fused into the date body). Variants:
 
-  xla_full      — the XLA engine end to end (scan forward + backward)
-  xla_forward   — the XLA forward alone (rows stored, no induction)
-  kernel_rows   — the Pallas monitor-row kernel alone (block_until_ready on
-                  the emitted [n_monitor, rows, cols] price rows)
-  kernel_full   — kernel forward + the XLA backward induction + encode
+  xla_full      — the XLA engine end to end (scan forward + fused backward)
+  kernel_full   — Pallas monitor-row forward + the SAME backward + encode
                   (the shipped simulate_american_underlier_rows_pallas)
-  terminal      — the European terminal kernel at the same shape (ceiling:
-                  what the forward costs with NO row emission)
+  kernel_deg1   — kernel engine at basis_degree=1 (cheapest regression;
+                  the gap to kernel_full isolates the basis/solve cost)
+  terminal      — the European terminal kernel at the same shape (forward
+                  ceiling: what the forward costs with NO row emission)
+
+Timing is the sanctioned discipline (benchmarks/_timing.py): reps scanned
+inside one jit, float()-materialized, best-of-calls. The round-3 version of
+this lab used bare block_until_ready and over-reported 47x through the
+axon tunnel; every number below supersedes it.
+
+v5e, fused backward (r4, this lab's discipline): at 1M paths x 16 dates
+kernel_full 2.21 ms (7.6e9 path-steps/s) and xla_full 3.00 ms (5.6e9) vs
+8.9 ms before the fusion; the 4.19M-path shape reaches 1.08e10 with no
+cliff (the round-3 283x cliff was the per-date [paths,k] basis
+materialization + LU spilling at 4M paths — the moment reduction never
+materializes a basis matrix at all).
 
 Also sanity-gates the kernel statistically on-chip: the Pallas engine's
 Bermudan price (mean of df*max(K-u, 0)) must land within z < 4 of the XLA
@@ -22,8 +33,6 @@ engine's at 1M paths, and both within ~1% of the CRR Bermudan tree.
 from __future__ import annotations
 
 import sys
-import time
-from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -32,13 +41,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks._timing import lab_parser, rate_line
 from spectralmc_tpu.ops.american import (
     bermudan_tree_price,
     simulate_american_underlier_rows,
 )
 from spectralmc_tpu.ops.gbm import BlackScholesContract
 from spectralmc_tpu.ops.gbm_pallas import (
-    _simulate_american_rows_pallas_f32,
     simulate_american_underlier_rows_pallas,
     simulate_terminal_rows_pallas,
 )
@@ -49,17 +58,7 @@ CONTRACT = BlackScholesContract(
 )
 
 
-def bench(fn, key, arr, reps: int) -> float:
-    out = fn(key, arr)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(key, arr)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    return (time.perf_counter() - t0) / reps
-
-
-def run_shape(timesteps: int, rows: int, cols: int, reps: int) -> None:
+def run_shape(timesteps: int, rows: int, cols: int, reps: int, calls: int) -> None:
     arr = CONTRACT.as_array(jnp.float32)
     key = jax.random.PRNGKey(3)
     steps = timesteps * rows * cols
@@ -68,48 +67,41 @@ def run_shape(timesteps: int, rows: int, cols: int, reps: int) -> None:
 
     common = dict(timesteps=timesteps, rows=rows, cols=cols)
 
-    def xla_full(k, a):
+    def xla_full(k):
         return simulate_american_underlier_rows(
-            k, a, dtype=jnp.float32, option=OptionSide.PUT, **common
+            k, arr, dtype=jnp.float32, option=OptionSide.PUT, **common
         )
 
-    def kernel_full(k, a):
+    def kernel_full(k):
         return simulate_american_underlier_rows_pallas(
-            k, a, dtype=jnp.float32, option=OptionSide.PUT, **common
+            k, arr, dtype=jnp.float32, option=OptionSide.PUT, **common
         )
 
-    @partial(jax.jit, static_argnames=())
-    def kernel_rows(k, a):
-        # the raw monitor-row emission via the private launch with a
-        # degenerate basis (still runs the backward; measure rows via the
-        # public API instead): approximate by returning the encode of
-        # degree-1 (cheapest backward) — difference vs degree-5 isolates
-        # the solve cost.
-        return _simulate_american_rows_pallas_f32(
-            k, a, put=True, basis_degree=1, exercise_every=1, **common
+    def kernel_deg1(k):
+        return simulate_american_underlier_rows_pallas(
+            k, arr, dtype=jnp.float32, option=OptionSide.PUT,
+            basis_degree=1, **common
         )
 
-    def terminal(k, a):
+    def terminal(k):
         from spectralmc_tpu.ops.gbm import PathScheme
 
         return simulate_terminal_rows_pallas(
-            k, a, dtype=jnp.float32, scheme=PathScheme.LOG_EULER, **common
+            k, arr, dtype=jnp.float32, scheme=PathScheme.LOG_EULER, **common
         )
 
     for name, fn in (
         ("xla_full", xla_full),
         ("kernel_full", kernel_full),
-        ("kernel_deg1", kernel_rows),
+        ("kernel_deg1", kernel_deg1),
         ("terminal", terminal),
     ):
-        dt = bench(fn, key, arr, reps)
-        print(f"{name:>12}: {dt*1e3:8.3f} ms  {steps/dt:.3e} path-steps/s",
-              flush=True)
+        rate_line(name, fn, key, work=steps, reps=reps, calls=calls)
 
     # statistical gate at this shape: engines agree and match the tree
     df = float(np.exp(-CONTRACT.rate * CONTRACT.maturity))
-    u_x = np.asarray(xla_full(key, arr))
-    u_p = np.asarray(kernel_full(key, arr))
+    u_x = np.asarray(jax.jit(xla_full)(key))
+    u_p = np.asarray(jax.jit(kernel_full)(key))
     px = df * np.maximum(CONTRACT.strike - u_x, 0.0)
     pp = df * np.maximum(CONTRACT.strike - u_p, 0.0)
     se = np.sqrt(px.var() / px.size + pp.var() / pp.size)
@@ -124,8 +116,22 @@ def run_shape(timesteps: int, rows: int, cols: int, reps: int) -> None:
           flush=True)
 
 
-if __name__ == "__main__":
+def main() -> None:
+    args = lab_parser(__doc__.splitlines()[0], default_reps=20).parse_args()
     print("device:", jax.devices()[0].device_kind, flush=True)
-    run_shape(timesteps=16, rows=4096, cols=256, reps=20)   # bench shape, 1M paths
-    run_shape(timesteps=16, rows=16384, cols=256, reps=10)  # 4.2M paths
-    run_shape(timesteps=64, rows=4096, cols=256, reps=10)   # denser grid
+    shapes = [
+        (16, 4096, 256),   # bench shape, 1M paths
+        (16, 16384, 256),  # 4.2M paths (the round-3 cliff shape)
+        (64, 4096, 256),   # denser exercise grid
+    ]
+    if args.quick:
+        shapes = shapes[:1]
+    for i, (t, r, c) in enumerate(shapes):
+        reps = args.reps if i == 0 else max(args.reps // 2, 1)
+        if args.quick:
+            reps = min(reps, 5)
+        run_shape(timesteps=t, rows=r, cols=c, reps=reps, calls=args.calls)
+
+
+if __name__ == "__main__":
+    main()

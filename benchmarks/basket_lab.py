@@ -41,6 +41,9 @@ import numpy as np
 
 
 def main() -> None:
+    from benchmarks._timing import lab_parser
+
+    lab_parser("Basket kernel vs XLA ablation", default_reps=40).parse_args()
     from spectralmc_tpu.ops.analytic import geometric_basket_price
     from spectralmc_tpu.ops.basket import (
         BasketCombine,

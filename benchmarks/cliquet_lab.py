@@ -21,12 +21,14 @@ best, 1.71e11 same-session repeat), xla stable at 2.15e10 path-steps/s
 ceiling and lands BELOW the period kernel in every paired run: drawing
 k× fewer normals beats any epilogue engineering, which is why no
 per-step cliquet kernel ships.
+
+Timing is the sanctioned scan+float() discipline (benchmarks/_timing.py);
+the round-3 version used bare block_until_ready.
 """
 
 from __future__ import annotations
 
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -34,6 +36,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
+from benchmarks._timing import lab_parser, rate_line
 from spectralmc_tpu.ops.gbm import PathScheme, PayoffKind, simulate_underlier_rows
 from spectralmc_tpu.ops.gbm_pallas import (
     simulate_terminal_rows_pallas,
@@ -42,35 +45,28 @@ from spectralmc_tpu.ops.gbm_pallas import (
 
 T, R, C, K = 512, 16384, 1024, 8
 FLOOR, CAP = 0.0, 0.08
-CONTRACT = jnp.array([100.0, 0.05, 1.0, 0.03, 0.01, 0.35], jnp.float32)
-
-
-def _rate(name: str, fn, reps: int = 3) -> float:
-    out = fn(jax.random.PRNGKey(0))
-    out.block_until_ready()
-    t0 = time.time()
-    for i in range(reps):
-        out = fn(jax.random.PRNGKey(i))
-        out.block_until_ready()
-    el = (time.time() - t0) / reps
-    rate = R * C * T / el
-    print(f"{name:10s} {rate:.3e} path-steps/s ({el * 1e3:.1f} ms)", flush=True)
-    return rate
 
 
 def main() -> None:
+    args = lab_parser(__doc__.splitlines()[0], default_reps=3).parse_args()
+    CONTRACT = jnp.array([100.0, 0.05, 1.0, 0.03, 0.01, 0.35], jnp.float32)
+    rows = 2048 if args.quick else R
     cq = dict(
-        timesteps=T, rows=R, cols=C, dtype=jnp.float32,
+        timesteps=T, rows=rows, cols=C, dtype=jnp.float32,
         scheme=PathScheme.LOG_EULER, payoff=PayoffKind.CLIQUET,
         cliquet_reset_every=K, cliquet_floor=FLOOR, cliquet_cap=CAP,
     )
-    print(f"shape: {T} steps x {R}x{C} paths, reset_every={K}")
-    _rate("period", jax.jit(lambda k: simulate_underlier_rows_pallas(k, CONTRACT, **cq)))
-    _rate("terminal", jax.jit(lambda k: simulate_terminal_rows_pallas(
-        k, CONTRACT, timesteps=T, rows=R, cols=C,
+    print(f"shape: {T} steps x {rows}x{C} paths, reset_every={K}")
+    key = jax.random.PRNGKey(0)
+    work = rows * C * T
+    rate_line("period", lambda k: simulate_underlier_rows_pallas(k, CONTRACT, **cq),
+              key, work=work, reps=args.reps, calls=args.calls)
+    rate_line("terminal", lambda k: simulate_terminal_rows_pallas(
+        k, CONTRACT, timesteps=T, rows=rows, cols=C,
         dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
-    )))
-    _rate("xla", jax.jit(lambda k: simulate_underlier_rows(k, CONTRACT, **cq)))
+    ), key, work=work, reps=args.reps, calls=args.calls)
+    rate_line("xla", lambda k: simulate_underlier_rows(k, CONTRACT, **cq),
+              key, work=work, reps=args.reps, calls=args.calls)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,9 @@ import functools
 import math
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -194,11 +197,16 @@ def simulate(variant, key, contract, *, timesteps, rows, cols, br, bc):
 
 
 def main() -> None:
-    rows, cols, timesteps, reps = 8192, 256, 64, 100
-    br, bc = 256, 256
-    for arg in sys.argv[1:]:
-        if arg.startswith("--block"):
-            br, bc = map(int, arg.split("=")[1].split("x"))
+    from benchmarks._timing import lab_parser
+
+    parser = lab_parser("Heston kernel variant ablation", default_reps=100)
+    parser.add_argument("--block", type=str, default="256x256",
+                        help="kernel block as RxC (default 256x256)")
+    args = parser.parse_args()
+    rows, cols, timesteps, reps = 8192, 256, 64, args.reps
+    if args.quick:
+        rows, reps = 1024, min(reps, 20)
+    br, bc = map(int, args.block.split("x"))
     contract = jnp.array(
         [100.0, 100.0, 1.0, 0.03, 0.01, 0.04, 1.5, 0.04, 0.5, -0.7], jnp.float32
     )

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import functools
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -36,6 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from benchmarks._timing import lab_parser, scanned_seconds_per_rep
 from spectralmc_tpu.ops.gbm_pallas import (
     _bm_radius,
     _fori_unrolled,
@@ -214,18 +214,17 @@ def make_kernel(variant: str):
     return kernel
 
 
-def run(variant: str) -> float:
+def run(variant: str, *, rows: int = R, reps: int = 20, calls: int = 3) -> float:
     params = jnp.asarray(
         [[PARAMS["spot"], PARAMS["maturity"], PARAMS["rate"], PARAMS["div_yield"],
           PARAMS["vol"], PARAMS["lam"], PARAMS["jump_mean"], PARAMS["jump_std"]]],
         jnp.float32,
     )
-    seeds = jnp.asarray([[123, 456, 0]], jnp.int32)
     call = pl.pallas_call(
         functools.partial(make_kernel(variant), timesteps=T),
-        out_shape=jax.ShapeDtypeStruct((R, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, C), jnp.float32),
         grid_spec=pl.GridSpec(
-            grid=(R // BLOCK[0], C // BLOCK[1]),
+            grid=(rows // BLOCK[0], C // BLOCK[1]),
             in_specs=[
                 pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -233,19 +232,21 @@ def run(variant: str) -> float:
             out_specs=pl.BlockSpec(BLOCK, lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
     )
-    f = jax.jit(lambda: call(params, seeds))
-    out = f().block_until_ready()
+
+    def fn(k: jax.Array) -> jax.Array:
+        # derive the kernel's SMEM seed triple from the scan key so no scan
+        # iteration is loop-invariant (benchmarks/_timing.py requires it)
+        seeds = jax.random.randint(k, (1, 3), 0, 2**31 - 1, jnp.int32)
+        return call(params, seeds)
+
+    out = jax.jit(fn)(jax.random.PRNGKey(0))
     assert bool(jnp.isfinite(out).all())
-    n_it = 20
-    t0 = time.perf_counter()
-    for _ in range(n_it):
-        out = f()
-    out.block_until_ready()
-    dt_s = (time.perf_counter() - t0) / n_it
-    return R * C * T / dt_s
+    sec = scanned_seconds_per_rep(fn, jax.random.PRNGKey(1), reps=reps, calls=calls)
+    return rows * C * T / sec
 
 
-if __name__ == "__main__":
+def main() -> None:
+    args = lab_parser(__doc__.splitlines()[0], default_reps=20).parse_args()
     # exactness cross-checks before timing anything: the tail variant equals
     # the exact while sampler everywhere; the SHIPPED fixed-16 sampler
     # equals it wherever the cap is unreachable (lam*dt <= ~3.2)
@@ -258,9 +259,15 @@ if __name__ == "__main__":
             c = np.asarray(_poisson_counts(u, jnp.float32(mu)))
             np.testing.assert_array_equal(a, c, err_msg=f"fixed16 mu={mu}")
     print("unroll8tail == while counts (all mu); fixed16 == while (mu <= 3.2)")
-    for variant in (
+    rows = 512 if args.quick else R
+    variants = ("fixed16", "full") if args.quick else (
         "nocount", "nojump", "fixed8", "fixed16", "fixed8max", "fixed8cond",
         "whileconst", "unroll8tail", "full",
-    ):
-        ps = run(variant)
-        print(f"{variant:12s} {ps:.3e} path-steps/s")
+    )
+    for variant in variants:
+        ps = run(variant, rows=rows, reps=args.reps, calls=args.calls)
+        print(f"{variant:12s} {ps:.3e} path-steps/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

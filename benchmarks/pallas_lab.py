@@ -11,6 +11,9 @@ import functools
 import math
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -329,11 +332,19 @@ def run_variant(key, contract, *, variant, timesteps, rows, cols, br, bc, reps):
 
 
 def main():
+    from benchmarks._timing import lab_parser
+
+    parser = lab_parser("GBM terminal-kernel variant/block ablation", default_reps=200)
+    parser.add_argument("--prod-sweep", action="store_true",
+                        help="block sweep for the production variant only")
+    args = parser.parse_args()
     # reps scanned inside one jit + HOST materialization (float(...)) per
     # timed call: block_until_ready alone under-reports through the axon
     # tunnel (docs/performance.md methodology note). Best-of-3 rejects
     # scheduler noise.
-    timesteps, rows, cols, reps = 64, 8192, 256, 200
+    timesteps, rows, cols, reps = 64, 8192, 256, args.reps
+    if args.quick:
+        rows, reps = 1024, min(reps, 20)
     key = jax.random.PRNGKey(0)
     contract = jnp.array([100.0, 100.0, 1.0, 0.03, 0.01, 0.25], jnp.float32)
     variants = [
@@ -375,7 +386,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{v:22s} block=({br:5d},{bc:4d})  FAILED: {e}", file=sys.stderr)
 
-    if "--prod-sweep" in sys.argv:
+    if args.prod_sweep:
         # block sweep for the PRODUCTION variant only (round 3: the earlier
         # sweep covered baseline; the shipped kernel was never swept)
         for v in ["polybm_rsqrt_unroll4", "polybm_rsqrt_unroll8"]:

@@ -72,10 +72,15 @@ def bench(fn, key, reps: int, work: int) -> float:
 
 
 def main() -> None:
+    from benchmarks._timing import lab_parser
+
+    args = lab_parser("HBM-normals reference design vs fused", default_reps=50).parse_args()
     from spectralmc_tpu.ops.gbm import PathScheme, simulate_terminal_rows
     from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_rows_pallas
 
-    timesteps, rows, cols, reps = 64, 8192, 256, 50
+    timesteps, rows, cols, reps = 64, 8192, 256, args.reps
+    if args.quick:
+        rows, reps = 1024, min(reps, 10)
     paths = rows * cols
     contract = jnp.array(CONTRACT, jnp.float32)
     key = jax.random.PRNGKey(0)

@@ -12,12 +12,14 @@ the headline GBM shape (64 steps x 2M paths):
                 The phase-shift pair-step should hold the term kernel within
                 ~10% of the flat kernel (same transcendental count; the SMEM
                 loads are scalar-unit work).
+
+Timing is the sanctioned scan+float() discipline (benchmarks/_timing.py);
+the round-3 version used bare block_until_ready.
 """
 
 from __future__ import annotations
 
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -25,6 +27,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from benchmarks._timing import lab_parser, rate_line
 
 from spectralmc_tpu.ops.analytic import term_effective_black
 from spectralmc_tpu.ops.gbm import (
@@ -49,24 +53,13 @@ TERM = TermStructure(
 )
 
 
-def bench(fn, key, arr, reps: int) -> float:
-    out = fn(key, arr)
-    out.block_until_ready()
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for i in range(reps):
-            out = fn(jax.random.fold_in(key, i), arr)
-        out.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
-
-
 def main() -> None:
+    args = lab_parser(__doc__.splitlines()[0], default_reps=REPS).parse_args()
     print(f"device: {jax.devices()[0].device_kind}")
     arr = CONTRACT.as_array(jnp.float32)
     key = jax.random.PRNGKey(7)
-    kw = dict(timesteps=T, rows=ROWS, cols=COLS, dtype=jnp.float32)
+    rows = 1024 if args.quick else ROWS
+    kw = dict(timesteps=T, rows=rows, cols=COLS, dtype=jnp.float32)
 
     # --- stat gate -----------------------------------------------------
     term_fn = jax.jit(
@@ -120,11 +113,12 @@ def main() -> None:
             k, a, scheme=PathScheme.LOG_EULER, term=TERM, **kw
         )
     )
-    steps = T * ROWS * COLS
+    steps = T * rows * COLS
+    reps = min(args.reps, 10) if args.quick else args.reps
     for name, fn in (("flat kernel", flat_fn), ("term kernel", term_fn),
                      ("xla + term", xla_fn)):
-        dt = bench(fn, key, arr, REPS)
-        print(f"{name:12s}: {steps / dt:.3e} path-steps/s")
+        rate_line(name, lambda k, _fn=fn: _fn(k, arr), key,
+                  work=steps, reps=reps, calls=args.calls)
 
 
 if __name__ == "__main__":

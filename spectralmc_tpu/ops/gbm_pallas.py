@@ -1446,18 +1446,23 @@ def simulate_underlier_rows_pallas(
 
 # --------------------------------------------------------------------------
 # American (LSMC) monitor-row kernel — the forward pass of the Bermudan
-# pricer (ops/american.py). The backward induction is a handful of tiny
-# k×k solves over the emitted rows and stays in XLA; the forward path
-# matrix — ~all of the LSMC runtime (measured: the backward costs <1% at
-# the production shape) — is exactly the VPU streaming work the terminal
-# kernel already does, plus one VMEM row store per monitor date.
+# pricer (ops/american.py). The backward induction is the fused-moment
+# reduction in ops/american.py::_lsmc_backward (every Gram/rhs entry a
+# monomial moment sum; unrolled scalar Cholesky) and stays in XLA; before
+# that fusion the per-date basis-matrix regression dominated end-to-end
+# pricing (~93% at 1M paths x 16 dates — benchmarks/american_lab.py), so
+# the forward kernel alone is NOT the whole performance story.
 # --------------------------------------------------------------------------
 
 
-# Out-block VMEM budget for the [n_monitor, block_rows, block_cols] emission:
-# half a v5e core's 16 MiB VMEM, leaving room for the state block and the
-# random-bit buffers. Block rows shrink (256 -> 8) until the block fits.
-_MONITOR_VMEM_BUDGET = 8 * 1024 * 1024
+# Out-block VMEM budget for the [n_monitor, block_rows, block_cols] emission.
+# The out block is DOUBLE-BUFFERED across grid steps, so its footprint is
+# 2x this budget; a quarter of the 16 MiB v5e scoped-VMEM limit leaves the
+# other half for the state block and random-bit buffers. (8 MiB here let
+# T=64 pick block_rows=128 — an exactly-8MiB block whose double buffer blew
+# the 16 MiB scoped limit by 212 KiB once scan machinery was added.)
+# Block rows shrink (256 -> 8) until the block fits.
+_MONITOR_VMEM_BUDGET = 4 * 1024 * 1024
 # Full static unroll of the monitor loop caps code size here; production
 # American grids are 8-64 dates (bench: 16).
 _MONITOR_MAX_DATES = 128

@@ -699,14 +699,20 @@ def bench_greeks_throughput(*, tiny: bool) -> tuple[float, float]:
     return rate_for("pallas"), rate_for("xla")
 
 
-def bench_qmc(*, tiny: bool) -> tuple[float, float]:
-    """Quasi-Monte-Carlo extras: (qmc_path_steps_per_sec, qmc_rmse_reduction).
+def bench_qmc(*, tiny: bool) -> tuple[float, float, float]:
+    """QMC extras: (qmc_path_steps_per_sec, qmc_pathgen_path_steps_per_sec,
+    qmc_rmse_reduction).
 
-    Throughput is the SOBOL_BB sampling path at the headline MC shape — the
-    Sobol-generation + ndtri + Brownian-bridge matmul cost is real and must
-    be published, not implied. The quality number is the measured RMSE ratio
-    pseudo/QMC at an equal 4096-path budget on the vanilla call (the factor
-    the ~50x claim in ops/gbm.py rests on), vs the analytic Black price.
+    The first number is the SOBOL_BB TERMINAL sim at the headline MC shape —
+    since round 4 this rides the exact terminal-bridge shortcut (only Sobol
+    dimension 0 is live for a flat log-Euler terminal draw; ops/gbm.py).
+    The second is the honest PATH-DEPENDENT machinery: an Asian-geometric
+    SOBOL_BB sim at the same shape, which must generate the full
+    [T, rows, cols] effective-normal tensor (split-table Sobol + ndtri +
+    bridge matmul) and walk it — the cost every non-terminal payoff pays.
+    The quality number is the measured RMSE ratio pseudo/QMC at an equal
+    4096-path budget on the vanilla call (the factor the ~50x claim in
+    ops/gbm.py rests on), vs the analytic Black price.
     """
     import numpy as np
 
@@ -732,6 +738,20 @@ def bench_qmc(*, tiny: bool) -> tuple[float, float]:
         )
 
     qmc_ps = bench_mc(qmc_fn, **kw)
+
+    from spectralmc_tpu.ops.gbm import PayoffKind, simulate_underlier_rows
+
+    def qmc_pathgen_fn(key, contract):
+        # Asian-geometric: consumes every timestep, so the full effective-
+        # normal tensor is generated and walked — no terminal shortcut.
+        return simulate_underlier_rows(
+            key, contract, timesteps=kw["timesteps"], rows=kw["rows"],
+            cols=kw["cols"], dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            payoff=PayoffKind.ASIAN_GEOMETRIC,
+            sampling=SamplingKind.SOBOL_BB, mc_seed=31,
+        )
+
+    qmc_pathgen_ps = bench_mc(qmc_pathgen_fn, **{**kw, "reps": max(kw["reps"] // 4, 1)})
 
     # RMSE reduction at equal budget: discounted mean call payoff over
     # q_reps independent scrambles/key streams, vs the closed form.
@@ -759,7 +779,7 @@ def bench_qmc(*, tiny: bool) -> tuple[float, float]:
         return float(np.sqrt(np.mean((est - truth) ** 2)))
 
     reduction = rmse(SamplingKind.PSEUDO) / max(rmse(SamplingKind.SOBOL_BB), 1e-12)
-    return qmc_ps, reduction
+    return qmc_ps, qmc_pathgen_ps, reduction
 
 
 def main() -> None:
@@ -922,7 +942,7 @@ def main() -> None:
     basket_mae, basket_rel_mae = bench_family_quality(tiny=tiny, family="basket")
     american_mae, american_rel_mae = bench_family_quality(tiny=tiny, family="american")
     merton_mae, merton_rel_mae = bench_family_quality(tiny=tiny, family="merton")
-    qmc_ps, qmc_rmse_reduction = bench_qmc(tiny=tiny)
+    qmc_ps, qmc_pathgen_ps, qmc_rmse_reduction = bench_qmc(tiny=tiny)
     inference_cps = bench_inference(tiny=tiny)
 
     print(
@@ -949,6 +969,7 @@ def main() -> None:
         f"merton_price_rel_mae={merton_rel_mae:.4f} "
         f"cliquet_path_steps_per_sec={cliquet_ps:.3e} "
         f"qmc_path_steps_per_sec={qmc_ps:.3e} "
+        f"qmc_pathgen_path_steps_per_sec={qmc_pathgen_ps:.3e} "
         f"qmc_rmse_reduction={qmc_rmse_reduction:.1f} "
         f"inference_contracts_per_sec={inference_cps:.3e}",
         file=sys.stderr,
@@ -1029,6 +1050,7 @@ def main() -> None:
                     # bridge matmul included) and the measured RMSE factor
                     # vs the pseudo stream at an equal 4096-path budget
                     "qmc_path_steps_per_sec": qmc_ps,
+                    "qmc_pathgen_path_steps_per_sec": qmc_pathgen_ps,
                     "qmc_rmse_reduction": qmc_rmse_reduction,
                     "inference_contracts_per_sec": inference_cps,
                 },

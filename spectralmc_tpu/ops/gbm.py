@@ -1226,6 +1226,40 @@ def simulate_terminal_rows(
         sqrt_dt=sqrt_dt,
     )
 
+    if (
+        sampling == SamplingKind.SOBOL_BB
+        and scheme == PathScheme.LOG_EULER
+        and term is None
+    ):
+        # Exact terminal shortcut: the bridge is orthogonal with
+        # Σ_t increments = √T·z_0, and flat log-Euler drift is constant, so
+        # log S_T = log S_0 + T·drift + vol·√dt·√T·z_0 — only Sobol
+        # dimension 0 is live; the other T−1 dimensions, their ndtri, the
+        # bridge matmul and the timestep scan are dead work (the cliquet
+        # period kernel's one-draw-per-observable principle). Same terminal
+        # variates as the full-path generator (qmc_terminal_normals
+        # docstring); equal to the scan in exact arithmetic, differing only
+        # in float summation order — SOBOL_BB is its own bit stream
+        # (SamplingKind docstring) and carries no cross-version bit pin.
+        from spectralmc_tpu.ops.qmc import qmc_terminal_normals
+
+        z0 = qmc_terminal_normals(
+            contract_key,
+            timesteps=timesteps,
+            rows=rows,
+            cols=cols,
+            dtype=dtype,
+            mc_seed=mc_seed,
+            row_offset=row_offset,
+        )[0]
+        t_steps = jnp.asarray(timesteps, dtype)
+        log_t = (
+            jnp.log(spot)
+            + t_steps * log_drift(0)
+            + vol_step(0) * jnp.sqrt(t_steps) * z0
+        )
+        return jnp.exp(log_t)
+
     normals = _normals_source(
         contract_key,
         timesteps=timesteps,

@@ -50,7 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectralmc_tpu.ops._sobol_directions import MAX_DIMENSION
-from spectralmc_tpu.ops.sobol import _lms_scramble, direction_numbers, sobol_uint32
+from spectralmc_tpu.ops.sobol import _lms_scramble, direction_numbers, sobol_uint32_t
 
 
 # --------------------------------------------------------------------------
@@ -154,14 +154,14 @@ def qmc_effective_normals_multi(
 
     count = rows * cols
     start = jnp.asarray(row_offset, jnp.uint32) * jnp.uint32(cols)
-    bits = sobol_uint32(directions, host_shift ^ draw_shift, start, count)
-    # centered uniforms in (0, 1): top 24 bits + half-ulp, exact in float32
-    # and never 0 or 1, so ndtri stays finite
-    u = (
-        (bits >> jnp.uint32(8)).astype(jnp.float32) + jnp.float32(0.5)
-    ) * jnp.float32(2.0**-24)
-    z_sobol = jax.scipy.special.ndtri(u).astype(dtype)  # [count, sdims]
-    z_sobol = z_sobol.reshape(rows, cols, sdims).transpose(2, 0, 1)
+    # Dimension-major generation: [sdims, count] keeps the huge point axis
+    # minor, so the whole uint32 -> uniform -> ndtri elementwise pipeline
+    # runs on full (8, 128) vregs — the round-3 [count, 64] orientation left
+    # every lane half-empty AND needed a [d, rows, cols] transpose (a
+    # ~0.5 GB HBM shuffle at the 2M-path bench shape) before the bridge
+    # einsum. Measured on v5e in docs/performance.md's QMC section.
+    bits = sobol_uint32_t(directions, host_shift ^ draw_shift, start, count)
+    z_sobol = _inv_cdf(bits).astype(dtype)  # [sdims, count]
 
     if sdims < flat_total:
         # fine (level, factor) tail: threefry pad keyed by
@@ -175,17 +175,85 @@ def qmc_effective_normals_multi(
             )(row_keys)
 
         z_pad = jax.vmap(pad_level)(jnp.arange(sdims, flat_total))
-        z_all = jnp.concatenate([z_sobol, z_pad], axis=0)  # [T·F, rows, cols]
+        z_all = jnp.concatenate(
+            [z_sobol, z_pad.reshape(flat_total - sdims, count)], axis=0
+        )  # [T·F, count]
     else:
         z_all = z_sobol
 
-    # de-interleave flat (level·F + factor) -> [levels, factors, rows, cols]
-    z_lvl = z_all.reshape(timesteps, factors, rows, cols)
+    # de-interleave flat (level·F + factor) -> [levels, factors, count] and
+    # contract the bridge as one plain matmul over the level axis — MXU work
+    # with no input transpose in either orientation.
+    z_lvl = z_all.reshape(timesteps, factors, count)
     bb = jnp.asarray(brownian_bridge_matrix(timesteps), dtype=dtype)
-    # one [T, T] x [T, F·rows·cols] contraction — MXU work
-    return jnp.einsum(
-        "td,dfrc->tfrc", bb, z_lvl, precision=jax.lax.Precision.HIGHEST
-    )
+    out = jax.lax.dot_general(
+        bb,
+        z_lvl,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [T, factors, count]
+    return out.reshape(timesteps, factors, rows, cols)
+
+
+def _inv_cdf(bits: jax.Array) -> jax.Array:
+    """uint32 Sobol fractions -> standard normals via the inverse CDF.
+
+    Centered uniforms in (0, 1): top 24 bits + half-ulp, exact in float32 and
+    never 0 or 1, so the inverse stays finite. The inverse itself is
+    ``sqrt(2)*erf_inv(2u-1)``: XLA's f32 ``erf_inv`` is a short polynomial
+    that measured 2.2x faster than ``ndtri``'s double-branch rational on v5e
+    (the binding op of the whole QMC sampling path, benchmarks/qmc_lab.py),
+    and agrees with it to 7e-5 absolute in z — orders below f32 MC noise at
+    any real path budget.
+    """
+    u = (
+        (bits >> jnp.uint32(8)).astype(jnp.float32) + jnp.float32(0.5)
+    ) * jnp.float32(2.0**-24)
+    root2 = jnp.float32(1.4142135623730951)
+    return root2 * jax.lax.erf_inv(jnp.float32(2.0) * u - jnp.float32(1.0))
+
+
+def qmc_terminal_normals(
+    contract_key: jax.Array,
+    *,
+    timesteps: int,
+    factors: int = 1,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    mc_seed: int,
+    row_offset: jax.Array | int = 0,
+) -> jax.Array:
+    """``[factors, rows, cols]`` TERMINAL bridge variates — dimension 0 only.
+
+    The bridge map is exactly orthogonal with ``Σ_t increments = √T·z_0``
+    (its construction: z_0 IS the terminal value, ``brownian_bridge_matrix``).
+    For payoffs that consume only the terminal state of an exact-Gaussian
+    walk (flat log-Euler GBM), the other ``timesteps−1`` Sobol dimensions,
+    the ``ndtri`` over them, the bridge matmul and the timestep scan are all
+    dead work — the same one-draw-per-observable principle as the cliquet
+    period kernel (ops/gbm_pallas.py ``gbm_cliquet``). Returns the SAME
+    z_0 values ``qmc_effective_normals_multi`` would produce for dimension
+    0 of each factor: the scramble/shift stream is derived identically over
+    the FULL dimension count and then sliced, so shortcut and full-path
+    engines price with the same terminal variates.
+    """
+    flat_total = timesteps * factors
+    sdims = qmc_sobol_dims(timesteps, factors)
+    directions_np, host_shift_np = _qmc_tables(sdims, mc_seed)
+    # factor f's terminal variate is flat dimension f (level 0, interleaved)
+    directions = jnp.asarray(directions_np[:factors])
+    host_shift = jnp.asarray(host_shift_np[:factors])
+
+    shift_key, _pad_key = jax.random.split(contract_key)
+    draw_shift = jax.random.bits(shift_key, (sdims,), dtype=jnp.uint32)[:factors]
+
+    count = rows * cols
+    start = jnp.asarray(row_offset, jnp.uint32) * jnp.uint32(cols)
+    bits = sobol_uint32_t(directions, host_shift ^ draw_shift, start, count)
+    z0 = _inv_cdf(bits).astype(dtype)  # [factors, count]
+    del flat_total
+    return z0.reshape(factors, rows, cols)
 
 
 def qmc_effective_normals(
@@ -224,4 +292,5 @@ __all__ = [
     "qmc_effective_normals",
     "qmc_effective_normals_multi",
     "qmc_sobol_dims",
+    "qmc_terminal_normals",
 ]

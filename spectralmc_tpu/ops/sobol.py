@@ -106,6 +106,36 @@ def _lms_scramble(
 # --------------------------------------------------------------------------
 
 
+# Split-table block size: point index n is split as n = blk·2^L + j. The
+# XOR-selector gray(n) then factors exactly (Sobol points are GF(2)-linear
+# in the selector): the low-L direction columns contribute a [2^L, d]
+# gray-ordered table, the high columns one combination per BLOCK
+# (count/2^L of them), and the seam bit L-1 one conditional XOR of a single
+# direction column. The full [count, d] point matrix is then a broadcast
+# XOR of the two tables — O(count·d) work instead of the O(count·d·BITS)
+# masked reduce round 3 used per point (measured 59% of the whole QMC
+# sampling cost at 2M paths x 64 dims; docs/performance.md QMC section).
+_SPLIT_LOG2 = 10
+
+
+def _gray_select(
+    directions: jax.Array, codes: jax.Array, nbits: int, bit_offset: int
+) -> jax.Array:
+    """``[m, d]`` XOR of direction columns selected by each code's low bits.
+
+    ``codes`` is ``[m]`` uint32; bit k of a code selects
+    ``directions[:, bit_offset + k]`` (k < nbits). The masked multi-output
+    reduction is only ever applied to SMALL ``m`` (the split tables), never
+    per point; XOR associativity keeps any reduction order bit-identical.
+    """
+    ks = jnp.arange(nbits, dtype=jnp.uint32)
+    b = (codes[:, None] >> ks[None, :]) & jnp.uint32(1)  # [m, nbits]
+    masks = jnp.uint32(0) - b  # 0x0 or 0xFFFFFFFF
+    cols = directions[None, :, bit_offset : bit_offset + nbits]  # [1, d, nbits]
+    terms = masks[:, None, :] & cols  # [m, d, nbits]
+    return jax.lax.reduce(terms, jnp.uint32(0), jax.lax.bitwise_xor, (2,))
+
+
 def sobol_uint32(
     directions: jax.Array, shift: jax.Array, start: jax.Array | int, count: int
 ) -> jax.Array:
@@ -113,20 +143,97 @@ def sobol_uint32(
 
     ``directions`` is ``[d, BITS]`` uint32, ``shift`` ``[d]`` uint32, ``start``
     may be traced. Point ``n`` = XOR of direction numbers selected by the bits
-    of gray(n), XOR the digital shift — pure VPU integer work on TPU.
+    of gray(n), XOR the digital shift — pure VPU integer work on TPU,
+    assembled from the split tables (``_SPLIT_LOG2`` note above) so the
+    per-point cost is ONE broadcast XOR. Bit-identical to the direct
+    selector reduce for every (start, count): the split is exact GF(2)
+    algebra, pinned against SciPy in ``tests/test_sobol.py``.
+
+    The seam term: with n = blk·2^L + j (j < 2^L),
+    ``gray(n) >> L == gray(blk)`` and
+    ``gray(n) & (2^L-1) == (gray(j) & (2^L-1)) ^ ((blk & 1) << (L-1))`` —
+    the block's low bit leaks into the top low-table bit, contributing one
+    conditional XOR of ``directions[:, L-1]`` per block. A traced or
+    misaligned ``start`` computes the covering aligned range and
+    dynamic-slices the requested window (one extra block of points at
+    worst); a static aligned start (the dispatch default, start=0) skips
+    the slice entirely.
     """
-    idx = jnp.asarray(start, dtype=jnp.uint32) + jnp.arange(count, dtype=jnp.uint32)
-    gray = idx ^ (idx >> 1)
-    # One [count, d, BITS] masked tensor + a single XOR reduction. The naive
-    # 32-step XOR chain is latency-bound on TPU (tiny arrays, sequential
-    # dependency — measured 0.9 ms/step, 60% of a whole training batch);
-    # XOR is associative, so the reduction is bit-identical.
-    ks = jnp.arange(BITS, dtype=jnp.uint32)
-    bits = (gray[:, None] >> ks[None, :]) & jnp.uint32(1)  # [count, BITS]
-    masks = jnp.uint32(0) - bits  # 0x0 or 0xFFFFFFFF
-    terms = masks[:, None, :] & directions[None, :, :]  # [count, d, BITS]
-    acc = jax.lax.reduce(terms, jnp.uint32(0), jax.lax.bitwise_xor, (2,))
-    return acc ^ shift[None, :]
+    length = 1 << _SPLIT_LOG2
+    mask = length - 1
+    d = directions.shape[0]
+    static_aligned = isinstance(start, int) and start % length == 0
+    if static_aligned:
+        blk0 = jnp.uint32(start >> _SPLIT_LOG2)
+        n_blocks = -(-count // length)
+        offset: jax.Array | None = None
+    else:
+        start_u = jnp.asarray(start, jnp.uint32)
+        blk0 = start_u >> jnp.uint32(_SPLIT_LOG2)
+        offset = start_u & jnp.uint32(mask)
+        # worst-case misalignment needs ceil((mask + count) / length) blocks
+        # (dynamic_slice CLAMPS out-of-range starts, so undershooting here
+        # would silently return wrong points, not raise)
+        n_blocks = (count + 2 * mask) // length
+    j = jnp.arange(length, dtype=jnp.uint32)
+    y_lo = _gray_select(directions, j ^ (j >> 1), _SPLIT_LOG2, 0)  # [2^L, d]
+    blk = blk0 + jnp.arange(n_blocks, dtype=jnp.uint32)
+    gray_blk = blk ^ (blk >> 1)
+    c_hi = _gray_select(directions, gray_blk, BITS - _SPLIT_LOG2, _SPLIT_LOG2)
+    seam = (jnp.uint32(0) - (blk & jnp.uint32(1)))[:, None] & directions[
+        None, :, _SPLIT_LOG2 - 1
+    ].reshape(1, d)
+    c_hi = c_hi ^ seam ^ shift[None, :]  # [n_blocks, d]
+    bits = c_hi[:, None, :] ^ y_lo[None, :, :]  # [n_blocks, 2^L, d]
+    flat = bits.reshape(n_blocks * length, d)
+    if offset is None:
+        return flat[:count]
+    return jax.lax.dynamic_slice(flat, (offset, jnp.uint32(0)), (count, d))
+
+
+def sobol_uint32_t(
+    directions: jax.Array, shift: jax.Array, start: jax.Array | int, count: int
+) -> jax.Array:
+    """``[d, count]`` TRANSPOSED scrambled Sobol points — the same bits as
+    ``sobol_uint32(...)`` point for point, generated directly in the
+    dimension-major orientation.
+
+    TPU layout rationale: vregs are (8, 128) over (sublane, lane) of the two
+    minor axes. In the ``[count, d]`` orientation the minor axis is the
+    dimension count (64 at the QMC cap) — every elementwise op downstream
+    (the uint32→float map, ``ndtri``) runs on half-empty lanes. Putting the
+    POINT axis minor fills the registers, and the Brownian-bridge contraction
+    becomes a plain ``[T, d] @ [d, count]`` matmul with no input transpose
+    (ops/qmc.py). Both orientations share the split-table algebra above.
+    """
+    length = 1 << _SPLIT_LOG2
+    mask = length - 1
+    d = directions.shape[0]
+    static_aligned = isinstance(start, int) and start % length == 0
+    if static_aligned:
+        blk0 = jnp.uint32(start >> _SPLIT_LOG2)
+        n_blocks = -(-count // length)
+        offset: jax.Array | None = None
+    else:
+        start_u = jnp.asarray(start, jnp.uint32)
+        blk0 = start_u >> jnp.uint32(_SPLIT_LOG2)
+        offset = start_u & jnp.uint32(mask)
+        # see sobol_uint32: undershooting block count silently clamps
+        n_blocks = (count + 2 * mask) // length
+    j = jnp.arange(length, dtype=jnp.uint32)
+    y_lo = _gray_select(directions, j ^ (j >> 1), _SPLIT_LOG2, 0)  # [2^L, d]
+    blk = blk0 + jnp.arange(n_blocks, dtype=jnp.uint32)
+    gray_blk = blk ^ (blk >> 1)
+    c_hi = _gray_select(directions, gray_blk, BITS - _SPLIT_LOG2, _SPLIT_LOG2)
+    seam = (jnp.uint32(0) - (blk & jnp.uint32(1)))[:, None] & directions[
+        None, :, _SPLIT_LOG2 - 1
+    ].reshape(1, d)
+    c_hi_t = (c_hi ^ seam ^ shift[None, :]).T  # [d, n_blocks]
+    bits = c_hi_t[:, :, None] ^ y_lo.T[:, None, :]  # [d, n_blocks, 2^L]
+    flat = bits.reshape(d, n_blocks * length)
+    if offset is None:
+        return flat[:, :count]
+    return jax.lax.dynamic_slice(flat, (jnp.uint32(0), offset), (d, count))
 
 
 def sobol_unit(

@@ -541,3 +541,47 @@ def test_effect_path_qmc_matches_engine() -> None:
     ):
         refused = asyncio.run(interp.interpret(bad))
         assert isinstance(refused, Failure), bad
+
+
+def test_terminal_shortcut_matches_full_path_scan() -> None:
+    """The flat log-Euler terminal shortcut (gbm.simulate_terminal_rows'
+    SOBOL_BB branch) must equal the full bridge+scan walk path for path:
+    sum_t increments == sqrt(T)*z_0 exactly in real arithmetic, so the two
+    engines may differ only by float summation order (~ulps on log S_T)."""
+    import math
+
+    from spectralmc_tpu.ops.gbm import PathScheme, SamplingKind, simulate_terminal_rows
+    from spectralmc_tpu.ops.qmc import qmc_effective_normals, qmc_terminal_normals
+
+    key = jax.random.PRNGKey(21)
+    T, R, C = 16, 64, 256
+    contract = jnp.array([100.0, 100.0, 1.0, 0.03, 0.01, 0.25], jnp.float32)
+
+    got = np.asarray(
+        simulate_terminal_rows(
+            key, contract, timesteps=T, rows=R, cols=C, dtype=jnp.float32,
+            scheme=PathScheme.LOG_EULER, sampling=SamplingKind.SOBOL_BB, mc_seed=9,
+        ),
+        dtype=np.float64,
+    )
+    # reference: the explicit scan over the full effective-normal tensor
+    z = np.asarray(
+        qmc_effective_normals(
+            key, timesteps=T, rows=R, cols=C, dtype=jnp.float32, mc_seed=9
+        ),
+        dtype=np.float64,
+    )
+    dt = 1.0 / T
+    drift = (0.03 - 0.01 - 0.5 * 0.25**2) * dt
+    want = 100.0 * np.exp(T * drift + 0.25 * math.sqrt(dt) * z.sum(axis=0))
+    np.testing.assert_allclose(got, want, rtol=3e-5)
+
+    # the shortcut's z_0 IS dimension 0 of the full generator's stream:
+    # sum_t z[t] = sqrt(T) * z_0 by bridge orthogonality
+    z0 = np.asarray(
+        qmc_terminal_normals(
+            key, timesteps=T, rows=R, cols=C, dtype=jnp.float32, mc_seed=9
+        )[0],
+        dtype=np.float64,
+    )
+    np.testing.assert_allclose(z.sum(axis=0), math.sqrt(T) * z0, atol=2e-5)

@@ -135,3 +135,48 @@ def test_one_dimensional_stratification_under_scrambling() -> None:
     for dim in range(unit.shape[1]):
         cells = np.floor(unit[:, dim] * n).astype(int)
         assert sorted(cells) == list(range(n)), f"dim {dim} not stratified at 2^-{k}"
+
+
+def test_sobol_uint32_split_table_matches_direct_reduce() -> None:
+    """The round-4 split-table generator (broadcast XOR of a low-bits table
+    and per-block high combinations, sobol.py::_SPLIT_LOG2) must be
+    BIT-identical to the direct per-point gray-selector reduce for every
+    (start, count) — static aligned, static misaligned, traced misaligned,
+    and windows spanning block boundaries (the seam bit L-1 leak)."""
+    from spectralmc_tpu.ops.sobol import BITS, direction_numbers, sobol_uint32
+
+    d = 7
+    directions = jnp.asarray(direction_numbers(d))
+    shift = jnp.asarray(
+        np.random.default_rng(5).integers(0, 1 << 32, size=(d,), dtype=np.uint32)
+    )
+
+    def direct(start: int, count: int) -> np.ndarray:
+        idx = jnp.asarray(start, jnp.uint32) + jnp.arange(count, dtype=jnp.uint32)
+        gray = idx ^ (idx >> 1)
+        ks = jnp.arange(BITS, dtype=jnp.uint32)
+        b = (gray[:, None] >> ks[None, :]) & jnp.uint32(1)
+        masks = jnp.uint32(0) - b
+        terms = masks[:, None, :] & directions[None, :, :]
+        acc = jax.lax.reduce(terms, jnp.uint32(0), jax.lax.bitwise_xor, (2,))
+        return np.asarray(acc ^ shift[None, :])
+
+    cases = [
+        (0, 32),          # static aligned, sub-block
+        (0, 3000),        # static aligned, spans blocks
+        (1024, 1024),     # static aligned at a block boundary
+        (1, 31),          # static misaligned, inside one block
+        (1000, 2100),     # static misaligned, spans the seam twice
+        (1023, 2),        # straddles a single boundary
+        (123456, 517),    # deep, odd window
+    ]
+    for start, count in cases:
+        want = direct(start, count)
+        got_static = np.asarray(sobol_uint32(directions, shift, start, count))
+        np.testing.assert_array_equal(got_static, want, err_msg=f"static {start}")
+        got_traced = np.asarray(
+            jax.jit(lambda s: sobol_uint32(directions, shift, s, count))(
+                jnp.uint32(start)
+            )
+        )
+        np.testing.assert_array_equal(got_traced, want, err_msg=f"traced {start}")

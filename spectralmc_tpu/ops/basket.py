@@ -191,7 +191,7 @@ def basket_euler_step(
     static_argnames=(
         "spec", "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
         "antithetic_half", "forward_start_step", "cliquet_reset_every",
-        "cliquet_floor", "cliquet_cap", "sampling", "mc_seed",
+        "cliquet_floor", "cliquet_cap", "sampling", "mc_seed", "term",
     ),
 )
 def simulate_basket_underlier_rows(
@@ -213,6 +213,7 @@ def simulate_basket_underlier_rows(
     cliquet_cap: float | None = None,
     sampling: "object | None" = None,
     mc_seed: int = 0,
+    term: "object | None" = None,
 ) -> jax.Array:
     """``[rows, cols]`` basket-payoff underliers under log-Euler dynamics.
 
@@ -236,6 +237,38 @@ def simulate_basket_underlier_rows(
     spots = spot * jnp.asarray(spec.spot_multipliers, dtype)  # [A]
     chol = jnp.asarray(basket_cholesky(spec), dtype)  # [A, A]
     drift = (rate - div_yield - 0.5 * sigmas * sigmas) * dt  # [A]
+    sig_sqdt = sigmas * sqrt_dt
+    # round 4: piecewise-constant rate/div/vol curves (gbm.TermStructure
+    # semantics; vol_shape scales EVERY asset's vol by the same per-step
+    # factor, so the geometric combine stays an effective GBM and its exact
+    # oracle composes with term_effective_black). Flat terms normalize to
+    # None — bit-identical program.
+    if term is not None and term.is_flat():
+        term = None
+    if term is None:
+
+        def drift_at(t: jax.Array) -> jax.Array:
+            return drift
+
+        def sig_sqdt_at(t: jax.Array) -> jax.Array:
+            return sig_sqdt
+
+    else:
+        vs_t, rs_t, qs_t = term.shapes(timesteps)
+        vsa = jnp.asarray(vs_t, dtype)  # [T]
+        sig_t = sigmas[None, :] * vsa[:, None]  # [T, A]
+        drift_arr = (
+            rate * jnp.asarray(rs_t, dtype)[:, None]
+            - div_yield * jnp.asarray(qs_t, dtype)[:, None]
+            - 0.5 * sig_t * sig_t
+        ) * dt  # [T, A]
+        sig_sqdt_arr = sig_t * sqrt_dt  # [T, A]
+
+        def drift_at(t: jax.Array) -> jax.Array:
+            return drift_arr[t]
+
+        def sig_sqdt_at(t: jax.Array) -> jax.Array:
+            return sig_sqdt_arr[t]
 
     from spectralmc_tpu.ops.gbm import SamplingKind, _row_streams
 
@@ -290,7 +323,6 @@ def simulate_basket_underlier_rows(
             return jnp.exp(jnp.einsum("a,arc->rc", weights, logx))
         return jnp.einsum("a,arc->rc", weights, jnp.exp(logx))
 
-    sig_sqdt = sigmas * sqrt_dt
 
     if payoff in (PayoffKind.VARIANCE_SWAP, PayoffKind.FORWARD_START, PayoffKind.CLIQUET):
         # these kinds work on ln of the BASKET value (the payoff's underlier
@@ -318,7 +350,7 @@ def simulate_basket_underlier_rows(
             ):
                 logx, start, acc = carry
                 logx = basket_euler_step(
-                    logx, normals(t), drift=drift, sig_sqdt=sig_sqdt, chol=chol
+                    logx, normals(t), drift=drift_at(t), sig_sqdt=sig_sqdt_at(t), chol=chol
                 )
                 lb = log_basket(logx)
                 boundary = (t + 1) % cliquet_reset_every == 0
@@ -343,7 +375,7 @@ def simulate_basket_underlier_rows(
             def body_fs(carry: tuple[jax.Array, jax.Array], t: jax.Array):
                 logx, cap = carry
                 logx = basket_euler_step(
-                    logx, normals(t), drift=drift, sig_sqdt=sig_sqdt, chol=chol
+                    logx, normals(t), drift=drift_at(t), sig_sqdt=sig_sqdt_at(t), chol=chol
                 )
                 cap = jnp.where(t == forward_start_step - 1, log_basket(logx), cap)
                 return (logx, cap), None
@@ -359,7 +391,7 @@ def simulate_basket_underlier_rows(
         def body_var(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
             logx, prev_lb, acc = carry
             logx = basket_euler_step(
-                logx, normals(t), drift=drift, sig_sqdt=sig_sqdt, chol=chol
+                logx, normals(t), drift=drift_at(t), sig_sqdt=sig_sqdt_at(t), chol=chol
             )
             lb = log_basket(logx)
             inc = lb - prev_lb
@@ -375,7 +407,7 @@ def simulate_basket_underlier_rows(
 
     def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
         logx, acc = carry
-        logx = basket_euler_step(logx, normals(t), drift=drift, sig_sqdt=sig_sqdt, chol=chol)
+        logx = basket_euler_step(logx, normals(t), drift=drift_at(t), sig_sqdt=sig_sqdt_at(t), chol=chol)
         if track_extreme:
             # extremes monitor the BASKET value (standard basket convention)
             acc = extreme_fn(acc, basket_value(logx))
@@ -466,6 +498,7 @@ def expected_basket_underlier_mean(
     cliquet_reset_every: int | None = None,
     cliquet_floor: float | None = None,
     cliquet_cap: float | None = None,
+    term: "object | None" = None,
 ) -> jax.Array | None:
     """Analytic E[underlier] for MEAN normalization, or None if no closed form.
 
@@ -487,8 +520,81 @@ def expected_basket_underlier_mean(
         # American synthetic underlier's mean IS the unknown price
         return None
     spot, _, maturity, rate, div_yield, _ = (contract[i].astype(dtype) for i in range(6))
+    if term is not None and term.is_flat():
+        term = None
     n = jnp.asarray(timesteps, dtype)
     dt = maturity / n
+    if term is not None:
+        # Curve-aware means (round 4). The shared vol_shape scales every
+        # asset's vol by vs[t], so the geometric combine's per-step log
+        # moments scale simply: mean mu_t·dt with
+        # mu_t = r·rs[t] − q·qs[t] − ½(Σwσᵢ²)·vs[t]², variance
+        # s̄²·vs[t]²·dt — each formula below is the flat one with per-step
+        # sums replacing N·(per-step constant). Exact, not approximate.
+        vs_t, rs_t, qs_t = term.shapes(timesteps)
+        vsa = jnp.asarray(vs_t, dtype)
+        lin = (rate * jnp.asarray(rs_t, dtype) - div_yield * jnp.asarray(qs_t, dtype)) * dt
+        if spec.combine == BasketCombine.ARITHMETIC:
+            # E[B_t] = (Σ wᵢS0ᵢ)·e^{∫(r−q)} — the vol curve cancels in the
+            # martingale mean, exactly as flat
+            w_a = jnp.asarray(spec.weights, dtype)
+            s0_a = jnp.sum(w_a * (spot * jnp.asarray(spec.spot_multipliers, dtype)))
+            cum_lin = jnp.cumsum(lin)
+            if payoff == PayoffKind.TERMINAL:
+                return s0_a * jnp.exp(cum_lin[-1])
+            if payoff == PayoffKind.ASIAN_ARITHMETIC:
+                return s0_a * jnp.mean(jnp.exp(cum_lin))
+            return None  # digital/ratio/period/extreme kinds: no closed form
+        # geometric combine: per-step effective-GBM moments
+        vol_c = contract[5].astype(dtype)
+        w_g = jnp.asarray(spec.weights, dtype)
+        sig = vol_c * jnp.asarray(spec.vol_multipliers, dtype)
+        corr_g = jnp.asarray(spec.correlation, dtype)
+        wss = jnp.sum(w_g * sig * sig)  # Σ wᵢσᵢ² (flat)
+        cov_g = corr_g * sig[:, None] * sig[None, :]
+        s2_flat = w_g @ cov_g @ w_g  # s̄² (flat)
+        mu_dt = lin - 0.5 * wss * vsa * vsa * dt  # [T] μ̄_t·dt
+        s2_dt = s2_flat * vsa * vsa * dt  # [T] s̄²_t·dt
+        g0_t = basket_g0(contract, spec, dtype=dtype)
+        if payoff == PayoffKind.TERMINAL:
+            return g0_t * jnp.exp(jnp.sum(mu_dt + 0.5 * s2_dt))
+        if payoff == PayoffKind.ASIAN_ARITHMETIC:
+            return g0_t * jnp.mean(jnp.exp(jnp.cumsum(mu_dt + 0.5 * s2_dt)))
+        if payoff == PayoffKind.ASIAN_GEOMETRIC:
+            w_t = (n - jnp.arange(timesteps, dtype=dtype)) / n
+            mu_g = jnp.log(g0_t) + jnp.sum(mu_dt * w_t)
+            s2_g = jnp.sum(s2_dt * w_t * w_t)
+            return jnp.exp(mu_g + 0.5 * s2_g)
+        if payoff == PayoffKind.DIGITAL:
+            from jax.scipy.special import erf
+
+            strike_g = contract[1].astype(dtype)
+            d2 = (jnp.log(g0_t / strike_g) + jnp.sum(mu_dt)) / jnp.sqrt(jnp.sum(s2_dt))
+            return strike_g + erf(d2 / jnp.sqrt(jnp.asarray(2.0, dtype)))
+        if payoff == PayoffKind.VARIANCE_SWAP:
+            return jnp.sum(mu_dt * mu_dt + s2_dt) / maturity
+        if payoff == PayoffKind.FORWARD_START:
+            assert forward_start_step is not None
+            tail = jnp.arange(timesteps) >= forward_start_step
+            return g0_t * jnp.exp(jnp.sum(jnp.where(tail, mu_dt + 0.5 * s2_dt, 0.0)))
+        if payoff == PayoffKind.CLIQUET:
+            from spectralmc_tpu.ops.gbm import expected_clipped_lognormal_return
+
+            assert (
+                cliquet_reset_every is not None
+                and cliquet_floor is not None
+                and cliquet_cap is not None
+            )
+            periods = timesteps // cliquet_reset_every
+            mu_p = jnp.sum(mu_dt.reshape(periods, cliquet_reset_every), axis=1)
+            s_p = jnp.sqrt(jnp.sum(s2_dt.reshape(periods, cliquet_reset_every), axis=1))
+            return jnp.sum(
+                expected_clipped_lognormal_return(
+                    mu_p, s_p,
+                    jnp.asarray(cliquet_floor, dtype), jnp.asarray(cliquet_cap, dtype),
+                )
+            )
+        return None
     if payoff == PayoffKind.VARIANCE_SWAP:
         if spec.combine == BasketCombine.ARITHMETIC:
             return None  # ln(Σ wᵢSᵢ) increments have no closed moments

@@ -175,6 +175,12 @@ def make_underlier_simulator(
         sampling_kwargs["cliquet_reset_every"] = sim.cliquet_reset_every
         sampling_kwargs["cliquet_floor"] = sim.cliquet_floor
         sampling_kwargs["cliquet_cap"] = sim.cliquet_cap
+    family_kwargs = dict(sampling_kwargs)
+    if sim.term is not None and sim.model != ModelKind.GBM:
+        # round 4: Heston (rate/div) and Merton/basket (rate/div/vol) curves
+        # run their XLA scans — resolve_implementation routes curved non-GBM
+        # sims to XLA, so the Pallas family wrappers never see the knob
+        family_kwargs["term"] = sim.term
 
     if sim.model == ModelKind.BASKET_GBM:
         if use_pallas:
@@ -205,7 +211,7 @@ def make_underlier_simulator(
                 barrier_rel=sim.barrier_rel,
                 forward_start_step=sim.forward_start_step,
                 antithetic_half=anti_half,
-                **sampling_kwargs,
+                **family_kwargs,
             )
 
         return simulate
@@ -235,7 +241,7 @@ def make_underlier_simulator(
                 barrier_rel=sim.barrier_rel,
                 forward_start_step=sim.forward_start_step,
                 antithetic_half=anti_half,
-                **sampling_kwargs,
+                **family_kwargs,
             )
 
         return simulate
@@ -265,7 +271,7 @@ def make_underlier_simulator(
                 barrier_rel=sim.barrier_rel,
                 forward_start_step=sim.forward_start_step,
                 antithetic_half=anti_half,
-                **sampling_kwargs,
+                **family_kwargs,
             )
 
         return simulate
@@ -324,6 +330,7 @@ def make_mean_target(
                 cliquet_reset_every=sim.cliquet_reset_every,
                 cliquet_floor=sim.cliquet_floor,
                 cliquet_cap=sim.cliquet_cap,
+                term=sim.term,
             )
 
         return basket_mean
@@ -337,7 +344,7 @@ def make_mean_target(
 
     def mean_target(contract: jax.Array) -> jax.Array | None:
         kwargs: dict[str, object] = {}
-        if sim.model == ModelKind.GBM and sim.term is not None:
+        if sim.term is not None:
             kwargs["term"] = sim.term
         if sim.forward_start_step is not None:
             kwargs["forward_start_step"] = sim.forward_start_step

@@ -796,14 +796,32 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                 )
             )
     if params.term is not None:
-        if params.model != ModelKind.GBM:
+        if params.model == ModelKind.HESTON and any(
+            v != 1.0 for v in params.term.vol_shape
+        ):
+            return Failure(
+                InvalidSimulationParams(
+                    field="term",
+                    value="vol_shape",
+                    reason="Heston has no deterministic vol curve — its "
+                    "instantaneous vol IS the variance process (v0/kappa/"
+                    "theta/xi contract fields); rate_shape/div_shape curves "
+                    "are supported",
+                )
+            )
+        if (
+            params.model != ModelKind.GBM
+            and params.payoff in AMERICAN_PAYOFFS
+            and not params.term.is_flat()
+        ):
             return Failure(
                 InvalidSimulationParams(
                     field="term",
                     value=params.model.value,
-                    reason="term structures apply to the GBM model only "
-                    "(Heston/Merton/basket dynamics own their parameter "
-                    "curves through their contract fields)",
+                    reason="LSMC early exercise under term structures is "
+                    "supported for GBM dynamics only (the curved-coefficient "
+                    "lattice oracle and per-segment discount backward exist "
+                    "for the single-factor lognormal family)",
                 )
             )
         checked_term = validate_term_structure(params.term, timesteps=params.timesteps)
@@ -976,8 +994,9 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
             return SimImplementation.XLA
         # The Pallas engine for LSMC is a monitor-row kernel per dynamics
         # (fused forward emitting the exercise-date state) + the XLA
-        # backward induction over the emitted rows (tiny k×k solves — <1%
-        # of runtime at the production shape). Heston and arithmetic
+        # backward induction over the emitted rows (the fused-moment
+        # estimator — see docs/performance.md for the measured
+        # forward/backward split). Heston and arithmetic
         # baskets emit a second state row-set (variance / dispersion) for
         # the augmented regression basis, which halves the VMEM-fitting
         # monitor budget (n_state=2).
@@ -1027,10 +1046,12 @@ def resolve_implementation(params: SimulationParams, *, rows: int | None = None)
     if params.term is not None and not params.term.is_flat():
         # genuinely curved markets run the term kernel (per-step SMEM
         # coefficients, stream key "gbm_term") at supported shapes;
-        # the reflection-Euler compatibility scheme stays on XLA. An
+        # the reflection-Euler compatibility scheme stays on XLA, and the
+        # non-GBM family kernels take no coefficient tables — curved
+        # Heston/Merton/basket sims run their XLA scans (round 4). An
         # exactly-flat term is the same program as no term and falls
         # through to the flat-kernel logic below.
-        if params.scheme != PathScheme.LOG_EULER:
+        if params.scheme != PathScheme.LOG_EULER or params.model != ModelKind.GBM:
             return SimImplementation.XLA
         from spectralmc_tpu.ops.gbm_pallas import pallas_supported as _ps
 

@@ -146,7 +146,7 @@ def heston_euler_step(
     static_argnames=(
         "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
         "antithetic_half", "forward_start_step", "cliquet_reset_every",
-        "cliquet_floor", "cliquet_cap", "sampling", "mc_seed",
+        "cliquet_floor", "cliquet_cap", "sampling", "mc_seed", "term",
     ),
 )
 def simulate_heston_underlier_rows(
@@ -167,6 +167,7 @@ def simulate_heston_underlier_rows(
     cliquet_cap: float | None = None,
     sampling: "object | None" = None,
     mc_seed: int = 0,
+    term: "object | None" = None,
 ) -> jax.Array:
     """``[rows, cols]`` payoff underliers under full-truncation Euler Heston.
 
@@ -178,10 +179,21 @@ def simulate_heston_underlier_rows(
     With ``sampling=SamplingKind.SOBOL_BB`` both components come from the
     2-factor Brownian-bridge Sobol net (ops/qmc.py; variance = factor 0, so
     its coarse levels take the even Sobol dimensions).
+
+    ``term`` (round 4): piecewise-constant rate_shape/div_shape curves —
+    during step t the drift uses ``rate·rate_shape[t]`` and
+    ``div_yield·div_shape[t]`` (``gbm.TermStructure`` semantics). vol curves
+    are refused at config build time (Heston's instantaneous vol IS the
+    variance process). European prices under deterministic rates factor the
+    discount/forward out of the vol dynamics, so the semi-analytic oracle
+    holds EXACTLY at the effective flat rates (``term.effective_factors``).
+    A flat term is normalized to None — bit-identical program.
     """
     (spot, _, maturity, rate, div_yield, v0, kappa, theta, xi, rho) = (
         contract[i].astype(dtype) for i in range(10)
     )
+    if term is not None and term.is_flat():
+        term = None
     n = jnp.asarray(timesteps, dtype)
     dt = maturity / n
     sqrt_dt = jnp.sqrt(dt)
@@ -236,6 +248,18 @@ def simulate_heston_underlier_rows(
         rate=rate, div_yield=div_yield, dt=dt, sqrt_dt=sqrt_dt,
         rho=rho, rho_bar=rho_bar, kappa=kappa, theta=theta, xi=xi,
     )
+    if term is None:
+
+        def step_args(t: jax.Array) -> dict:
+            return step_consts
+
+    else:
+        _, rs, qs = term.shapes(timesteps)
+        rate_arr = rate * jnp.asarray(rs, dtype)
+        div_arr = div_yield * jnp.asarray(qs, dtype)
+
+        def step_args(t: jax.Array) -> dict:
+            return dict(step_consts, rate=rate_arr[t], div_yield=div_arr[t])
 
     variance = payoff == PayoffKind.VARIANCE_SWAP
     forward_start = payoff == PayoffKind.FORWARD_START
@@ -259,7 +283,7 @@ def simulate_heston_underlier_rows(
             logx, v, start, acc = carry
             z_v = component_normals(t, 0)
             z_orth = component_normals(t, 1)
-            logx, v = heston_euler_step(logx, v, z_v, z_orth, **step_consts)
+            logx, v = heston_euler_step(logx, v, z_v, z_orth, **step_args(t))
             boundary = (t + 1) % cliquet_reset_every == 0
             clipped = jnp.clip(jnp.exp(logx - start) - 1.0, floor_c, cap_c)
             acc = jnp.where(boundary, acc + clipped, acc)
@@ -281,7 +305,7 @@ def simulate_heston_underlier_rows(
         z_v = component_normals(t, 0)
         z_orth = component_normals(t, 1)
         prev = logx
-        logx, v = heston_euler_step(logx, v, z_v, z_orth, **step_consts)
+        logx, v = heston_euler_step(logx, v, z_v, z_orth, **step_args(t))
         if track_extreme:
             acc = extreme_fn(acc, logx)
         elif variance:
@@ -333,6 +357,7 @@ def heston_expected_underlier_mean(
     payoff: PayoffKind,
     dtype: jnp.dtype,
     forward_start_step: int | None = None,
+    term: "object | None" = None,
 ) -> jax.Array | None:
     """Analytic E[underlier], or None when no closed form exists.
 
@@ -340,10 +365,30 @@ def heston_expected_underlier_mean(
     martingale), so TERMINAL and ASIAN_ARITHMETIC reuse the GBM formulas;
     the geometric average's mean has no usable closed form — callers must
     not request MEAN normalization for it (enforced at config build time).
+    With rate/div ``term`` curves the drift integral is the per-step
+    cumulative sum (exact: the full-truncation step keeps
+    E[e^{Δln S}|F] = e^{(r_t−q_t)dt}); flat curves take the flat formulas
+    bit-for-bit.
     """
     spot, _, maturity, rate, div_yield = (contract[i].astype(dtype) for i in range(5))
+    if term is not None and term.is_flat():
+        term = None
     n = jnp.asarray(timesteps, dtype)
     dt = maturity / n
+    if term is not None:
+        _, rs, qs = term.shapes(timesteps)
+        rsa, qsa = (jnp.asarray(s, dtype) for s in (rs, qs))
+        lin = (rate * rsa - div_yield * qsa) * dt
+        cum_lin = jnp.cumsum(lin)
+        if payoff == PayoffKind.TERMINAL:
+            return spot * jnp.exp(cum_lin[-1])
+        if payoff == PayoffKind.ASIAN_ARITHMETIC:
+            return spot * jnp.mean(jnp.exp(cum_lin))
+        if payoff == PayoffKind.FORWARD_START:
+            assert forward_start_step is not None
+            tail = jnp.arange(timesteps) >= forward_start_step
+            return spot * jnp.exp(jnp.sum(jnp.where(tail, lin, 0.0)))
+        return None
     if payoff == PayoffKind.TERMINAL:
         return spot * jnp.exp((rate - div_yield) * maturity)
     if payoff == PayoffKind.ASIAN_ARITHMETIC:

@@ -151,7 +151,7 @@ def merton_jump_counts(
     static_argnames=(
         "timesteps", "rows", "cols", "dtype", "payoff", "barrier_rel",
         "antithetic_half", "forward_start_step", "cliquet_reset_every",
-        "cliquet_floor", "cliquet_cap", "sampling", "mc_seed",
+        "cliquet_floor", "cliquet_cap", "sampling", "mc_seed", "term",
     ),
 )
 def simulate_merton_underlier_rows(
@@ -172,6 +172,7 @@ def simulate_merton_underlier_rows(
     cliquet_cap: float | None = None,
     sampling: "object | None" = None,
     mc_seed: int = 0,
+    term: "object | None" = None,
 ) -> jax.Array:
     """``[rows, cols]`` payoff underliers under exact-transition Merton.
 
@@ -196,6 +197,36 @@ def simulate_merton_underlier_rows(
     m = jnp.exp(jump_mean + 0.5 * jump_std * jump_std) - 1.0
     drift = (rate - div_yield - lam * m - 0.5 * vol * vol) * dt
     lam_dt = lam * dt
+    # round 4: piecewise-constant rate/div/vol curves (gbm.TermStructure
+    # semantics; the vol curve scales the DIFFUSION leg only — jumps keep
+    # their contract law, so the exact series oracle holds at the effective
+    # flat parameters rate*mean(rs), div*mean(qs), vol*rms(vs)). Flat terms
+    # are normalized to None — bit-identical program.
+    if term is not None and term.is_flat():
+        term = None
+    if term is None:
+
+        def drift_at(t: jax.Array) -> jax.Array:
+            return drift
+
+        def vol_at(t: jax.Array) -> jax.Array:
+            return vol
+
+    else:
+        vs_t, rs_t, qs_t = term.shapes(timesteps)
+        vol_arr = vol * jnp.asarray(vs_t, dtype)
+        drift_arr = (
+            rate * jnp.asarray(rs_t, dtype)
+            - div_yield * jnp.asarray(qs_t, dtype)
+            - lam * m
+            - 0.5 * vol_arr * vol_arr
+        ) * dt
+
+        def drift_at(t: jax.Array) -> jax.Array:
+            return drift_arr[t]
+
+        def vol_at(t: jax.Array) -> jax.Array:
+            return vol_arr[t]
 
     from spectralmc_tpu.ops.gbm import SamplingKind, _row_streams
 
@@ -255,7 +286,7 @@ def simulate_merton_underlier_rows(
             z_j = merton_component_normals(row_keys, sign, t, 1, cols, dtype)
             counts = merton_jump_counts(row_keys, t, lam_dt, cols, dtype)
             jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
-            return acc + (drift + vol * sqrt_dt * z_d + jump), None
+            return acc + (drift_at(t) + vol_at(t) * sqrt_dt * z_d + jump), None
 
         acc_f, _ = jax.lax.scan(
             body_f,
@@ -282,7 +313,7 @@ def simulate_merton_underlier_rows(
             z_j = merton_component_normals(row_keys, sign, t, 1, cols, dtype)
             counts = merton_jump_counts(row_keys, t, lam_dt, cols, dtype)
             jump = counts * jump_mean + jump_std * jnp.sqrt(counts) * z_j
-            per = per + drift + vol * sqrt_dt * z_d + jump
+            per = per + drift_at(t) + vol_at(t) * sqrt_dt * z_d + jump
             boundary = (t + 1) % cliquet_reset_every == 0
             clipped = jnp.clip(jnp.exp(per) - 1.0, floor_c, cap_c)
             acc = jnp.where(boundary, acc + clipped, acc)
@@ -305,11 +336,11 @@ def simulate_merton_underlier_rows(
         if variance:
             # summed first so the increment is available; the non-variance
             # branch keeps the original association (bit-stream stability)
-            inc = drift + vol * sqrt_dt * z_d + jump
+            inc = drift_at(t) + vol_at(t) * sqrt_dt * z_d + jump
             logx = logx + inc
             acc = acc + inc * inc
             return (logx, acc), None
-        logx = logx + drift + vol * sqrt_dt * z_d + jump
+        logx = logx + drift_at(t) + vol_at(t) * sqrt_dt * z_d + jump
         if track_extreme:
             acc = extreme_fn(acc, logx)
         elif payoff not in (PayoffKind.TERMINAL, PayoffKind.DIGITAL):
@@ -354,6 +385,7 @@ def merton_expected_underlier_mean(
     cliquet_reset_every: int | None = None,
     cliquet_floor: float | None = None,
     cliquet_cap: float | None = None,
+    term: "object | None" = None,
 ) -> jax.Array | None:
     """Analytic E[underlier], or None when no closed form exists.
 
@@ -363,8 +395,78 @@ def merton_expected_underlier_mean(
     no usable closed form (enforced at config build time).
     """
     spot, _, maturity, rate, div_yield = (contract[i].astype(dtype) for i in range(5))
+    if term is not None and term.is_flat():
+        term = None
     n = jnp.asarray(timesteps, dtype)
     dt = maturity / n
+    if term is not None:
+        # curve-aware means (round 4): the compensator still makes the
+        # discounted spot a martingale step by step, so the linear-drift
+        # integrals are per-step cumulative sums; the vol curve scales the
+        # DIFFUSION variance only. Each formula below is the flat one with
+        # sums replacing products of identical factors — exact, not
+        # approximate.
+        vs_t, rs_t, qs_t = term.shapes(timesteps)
+        vsa = jnp.asarray(vs_t, dtype)
+        lin = (rate * jnp.asarray(rs_t, dtype) - div_yield * jnp.asarray(qs_t, dtype)) * dt
+        cum_lin = jnp.cumsum(lin)
+        if payoff == PayoffKind.TERMINAL:
+            return spot * jnp.exp(cum_lin[-1])
+        if payoff == PayoffKind.ASIAN_ARITHMETIC:
+            return spot * jnp.mean(jnp.exp(cum_lin))
+        if payoff == PayoffKind.FORWARD_START:
+            assert forward_start_step is not None
+            tail = jnp.arange(timesteps) >= forward_start_step
+            return spot * jnp.exp(jnp.sum(jnp.where(tail, lin, 0.0)))
+        vol_m, lam_m, mu_jt, sd_jt = (contract[i].astype(dtype) for i in (5, 6, 7, 8))
+        m_t = jnp.exp(mu_jt + 0.5 * sd_jt * sd_jt) - 1.0
+        vol_sq_dt = (vol_m * vsa) ** 2 * dt  # per-step diffusion variance
+        a_dt = lin - lam_m * m_t * dt - 0.5 * vol_sq_dt  # per-step log-drift
+        if payoff == PayoffKind.VARIANCE_SWAP:
+            mean_inc = a_dt + lam_m * dt * mu_jt
+            var_inc = vol_sq_dt + lam_m * dt * (sd_jt * sd_jt + mu_jt * mu_jt)
+            return jnp.sum(var_inc + mean_inc * mean_inc) / maturity
+        if payoff == PayoffKind.CLIQUET:
+            from jax.scipy.special import gammaln
+
+            from spectralmc_tpu.ops.gbm import expected_clipped_lognormal_return
+
+            assert (
+                cliquet_reset_every is not None
+                and cliquet_floor is not None
+                and cliquet_cap is not None
+            )
+            periods = timesteps // cliquet_reset_every
+            mu_p = jnp.sum(a_dt.reshape(periods, cliquet_reset_every), axis=1)
+            s2_p = jnp.sum(vol_sq_dt.reshape(periods, cliquet_reset_every), axis=1)
+            lam_p = lam_m * dt * jnp.asarray(cliquet_reset_every, dtype)
+            p = jnp.arange(64, dtype=dtype)
+            log_lam_p = jnp.log(jnp.maximum(lam_p, jnp.finfo(dtype).tiny))
+            log_w = -lam_p + p * log_lam_p - gammaln(p + 1.0)
+            w = jnp.where(lam_p > 0.0, jnp.exp(log_w), jnp.where(p == 0.0, 1.0, 0.0))
+            mu_k = mu_p[:, None] + p[None, :] * mu_jt
+            s_k = jnp.sqrt(s2_p[:, None] + p[None, :] * sd_jt * sd_jt)
+            e_clip = expected_clipped_lognormal_return(
+                mu_k, s_k, jnp.asarray(cliquet_floor, dtype), jnp.asarray(cliquet_cap, dtype)
+            )
+            return jnp.sum(w[None, :] * e_clip)
+        if payoff == PayoffKind.DIGITAL:
+            from jax.scipy.special import erf, gammaln
+
+            strike_d = contract[1].astype(dtype)
+            lam_t = lam_m * maturity
+            k = jnp.arange(64, dtype=dtype)
+            log_lam_t = jnp.log(jnp.maximum(lam_t, jnp.finfo(dtype).tiny))
+            log_w = -lam_t + k * log_lam_t - gammaln(k + 1.0)
+            w = jnp.where(lam_t > 0.0, jnp.exp(log_w), jnp.where(k == 0.0, 1.0, 0.0))
+            drift_tot = jnp.sum(a_dt)
+            var_k = jnp.sum(vol_sq_dt) + k * sd_jt * sd_jt
+            d_k = (jnp.log(spot / strike_d) + drift_tot + k * mu_jt) / jnp.sqrt(var_k)
+            prob_up = jnp.sum(
+                w * 0.5 * (1.0 + erf(d_k / jnp.sqrt(jnp.asarray(2.0, dtype))))
+            )
+            return strike_d + 2.0 * prob_up - 1.0
+        return None
     if payoff == PayoffKind.TERMINAL:
         return spot * jnp.exp((rate - div_yield) * maturity)
     if payoff == PayoffKind.ASIAN_ARITHMETIC:

@@ -262,9 +262,16 @@ def bench_wide_spectrum(*, tiny: bool, implementation: str) -> float:
     return reps / (time.perf_counter() - start)
 
 
-def bench_inference(*, tiny: bool) -> float:
-    """Serving throughput: predict_price contracts/sec through the jitted
-    IFFT∘CVNN program (one compile per batch shape, then steady-state)."""
+def bench_inference(*, tiny: bool) -> tuple[float, dict[str, float]]:
+    """Serving metrics: (contracts/sec at the big batch, latency extras).
+
+    Throughput is the steady-state 4096-contract batch through the jitted
+    IFFT∘CVNN program (one compile per batch shape). The latency extras are
+    per-call wall p50/p99 in ms at bucketed batch sizes — the number the
+    tracking client's poll loop budget protects (reference
+    storage/inference.py:326-388): keys
+    ``inference_p50_ms_b{N}`` / ``inference_p99_ms_b{N}``.
+    """
     import time as _time
 
     import numpy as np
@@ -312,7 +319,25 @@ def bench_inference(*, tiny: bool) -> float:
         start = _time.perf_counter()
         pricer.predict_price(contracts)
         best = min(best, _time.perf_counter() - start)
-    return n / best
+    throughput = n / best
+
+    # per-call latency percentiles at bucketed batch sizes: every call ends
+    # on host (predict_price returns numpy), so wall time IS the serving
+    # latency a client sees
+    sizes = (1, 16) if tiny else (1, 64, 1024, 4096)
+    reps = 10 if tiny else 40
+    extras: dict[str, float] = {}
+    for b in sizes:
+        batch = contracts[:b] if b <= n else contracts * (b // n)
+        pricer.predict_price(batch)  # compile this bucket + warmup
+        lat = np.empty(reps)
+        for i in range(reps):
+            start = _time.perf_counter()
+            pricer.predict_price(batch)
+            lat[i] = _time.perf_counter() - start
+        extras[f"inference_p50_ms_b{b}"] = float(np.percentile(lat, 50) * 1e3)
+        extras[f"inference_p99_ms_b{b}"] = float(np.percentile(lat, 99) * 1e3)
+    return throughput, extras
 
 
 def bench_charfn_quality(*, tiny: bool) -> tuple[float, float]:
@@ -943,7 +968,7 @@ def main() -> None:
     american_mae, american_rel_mae = bench_family_quality(tiny=tiny, family="american")
     merton_mae, merton_rel_mae = bench_family_quality(tiny=tiny, family="merton")
     qmc_ps, qmc_pathgen_ps, qmc_rmse_reduction = bench_qmc(tiny=tiny)
-    inference_cps = bench_inference(tiny=tiny)
+    inference_cps, inference_latency = bench_inference(tiny=tiny)
 
     print(
         f"[bench] device={jax.devices()[0].device_kind} engine={engine} "
@@ -971,7 +996,8 @@ def main() -> None:
         f"qmc_path_steps_per_sec={qmc_ps:.3e} "
         f"qmc_pathgen_path_steps_per_sec={qmc_pathgen_ps:.3e} "
         f"qmc_rmse_reduction={qmc_rmse_reduction:.1f} "
-        f"inference_contracts_per_sec={inference_cps:.3e}",
+        f"inference_contracts_per_sec={inference_cps:.3e} "
+        + " ".join(f"{k}={v:.2f}" for k, v in sorted(inference_latency.items())),
         file=sys.stderr,
     )
     vs = path_steps_per_sec / (BASELINE_MULTIPLIER * A100_REFERENCE_PATH_STEPS_PER_SEC)
@@ -1053,6 +1079,7 @@ def main() -> None:
                     "qmc_pathgen_path_steps_per_sec": qmc_pathgen_ps,
                     "qmc_rmse_reduction": qmc_rmse_reduction,
                     "inference_contracts_per_sec": inference_cps,
+                    **inference_latency,
                 },
             }
         )

@@ -50,6 +50,23 @@ def main(argv: list[str] | None = None) -> int:
         print("FAILED at pyproject", file=sys.stderr)
         return proc.returncode
 
+    # annotation-coverage census (mypy is not installable in this image, so
+    # the type-enforcement gap must be quantified, not silent): floors are
+    # the measured round-4 values — coverage may only ratchet up, Any only
+    # down (tools/type_coverage.py docstring).
+    print("==> type-coverage")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(Path(__file__).parent / "type_coverage.py"),
+            "--min-coverage", "90.0",
+            "--max-any", "210",
+        ]
+    )
+    if proc.returncode != 0:
+        print("FAILED at type-coverage", file=sys.stderr)
+        return proc.returncode
+
     if not args.no_external:
         for name, cmd in EXTERNAL:
             if shutil.which(cmd[0]) is None:

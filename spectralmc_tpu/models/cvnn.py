@@ -164,7 +164,15 @@ class NaiveComplexBatchNorm:
         }
         return params, state, in_dim
 
-    def _bn(self, x, gamma, beta, mean, var, train):
+    def _bn(
+        self,
+        x: jax.Array,
+        gamma: jax.Array,
+        beta: jax.Array,
+        mean: jax.Array,
+        var: jax.Array,
+        train: bool,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
         if train:
             batch_mean = jnp.mean(x, axis=0)
             batch_var = jnp.var(x, axis=0)
@@ -190,7 +198,9 @@ class NaiveComplexBatchNorm:
         return out_re, out_im, {"mean_re": m_re, "var_re": v_re, "mean_im": m_im, "var_im": v_im}
 
 
-def _inv_sqrt_2x2(c_rr: jax.Array, c_ri: jax.Array, c_ii: jax.Array, eps: float):
+def _inv_sqrt_2x2(
+    c_rr: jax.Array, c_ri: jax.Array, c_ii: jax.Array, eps: float
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Closed-form inverse square root of SPD [[c_rr, c_ri], [c_ri, c_ii]].
 
     With tau = trace, s = sqrt(det), t = sqrt(tau + 2 s):

@@ -170,7 +170,10 @@ def _lsmc_backward(
 
     cf_terminal = immediate(to_price(price_rows[n - 1]))
 
-    def backward(cf_next: jax.Array, per_date) -> tuple[jax.Array, None]:
+    def backward(
+        cf_next: jax.Array,
+        per_date: tuple[jax.Array, jax.Array | None, jax.Array],
+    ) -> tuple[jax.Array, None]:
         row_t, extra, disc_step = per_date
         s_t = to_price(row_t)
         y = disc_step * cf_next  # continuation cashflow valued at THIS date
@@ -217,7 +220,9 @@ def _lsmc_backward(
         disc_rev = disc_to_prev[1:][::-1]
         disc_final = disc_to_prev[0]
     if extra_rows is None:
-        def backward_no_extra(cf_next: jax.Array, per_date):
+        def backward_no_extra(
+            cf_next: jax.Array, per_date: tuple[jax.Array, jax.Array]
+        ) -> tuple[jax.Array, None]:
             s_t, disc_step = per_date
             return backward(cf_next, (s_t, None, disc_step))
 
@@ -470,7 +475,9 @@ def heston_state_rows(
     bit-exactly against the European simulator's terminal values."""
     from spectralmc_tpu.ops.heston import heston_component_normals, heston_euler_step
 
-    def fwd(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+    def fwd(
+        carry: tuple[jax.Array, jax.Array], t: jax.Array
+    ) -> tuple[tuple[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]:
         logx, v = carry
         z_v = heston_component_normals(row_keys, sign, t, 0, cols, dtype)
         z_orth = heston_component_normals(row_keys, sign, t, 1, cols, dtype)
@@ -730,7 +737,9 @@ def basket_state_rows(
 
     a_n = log_spots.shape[0]
 
-    def fwd(logx: jax.Array, t: jax.Array):
+    def fwd(
+        logx: jax.Array, t: jax.Array
+    ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
         z = basket_component_normals(row_keys, sign, t, a_n, cols, dtype)
         nxt = basket_euler_step(logx, z, drift=drift, sig_sqdt=sig_sqdt, chol=chol)
         lg = jnp.einsum("a,arc->rc", weights, nxt)  # log geometric basket

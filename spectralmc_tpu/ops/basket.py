@@ -347,7 +347,7 @@ def simulate_basket_underlier_rows(
 
             def body_cq(
                 carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array
-            ):
+            ) -> tuple[tuple[jax.Array, jax.Array, jax.Array], None]:
                 logx, start, acc = carry
                 logx = basket_euler_step(
                     logx, normals(t), drift=drift_at(t), sig_sqdt=sig_sqdt_at(t), chol=chol
@@ -372,7 +372,9 @@ def simulate_basket_underlier_rows(
 
             # capture ln B_m (state after step m−1); the arithmetic combine
             # couples B_m to the per-asset levels, so the full path walks
-            def body_fs(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+            def body_fs(
+                carry: tuple[jax.Array, jax.Array], t: jax.Array
+            ) -> tuple[tuple[jax.Array, jax.Array], None]:
                 logx, cap = carry
                 logx = basket_euler_step(
                     logx, normals(t), drift=drift_at(t), sig_sqdt=sig_sqdt_at(t), chol=chol
@@ -388,7 +390,9 @@ def simulate_basket_underlier_rows(
             # u = B₀·B_T/B_m (ops/gbm.py::PayoffKind.FORWARD_START)
             return jnp.exp(b0 + log_basket(logx_f) - cap_f)
 
-        def body_var(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
+        def body_var(
+            carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array
+        ) -> tuple[tuple[jax.Array, jax.Array, jax.Array], None]:
             logx, prev_lb, acc = carry
             logx = basket_euler_step(
                 logx, normals(t), drift=drift_at(t), sig_sqdt=sig_sqdt_at(t), chol=chol
@@ -405,7 +409,9 @@ def simulate_basket_underlier_rows(
         )
         return acc_v / maturity  # annualized (ops/gbm.py::PayoffKind)
 
-    def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+    def body(
+        carry: tuple[jax.Array, jax.Array], t: jax.Array
+    ) -> tuple[tuple[jax.Array, jax.Array], None]:
         logx, acc = carry
         logx = basket_euler_step(logx, normals(t), drift=drift_at(t), sig_sqdt=sig_sqdt_at(t), chol=chol)
         if track_extreme:

@@ -31,7 +31,7 @@ import enum
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Any
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -1147,7 +1147,7 @@ def _normals_source(
     antithetic_half: int | None,
     sampling: "SamplingKind",
     mc_seed: int,
-):
+) -> "Callable[[jax.Array], jax.Array]":
     """``t -> [rows, cols]`` per-step normals closure — the sampling seam.
 
     PSEUDO: the canonical (contract_key, global row, timestep) threefry
@@ -1445,12 +1445,12 @@ def simulate_underlier_rows(
         # and carries just the running log-ratio.
         if scheme == PathScheme.LOG_EULER:
 
-            def body_f(acc: jax.Array, t: jax.Array):
+            def body_f(acc: jax.Array, t: jax.Array) -> tuple[jax.Array, None]:
                 return acc + log_drift(t) + vol_step(t) * normals(t), None
 
         else:
 
-            def body_f(acc: jax.Array, t: jax.Array):
+            def body_f(acc: jax.Array, t: jax.Array) -> tuple[jax.Array, None]:
                 inc = jnp.log(jnp.abs(1.0 + lin_drift(t) + vol_step(t) * normals(t)))
                 return acc + inc, None
 
@@ -1475,7 +1475,9 @@ def simulate_underlier_rows(
         cap_c = jnp.asarray(cliquet_cap, dtype)
         k_c = cliquet_reset_every
 
-        def close_period(per: jax.Array, acc: jax.Array, t: jax.Array):
+        def close_period(
+            per: jax.Array, acc: jax.Array, t: jax.Array
+        ) -> tuple[jax.Array, jax.Array]:
             boundary = (t + 1) % k_c == 0
             clipped = jnp.clip(jnp.exp(per) - 1.0, floor_c, cap_c)
             acc = jnp.where(boundary, acc + clipped, acc)
@@ -1484,14 +1486,18 @@ def simulate_underlier_rows(
 
         if scheme == PathScheme.LOG_EULER:
 
-            def body_c(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+            def body_c(
+                carry: tuple[jax.Array, jax.Array], t: jax.Array
+            ) -> tuple[tuple[jax.Array, jax.Array], None]:
                 per, acc = carry
                 per = per + log_drift(t) + vol_step(t) * normals(t)
                 return close_period(per, acc, t), None
 
         else:
 
-            def body_c(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+            def body_c(
+                carry: tuple[jax.Array, jax.Array], t: jax.Array
+            ) -> tuple[tuple[jax.Array, jax.Array], None]:
                 per, acc = carry
                 per = per + jnp.log(jnp.abs(1.0 + lin_drift(t) + vol_step(t) * normals(t)))
                 return close_period(per, acc, t), None
@@ -1507,13 +1513,13 @@ def simulate_underlier_rows(
         # the running sum of squares.
         if scheme == PathScheme.LOG_EULER:
 
-            def body_v(acc: jax.Array, t: jax.Array):
+            def body_v(acc: jax.Array, t: jax.Array) -> tuple[jax.Array, None]:
                 inc = log_drift(t) + vol_step(t) * normals(t)
                 return acc + inc * inc, None
 
         else:
 
-            def body_v(acc: jax.Array, t: jax.Array):
+            def body_v(acc: jax.Array, t: jax.Array) -> tuple[jax.Array, None]:
                 inc = jnp.log(jnp.abs(1.0 + lin_drift(t) + vol_step(t) * normals(t)))
                 return acc + inc * inc, None
 
@@ -1528,7 +1534,9 @@ def simulate_underlier_rows(
         if scheme == PathScheme.LOG_EULER:
             level = jnp.log(spot * jnp.asarray(barrier_rel, dtype))
 
-            def body_b(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+            def body_b(
+                carry: tuple[jax.Array, jax.Array], t: jax.Array
+            ) -> tuple[tuple[jax.Array, jax.Array], None]:
                 logx, ext = carry
                 logx = logx + log_drift(t) + vol_step(t) * normals(t)
                 return (logx, extreme_fn(ext, logx)), None
@@ -1539,7 +1547,9 @@ def simulate_underlier_rows(
         else:
             level = spot * jnp.asarray(barrier_rel, dtype)
 
-            def body_be(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+            def body_be(
+                carry: tuple[jax.Array, jax.Array], t: jax.Array
+            ) -> tuple[tuple[jax.Array, jax.Array], None]:
                 x, ext = carry
                 x = jnp.abs(x * (1.0 + lin_drift(t) + vol_step(t) * normals(t)))
                 return (x, extreme_fn(ext, x)), None
@@ -1554,7 +1564,9 @@ def simulate_underlier_rows(
         extreme_fn = jnp.maximum if payoff in LOOKBACK_MAX_PAYOFFS else jnp.minimum
         if scheme == PathScheme.LOG_EULER:
 
-            def body_l(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+            def body_l(
+                carry: tuple[jax.Array, jax.Array], t: jax.Array
+            ) -> tuple[tuple[jax.Array, jax.Array], None]:
                 logx, ext = carry
                 logx = logx + log_drift(t) + vol_step(t) * normals(t)
                 return (logx, extreme_fn(ext, logx)), None
@@ -1564,7 +1576,9 @@ def simulate_underlier_rows(
             terminal, extreme = jnp.exp(logx), jnp.exp(ext)
         else:
 
-            def body_le(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+            def body_le(
+                carry: tuple[jax.Array, jax.Array], t: jax.Array
+            ) -> tuple[tuple[jax.Array, jax.Array], None]:
                 x, ext = carry
                 x = jnp.abs(x * (1.0 + lin_drift(t) + vol_step(t) * normals(t)))
                 return (x, extreme_fn(ext, x)), None
@@ -1576,7 +1590,9 @@ def simulate_underlier_rows(
     geometric = payoff == PayoffKind.ASIAN_GEOMETRIC
     if scheme == PathScheme.LOG_EULER:
 
-        def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+        def body(
+            carry: tuple[jax.Array, jax.Array], t: jax.Array
+        ) -> tuple[tuple[jax.Array, jax.Array], None]:
             logx, acc = carry
             logx = logx + log_drift(t) + vol_step(t) * normals(t)
             acc = acc + (logx if geometric else jnp.exp(logx))
@@ -1588,7 +1604,9 @@ def simulate_underlier_rows(
         )
     else:
 
-        def body_euler(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+        def body_euler(
+            carry: tuple[jax.Array, jax.Array], t: jax.Array
+        ) -> tuple[tuple[jax.Array, jax.Array], None]:
             x, acc = carry
             x = jnp.abs(x * (1.0 + lin_drift(t) + vol_step(t) * normals(t)))
             acc = acc + (jnp.log(x) if geometric else x)

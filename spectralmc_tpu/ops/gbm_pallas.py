@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -251,7 +252,9 @@ def _radius_from_sq(x: jax.Array) -> jax.Array:
     return x * jax.lax.rsqrt(jnp.maximum(x, jnp.float32(1e-30)))
 
 
-def _fori_unrolled(n: int, body, init, unroll: int = 4):
+def _fori_unrolled(
+    n: int, body: "Callable[[Any], Any]", init: Any, unroll: int = 4
+) -> Any:
     """fori_loop over ``body(carry)`` in groups of ``unroll`` + remainder.
 
     Mosaic's fori_loop supports only unroll=1 or full unroll; grouping by 4
@@ -260,7 +263,7 @@ def _fori_unrolled(n: int, body, init, unroll: int = 4):
     stream — is exactly the sequential loop's.
     """
 
-    def grouped(_t: jax.Array, carry):
+    def grouped(_t: jax.Array, carry: Any) -> Any:
         for _ in range(unroll):
             carry = body(carry)
         return carry
@@ -273,7 +276,9 @@ def _fori_unrolled(n: int, body, init, unroll: int = 4):
     return carry
 
 
-def _fori_unrolled_idx(n: int, body, init, unroll: int = 4):
+def _fori_unrolled_idx(
+    n: int, body: "Callable[[Any, Any], Any]", init: Any, unroll: int = 4
+) -> Any:
     """``_fori_unrolled`` whose body receives the step index: ``body(t, c)``.
 
     Needed by the term-structure kernel, whose per-step coefficients live in
@@ -282,7 +287,7 @@ def _fori_unrolled_idx(n: int, body, init, unroll: int = 4):
     the stateful PRNG's bit stream — is exactly the sequential loop's.
     """
 
-    def grouped(g: jax.Array, carry):
+    def grouped(g: jax.Array, carry: Any) -> Any:
         for k in range(unroll):
             carry = body(g * unroll + k, carry)
         return carry
@@ -1107,11 +1112,15 @@ def _terminal_pallas_diff(
             antithetic=antithetic,
         )
 
-    def fwd(key: jax.Array, contract: jax.Array):
+    def fwd(
+        key: jax.Array, contract: jax.Array
+    ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
         out = f(key, contract)
         return out, (out, contract)
 
-    def bwd(res, g):
+    def bwd(
+        res: tuple[jax.Array, jax.Array], g: jax.Array
+    ) -> tuple[None, jax.Array]:
         out, contract = res
         return (None, terminal_pathwise_vjp(g, out, contract, factors))
 
@@ -2389,7 +2398,7 @@ def _basket_block_kernel(
             acc = acc + jnp.float32(weights[a]) * jnp.exp(logx[a])
         return acc
 
-    def advance(logx) -> list[jax.Array]:
+    def advance(logx: tuple[jax.Array, ...]) -> list[jax.Array]:
         z = raw_normals()
         new_logx = []
         for a in range(a_n):
@@ -2410,7 +2419,9 @@ def _basket_block_kernel(
         # arithmetic combine reaches here (the wrapper routes the geometric
         # combine through the terminal-tail trick): walk the full path and
         # capture B_m (state after step m−1)
-        def step_fs(t: jax.Array, carry):
+        def step_fs(
+            t: jax.Array, carry: tuple[tuple[jax.Array, ...], jax.Array]
+        ) -> tuple[tuple[jax.Array, ...], jax.Array]:
             logx, cap = carry
             new_logx = advance(logx)
             cap = jnp.where(
@@ -2428,7 +2439,7 @@ def _basket_block_kernel(
         # realized variance of the BASKET value (combine convention): the
         # geometric combine's ln B is the weighted log-sum directly; the
         # arithmetic combine takes ln of the mixed value
-        def log_basket_value(logx) -> jax.Array:
+        def log_basket_value(logx: tuple[jax.Array, ...]) -> jax.Array:
             if geometric_combine:
                 lb = jnp.float32(weights[0]) * logx[0]
                 for a in range(1, a_n):
@@ -2436,7 +2447,9 @@ def _basket_block_kernel(
                 return lb
             return jnp.log(basket_value(logx))
 
-        def step_var(carry):
+        def step_var(
+            carry: tuple[tuple[jax.Array, ...], jax.Array, jax.Array]
+        ) -> tuple[tuple[jax.Array, ...], jax.Array, jax.Array]:
             logx, prev_lb, acc = carry
             new_logx = advance(logx)
             lb = log_basket_value(new_logx)
@@ -2451,7 +2464,7 @@ def _basket_block_kernel(
         out_ref[:, :] = acc_v / maturity  # annualized (ops/gbm.py::PayoffKind)
         return
 
-    def step(carry):
+    def step(carry: tuple[Any, jax.Array]) -> tuple[Any, jax.Array]:
         logx, acc = carry
         new_logx = advance(logx)
         if track_extreme:
@@ -3046,7 +3059,7 @@ def _merton_block_kernel(
     extreme_fn = jnp.maximum if up else jnp.minimum
     inv_n = jnp.float32(1.0 / timesteps)
 
-    def step(carry):
+    def step(carry: tuple[Any, jax.Array]) -> tuple[Any, jax.Array]:
         logx, acc = carry
         u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
         u2 = _uniform_24bit(gen_shape)

@@ -257,7 +257,7 @@ def make_mc_greeks_fn(
     delta_fn = jax.grad(price_fn, argnums=1)
 
     @jax.jit
-    def run(draw_index: jax.Array, contract: jax.Array):
+    def run(draw_index: jax.Array, contract: jax.Array) -> Any:
         price, grad = value_and_grad(draw_index, contract)
         h = gamma_rel_bump * contract[0]
         bump = jnp.zeros_like(contract).at[0].set(h)
@@ -424,7 +424,9 @@ def term_bucket_greeks(
     payoff_kind = sim.payoff
 
     @jax.jit
-    def price_and_ladders(shapes: tuple[jax.Array, jax.Array, jax.Array]):
+    def price_and_ladders(
+        shapes: tuple[jax.Array, jax.Array, jax.Array],
+    ) -> Any:
         def price(sh: tuple[jax.Array, jax.Array, jax.Array]) -> jax.Array:
             vsa, rsa, qsa = sh
             vol_t = vol * vsa
@@ -433,7 +435,9 @@ def term_bucket_greeks(
                 drift = lin - 0.5 * vol_t * vol_t * dt
                 vstep = vol_t * sqrt_dt
 
-                def body(carry, t):
+                def body(
+                    carry: tuple[jax.Array, jax.Array], t: jax.Array
+                ) -> tuple[tuple[jax.Array, jax.Array], None]:
                     logx, acc = carry
                     if variance:
                         inc = drift[t] + vstep[t] * normals(t)
@@ -471,7 +475,9 @@ def term_bucket_greeks(
                 growth = 1.0 + lin
                 vstep = vol_t * sqrt_dt
 
-                def body_e(carry, t):
+                def body_e(
+                    carry: tuple[jax.Array, jax.Array], t: jax.Array
+                ) -> tuple[tuple[jax.Array, jax.Array], None]:
                     x, acc = carry
                     if variance:
                         g = growth[t] + vstep[t] * normals(t)
@@ -584,7 +590,7 @@ def make_bump_greeks_fn(
     floor = 1e-3
 
     @jax.jit
-    def run(draw_index: jax.Array, contract: jax.Array):
+    def run(draw_index: jax.Array, contract: jax.Array) -> Any:
         d = contract.shape[0]
         h = rel_bump * jnp.maximum(jnp.abs(contract), floor)  # [D]
         bumps = jnp.eye(d, dtype=contract.dtype) * h[:, None]  # [D, D]

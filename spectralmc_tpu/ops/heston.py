@@ -250,7 +250,7 @@ def simulate_heston_underlier_rows(
     )
     if term is None:
 
-        def step_args(t: jax.Array) -> dict:
+        def step_args(t: jax.Array) -> dict[str, jax.Array]:
             return step_consts
 
     else:
@@ -258,7 +258,7 @@ def simulate_heston_underlier_rows(
         rate_arr = rate * jnp.asarray(rs, dtype)
         div_arr = div_yield * jnp.asarray(qs, dtype)
 
-        def step_args(t: jax.Array) -> dict:
+        def step_args(t: jax.Array) -> dict[str, jax.Array]:
             return dict(step_consts, rate=rate_arr[t], div_yield=div_arr[t])
 
     variance = payoff == PayoffKind.VARIANCE_SWAP
@@ -279,7 +279,7 @@ def simulate_heston_underlier_rows(
 
         def body_cq(
             carry: tuple[jax.Array, jax.Array, jax.Array, jax.Array], t: jax.Array
-        ):
+        ) -> tuple[tuple[jax.Array, jax.Array, jax.Array, jax.Array], None]:
             logx, v, start, acc = carry
             z_v = component_normals(t, 0)
             z_orth = component_normals(t, 1)
@@ -300,7 +300,9 @@ def simulate_heston_underlier_rows(
         )
         return acc_cq
 
-    def body(carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array):
+    def body(
+        carry: tuple[jax.Array, jax.Array, jax.Array], t: jax.Array
+    ) -> tuple[tuple[jax.Array, jax.Array, jax.Array], None]:
         logx, v, acc = carry
         z_v = component_normals(t, 0)
         z_orth = component_normals(t, 1)

@@ -281,7 +281,7 @@ def simulate_merton_underlier_rows(
 
         # exact transitions make the tail increments independent of S_m, so
         # the ratio S_T/S_m integrates steps m..N−1 only (ops/gbm.py)
-        def body_f(acc: jax.Array, t: jax.Array):
+        def body_f(acc: jax.Array, t: jax.Array) -> tuple[jax.Array, None]:
             z_d = diffusion_normals(t)
             z_j = merton_component_normals(row_keys, sign, t, 1, cols, dtype)
             counts = merton_jump_counts(row_keys, t, lam_dt, cols, dtype)
@@ -307,7 +307,9 @@ def simulate_merton_underlier_rows(
         floor_c = jnp.asarray(cliquet_floor, dtype)
         cap_c = jnp.asarray(cliquet_cap, dtype)
 
-        def body_cq(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+        def body_cq(
+            carry: tuple[jax.Array, jax.Array], t: jax.Array
+        ) -> tuple[tuple[jax.Array, jax.Array], None]:
             per, acc = carry
             z_d = diffusion_normals(t)
             z_j = merton_component_normals(row_keys, sign, t, 1, cols, dtype)
@@ -326,7 +328,9 @@ def simulate_merton_underlier_rows(
         )
         return acc_cq
 
-    def body(carry: tuple[jax.Array, jax.Array], t: jax.Array):
+    def body(
+        carry: tuple[jax.Array, jax.Array], t: jax.Array
+    ) -> tuple[tuple[jax.Array, jax.Array], None]:
         logx, acc = carry
         z_d = diffusion_normals(t)
         z_j = merton_component_normals(row_keys, sign, t, 1, cols, dtype)

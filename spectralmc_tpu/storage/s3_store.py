@@ -56,7 +56,7 @@ class S3ObjectStore:
             max_pool_connections=50, retries={"max_attempts": 3, "mode": "adaptive"}
         )
 
-    def _client(self):
+    def _client(self) -> "object":
         return self._session.client("s3", endpoint_url=self._endpoint, config=self._config)
 
     async def get(self, key: str) -> Result[tuple[bytes, str], StoreOpError]:

@@ -1041,7 +1041,7 @@ class GbmCVNNPricer:
         )
 
         @jax.jit
-        def run(params: Any, bn_state: Any, arr: jax.Array):
+        def run(params: Any, bn_state: Any, arr: jax.Array) -> Any:
             inputs = normalize_fn(arr)
             out_re, out_im, _ = model.apply(
                 params, bn_state, inputs, jnp.zeros_like(inputs), train=False
@@ -1182,8 +1182,10 @@ class GbmCVNNPricer:
             return put + df * (mean_target(row) - row[1])
 
         @jax.jit
-        def run(params: Any, bn_state: Any, arr: jax.Array):
-            def price_jac_gamma(fn: Callable[..., jax.Array]):
+        def run(params: Any, bn_state: Any, arr: jax.Array) -> Any:
+            def price_jac_gamma(
+                fn: Callable[..., jax.Array],
+            ) -> tuple[jax.Array, jax.Array, jax.Array]:
                 scalar = lambda r: fn(params, bn_state, r)  # noqa: E731
                 prices = jax.vmap(scalar)(arr)
                 jac = jax.vmap(jax.grad(scalar))(arr)

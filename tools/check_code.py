@@ -59,8 +59,8 @@ def main(argv: list[str] | None = None) -> int:
         [
             sys.executable,
             str(Path(__file__).parent / "type_coverage.py"),
-            "--min-coverage", "90.0",
-            "--max-any", "210",
+            "--min-coverage", "100.0",
+            "--max-any", "220",
         ]
     )
     if proc.returncode != 0:

@@ -13,8 +13,10 @@ resulting gap MEASURABLE instead of silent:
 * ``Any`` census — explicit ``Any`` annotations per module (each is a hole
   mypy could never see through anyway).
 
-``check_code.py`` runs it with ``--min-coverage``/``--max-any`` floors set
-at the measured round-4 values, so the numbers can only improve.
+``check_code.py`` runs it with ``--min-coverage 100``/``--max-any`` floors
+(round 4 annotated every def; kernel bodies are Tier-3-exempt below), so
+every future def must be fully annotated and the Any census can only
+shrink.
 """
 
 from __future__ import annotations
@@ -58,6 +60,13 @@ class _Census(ast.NodeVisitor):
         self._fn(node)
 
     def _fn(self, node: ast.FunctionDef | ast.AsyncFunctionDef) -> None:
+        # Pallas kernel bodies are the Tier-3 boundary (the reference's
+        # purity checker exempts GPU kernels the same way, SURVEY §2.10):
+        # their parameters are Mosaic Ref objects with no useful public
+        # type, and annotating them as Any would only pad the Any census.
+        if node.name.endswith("_kernel"):
+            self.generic_visit(node)
+            return
         self.total += 1
         if _is_annotated_fn(node):
             self.annotated += 1

@@ -558,8 +558,14 @@ def bench_family_quality(*, tiny: bool, family: str) -> tuple[float, float]:
 
         bounds = {**market_bounds, "vol": BoundSpec(lower=0.2, upper=0.3)}
         n_dates = 4 if tiny else 16
+        # 256 rows x 32 cols = 8192 paths per LSMC draw: the in-sample
+        # (look-ahead) regression bias of the 2048-path round-3 budget was
+        # +1.9% — the dominant term of the held-out gate
+        # (benchmarks/american_quality_lab.py; docs/performance.md round-4
+        # quality decomposition). At 8k paths the target bias is ~0.5%.
         sim = build_simulation_params(
-            timesteps=n_dates, network_size=32, batches_per_mc_run=64, mc_seed=7,
+            timesteps=n_dates, network_size=32,
+            batches_per_mc_run=64 if tiny else 256, mc_seed=7,
             payoff="american_put", normalization="none",
         ).expect("sim")
 

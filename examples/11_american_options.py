@@ -52,6 +52,19 @@ def main() -> None:
     print(f"  European (Black):                  {euro:.4f}")
     print(f"  early-exercise premium:            {result.price - result.european:.4f}")
 
+    # split-sample estimator: fit the exercise policy on half the paths,
+    # price on the other half — the out-of-sample price is a statistical
+    # lower bound (no look-ahead) and in_sample_price the classic high-biased
+    # estimate, so the pair BRACKETS the true Bermudan price.
+    bracket = lsmc_price(
+        jax.random.PRNGKey(7), contract, timesteps=dates, paths=1 << 17,
+        option=OptionSide.PUT, split_sample=True,
+    )
+    print(
+        f"  split-sample bracket: [{bracket.price:.4f} (out-of-sample), "
+        f"{bracket.in_sample_price:.4f} (in-sample)] ± {bracket.std_error:.4f}"
+    )
+
     # ---- American as a FIRST-CLASS family (round 3): the same train →
     # predict → greeks pipeline every other family uses, via
     # payoff="american_put" (LSMC cashflows feed the learned spectrum).

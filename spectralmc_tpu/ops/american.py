@@ -82,8 +82,24 @@ def _lsmc_backward(
     extra_rows: jax.Array | None = None,  # [monitor dates, ...] per-date state
     disc_to_prev: jax.Array | None = None,  # [monitor dates] per-segment df
     rows_in_log_space: bool = False,
+    fit_mask: jax.Array | None = None,  # [...path dims...] 1.0 = regression half
 ) -> jax.Array:
     """Longstaff–Schwartz backward induction → cashflows discounted to t=0.
+
+    ``fit_mask`` (split-sample estimator): when given, the per-date
+    regression moments are restricted to the mask's paths — the continuation
+    surface is fitted on the fit half only, and the resulting exercise policy
+    is applied to EVERY path. For fit-half paths this is exactly the classic
+    single-sample recursion run on that half alone (their moments involve
+    only their own cashflows); for the complement the policy is evaluated
+    OUT-OF-SAMPLE, which removes Longstaff–Schwartz look-ahead bias: a
+    suboptimal-but-independent policy makes the complement's mean cashflow a
+    true lower bound on the Bermudan price in expectation, while the fit
+    half's mean keeps the classic high-biased estimate — together they
+    bracket the price (docs/performance.md, American quality decomposition;
+    the reference has no early-exercise support at all). β is invariant to
+    the moment normalization (gram and rhs scale together and the Tikhonov
+    ridge is relative), so the mask needs no 2× renormalization.
 
     ``disc_to_prev`` (term structures): per-monitor-date discounts —
     ``disc_to_prev[i]`` is the discount over the segment ENDING at monitor
@@ -179,15 +195,16 @@ def _lsmc_backward(
         y = disc_step * cf_next  # continuation cashflow valued at THIS date
         exercise_now = immediate(s_t)
         itm = (exercise_now > 0.0).astype(dtype)
+        w = itm if fit_mask is None else itm * fit_mask
         x = (s_t / strike - 1.0) * 5.0
         xp = powers(x, max_a)
         vp = powers(extra * 20.0, max_b) if extra is not None else [jnp.ones_like(x)]
-        wy = itm * y
+        wy = w * y
         # ONE fused pass over the paths: all Gram moments + rhs projections
         # as sibling reductions sharing the same elementwise inputs.
         moments = (
             jnp.stack(
-                [jnp.sum(itm * xp[a] * vp[b]) for a, b in prod_exp]
+                [jnp.sum(w * xp[a] * vp[b]) for a, b in prod_exp]
                 + [jnp.sum(wy * xp[a] * vp[b]) for a, b in col_exp]
             )
             * inv_n
@@ -858,7 +875,14 @@ def simulate_basket_american_underlier_rows(
 
 @partial(
     jax.jit,
-    static_argnames=("timesteps", "paths", "dtype", "option", "basis_degree"),
+    static_argnames=(
+        "timesteps",
+        "paths",
+        "dtype",
+        "option",
+        "basis_degree",
+        "split_sample",
+    ),
 )
 def lsmc_cashflows(
     contract_key: jax.Array,
@@ -869,12 +893,21 @@ def lsmc_cashflows(
     dtype: jnp.dtype,
     option: OptionSide = OptionSide.PUT,
     basis_degree: int = 5,
+    split_sample: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """(discounted Bermudan cashflows, terminal values), both ``[paths]``.
 
     The terminal row rides along so callers can price the same-path European
     control leg without re-simulating the whole path matrix (it is the
     dominant cost at production path counts).
+
+    ``split_sample``: fit the continuation regressions on the EVEN-index
+    paths only (``split_fit_mask``) and apply the policy to every path —
+    even-path cashflows carry the classic in-sample (look-ahead, high-biased)
+    estimate, odd-path cashflows the out-of-sample lower bound
+    (``_lsmc_backward``'s ``fit_mask`` notes). Interleaving keeps both halves
+    statistically identical; the paths here carry no antithetic pairing, so
+    the halves are independent as the estimator requires.
 
     Exercise opportunities at every grid date t_1..t_N (t_N = maturity).
     The regression estimates continuation value on in-the-money paths with a
@@ -915,8 +948,16 @@ def lsmc_cashflows(
         dtype=dtype,
         put=option == OptionSide.PUT,
         basis_degree=basis_degree,
+        fit_mask=split_fit_mask(paths, dtype=dtype) if split_sample else None,
     )
     return cf, s[n - 1]  # cashflows discounted to t = 0
+
+
+def split_fit_mask(paths: int, *, dtype: jnp.dtype) -> jax.Array:
+    """The split-sample estimator's fit-half selector: 1.0 on even path
+    indices, 0.0 on odd. One definition shared by the cashflow producers and
+    the consumers that slice the two estimates back apart (``lsmc_price``)."""
+    return (jnp.arange(paths) % 2 == 0).astype(dtype)
 
 
 @dataclass(frozen=True)
@@ -932,6 +973,13 @@ class AmericanPrice:
     # payoff) — a free accuracy knob on top of antithetic pairing.
     cv_price: float = float("nan")
     cv_std_error: float = float("nan")
+    # split-sample estimator (lsmc_price(split_sample=True)): price/std_error/
+    # cv_* are then the OUT-OF-SAMPLE half (a statistical lower bound — the
+    # policy was fitted on the other half), and in_sample_price records the
+    # fit half's classic look-ahead (high-biased) mean. The pair brackets the
+    # true Bermudan price; their gap is a direct read of the LSMC policy bias
+    # at this path budget (docs/performance.md quality decomposition).
+    in_sample_price: float = float("nan")
 
 
 def lsmc_price(
@@ -943,6 +991,7 @@ def lsmc_price(
     option: OptionSide = OptionSide.PUT,
     basis_degree: int = 5,
     dtype: jnp.dtype = jnp.float32,
+    split_sample: bool = False,
 ) -> AmericanPrice:
     """Host-facing Bermudan price with standard error + same-path European.
 
@@ -950,6 +999,14 @@ def lsmc_price(
     identical paths (discounted terminal exercise only), so
     ``price >= european`` holds pathwise-statistically and the early-exercise
     premium is a low-variance difference.
+
+    ``split_sample=True`` prices with the out-of-sample estimator: the
+    continuation surface is fitted on the even-index half of the paths and
+    the resulting policy is evaluated on the odd half, whose mean is a true
+    lower bound in expectation (no look-ahead). The returned ``price``/
+    ``std_error``/``cv_*`` are the out-of-sample half's (the standard error
+    reflects the halved sample); ``in_sample_price`` keeps the fit half's
+    classic high-biased estimate so the two bracket the Bermudan price.
     """
     arr = contract.as_array(dtype)
     cf, terminal = lsmc_cashflows(
@@ -960,7 +1017,12 @@ def lsmc_price(
         dtype=dtype,
         option=option,
         basis_degree=basis_degree,
+        split_sample=split_sample,
     )
+    in_sample = float("nan")
+    if split_sample:
+        in_sample = float(jnp.mean(cf[0::2]))
+        cf, terminal = cf[1::2], terminal[1::2]
     strike, maturity, rate = (arr[i].astype(dtype) for i in (1, 2, 3))
     df = jnp.exp(-rate * maturity)
     if option == OptionSide.PUT:
@@ -993,6 +1055,7 @@ def lsmc_price(
         european=float(jnp.mean(euro)),
         cv_price=float(jnp.mean(cv)),
         cv_std_error=float(jnp.std(cv)) / float(np.sqrt(cf.size)),
+        in_sample_price=in_sample,
     )
 
 
@@ -1123,6 +1186,7 @@ __all__ = [
     "check_monitor_grid",
     "encode_monitor_prices",
     "lsmc_cashflows",
+    "split_fit_mask",
     "lsmc_price",
     "merton_state_rows",
     "simulate_american_underlier_rows",

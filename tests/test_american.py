@@ -12,7 +12,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from spectralmc_tpu.ops.american import bermudan_tree_price, lsmc_cashflows, lsmc_price
+from spectralmc_tpu.ops.american import (
+    bermudan_tree_price,
+    lsmc_cashflows,
+    lsmc_price,
+    split_fit_mask,
+)
 from spectralmc_tpu.ops.analytic import black_scholes_price
 from spectralmc_tpu.ops.greeks import OptionSide
 from tests.helpers.factories import make_contract
@@ -102,6 +107,77 @@ def test_cashflows_deterministic_and_bounded() -> None:
     assert (a >= 0.0).all()
     assert a.max() <= c.strike  # a put never pays more than K
     assert np.asarray(term_a).shape == (4096,)
+
+
+def test_split_sample_brackets_tree_at_small_budget() -> None:
+    """The split-sample estimator turns LSMC look-ahead bias into a bracket:
+    the fit half's classic (in-sample) mean is HIGH-biased, the out-of-sample
+    half's mean is a true lower bound. At a deliberately small per-draw path
+    budget (2,048 — where the quality lab measured ~+1.9% look-ahead bias,
+    docs/performance.md) the gap is visible above MC noise and the CRR-tree
+    oracle must fall inside the bracket."""
+    c = make_contract(spot=100.0, strike=110.0, vol=0.25, rate=0.05, div_yield=0.0)
+    n = 8
+    tree = bermudan_tree_price(
+        spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+        div_yield=c.div_yield, vol=c.vol, exercise_dates=n, option="put",
+    )
+    oos, ins, ses = [], [], []
+    for seed in range(12):
+        r = lsmc_price(
+            jax.random.PRNGKey(100 + seed), c, timesteps=n, paths=2048,
+            split_sample=True,
+        )
+        oos.append(r.price)
+        ins.append(r.in_sample_price)
+        ses.append(r.std_error)
+    mean_oos, mean_ins = float(np.mean(oos)), float(np.mean(ins))
+    se_mean = float(np.mean(ses)) / np.sqrt(len(oos))
+    # the look-ahead gap is positive and the oracle sits inside the bracket
+    assert mean_ins - mean_oos > 2.0 * se_mean, (mean_ins, mean_oos, se_mean)
+    assert mean_oos - 4.0 * se_mean <= tree <= mean_ins + 4.0 * se_mean, (
+        mean_oos, tree, mean_ins, se_mean,
+    )
+
+
+def test_split_sample_converges_to_tree_at_production_budget() -> None:
+    """At a production path budget both bracket legs collapse onto the tree:
+    the out-of-sample price passes the same oracle gate as the classic
+    estimator (its SE reflects the halved pricing sample)."""
+    c = make_contract(spot=100.0, strike=110.0, vol=0.25, rate=0.05, div_yield=0.0)
+    n = 16
+    r = lsmc_price(
+        jax.random.PRNGKey(7), c, timesteps=n, paths=PATHS, split_sample=True
+    )
+    tree = bermudan_tree_price(
+        spot=c.spot, strike=c.strike, maturity=c.maturity, rate=c.rate,
+        div_yield=c.div_yield, vol=c.vol, exercise_dates=n, option="put",
+    )
+    tol = max(4.0 * r.std_error, 0.005 * tree)
+    assert r.price == pytest.approx(tree, abs=tol), (r.price, tree, r.std_error)
+    assert r.in_sample_price == pytest.approx(tree, abs=tol)
+    # control variate still engages on the out-of-sample half
+    assert r.cv_std_error < r.std_error
+    assert np.isfinite(r.cv_price)
+
+
+def test_split_sample_mechanics() -> None:
+    """Mask definition, determinism, and that the split policy really is a
+    different estimator from the classic one (while the classic path stays
+    bit-identical to a fit_mask-free backward by construction)."""
+    mask = np.asarray(split_fit_mask(8, dtype=jnp.float32))
+    np.testing.assert_array_equal(mask, [1, 0, 1, 0, 1, 0, 1, 0])
+    c = make_contract(strike=105.0)
+    arr = c.as_array(jnp.float32)
+    kwargs = dict(timesteps=8, paths=4096, dtype=jnp.float32, option=OptionSide.PUT)
+    a, _ = lsmc_cashflows(jax.random.PRNGKey(1), arr, split_sample=True, **kwargs)
+    b, _ = lsmc_cashflows(jax.random.PRNGKey(1), arr, split_sample=True, **kwargs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    classic, _ = lsmc_cashflows(jax.random.PRNGKey(1), arr, **kwargs)
+    # same paths, different regression sample -> some exercise decisions flip
+    assert (np.asarray(a) != np.asarray(classic)).any()
+    assert (np.asarray(a) >= 0.0).all()
+    assert float(np.asarray(a).max()) <= c.strike
 
 
 def test_tree_oracle_converges_to_black_for_european_grid() -> None:

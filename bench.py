@@ -70,6 +70,14 @@ def _mc_runner(simulate_fn, *, timesteps: int, rows: int, cols: int, reps: int):
 
 def bench_mc(simulate_fn, *, timesteps: int, rows: int, cols: int, reps: int,
              calls: int = 3) -> float:
+    # REPS SIZING (round 4): one timed call costs ~28 ms of tunnel round
+    # trip on top of the device work (measured: benchmarks/reps_probe.py
+    # sweeps reps at fixed shape; s/rep = device + 28ms/reps fits every
+    # engine). The artifact is ADDITIVE per rep, so under-repped benches
+    # under-report: the round-3 American figure at reps=20 carried +1.4 ms
+    # on a 0.9 ms kernel. Every non-tiny reps below is sized so a call
+    # carries >= ~0.5 s of device work (artifact <= ~5%), using the
+    # device-time estimates from BENCH_r03/r04 and the probe.
     run = _mc_runner(simulate_fn, timesteps=timesteps, rows=rows, cols=cols, reps=reps)
     key = jax.random.PRNGKey(0)
     # Pre-derive all keys outside the timed region (fold_in itself compiles a
@@ -242,7 +250,7 @@ def bench_wide_spectrum(*, tiny: bool, implementation: str) -> float:
         batch_size, reps = 8, 3
     else:
         cfg = dict(timesteps=16, network_size=2048, batches_per_mc_run=16)
-        batch_size, reps = 256, 50
+        batch_size, reps = 256, 400
     model, sim, table, carry = ge._build(
         dict(**cfg, implementation=implementation), wide=True
     )
@@ -624,7 +632,7 @@ def bench_basket_throughput(*, tiny: bool) -> tuple[float, float]:
     if tiny:
         kw = dict(timesteps=4, rows=64, cols=128, reps=2)
     else:
-        kw = dict(timesteps=64, rows=2048, cols=256, reps=40)
+        kw = dict(timesteps=64, rows=2048, cols=256, reps=40)  # reps overridden per engine below
     common = dict(
         spec=spec, timesteps=kw["timesteps"], rows=kw["rows"], cols=kw["cols"],
         dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
@@ -636,9 +644,10 @@ def bench_basket_throughput(*, tiny: bool) -> tuple[float, float]:
     def pallas_fn(key, contract):
         return simulate_basket_underlier_rows_pallas(key, contract, **common)
 
-    xla_rate = bench_mc(xla_fn, **kw)
+    xla_rate = bench_mc(xla_fn, **(kw if tiny else {**kw, "reps": 150}))
     on_tpu = jax.devices()[0].platform == "tpu"
-    pallas_rate = bench_mc(pallas_fn, **kw) if on_tpu else 0.0
+    pallas_kw = kw if tiny else {**kw, "reps": 800}
+    pallas_rate = bench_mc(pallas_fn, **pallas_kw) if on_tpu else 0.0
     return pallas_rate, xla_rate
 
 
@@ -657,7 +666,7 @@ def bench_american_throughput(*, tiny: bool) -> tuple[float, float]:
     if tiny:
         kw = dict(timesteps=4, rows=32, cols=128, reps=2)
     else:
-        kw = dict(timesteps=16, rows=4096, cols=256, reps=20)  # 1.05M paths
+        kw = dict(timesteps=16, rows=4096, cols=256, reps=800)  # 1.05M paths
     common = dict(
         timesteps=kw["timesteps"], rows=kw["rows"], cols=kw["cols"],
         dtype=jnp.float32, option=OptionSide.PUT,
@@ -669,12 +678,12 @@ def bench_american_throughput(*, tiny: bool) -> tuple[float, float]:
     def pallas_fn(key, contract):
         return simulate_american_underlier_rows_pallas(key, contract, **common)
 
-    xla_rate = bench_mc(xla_fn, **kw)
+    xla_rate = bench_mc(xla_fn, **(kw if tiny else {**kw, "reps": 500}))
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu:
         return xla_rate, xla_rate
     try:
-        pallas_rate = bench_mc(pallas_fn, **kw)
+        pallas_rate = bench_mc(pallas_fn, **kw)  # reps=800: ~0.9 ms device/rep
     except Exception as exc:  # pragma: no cover - chip-side guard
         # The monitor-row kernel is the newest Mosaic surface; a lowering
         # regression must cost ONE extra, not the whole bench run.
@@ -695,12 +704,14 @@ def bench_greeks_throughput(*, tiny: bool) -> tuple[float, float]:
 
     if tiny:
         shape = dict(timesteps=8, network_size=128, batches_per_mc_run=16)
-        reps = 2
+        reps_for = {"pallas": 2, "xla": 2}
     else:
         shape = dict(timesteps=64, network_size=256, batches_per_mc_run=8192)
-        reps = 20
+        # ~2 ms/eval pallas, ~35 ms/eval xla (reps sizing note at bench_mc)
+        reps_for = {"pallas": 300, "xla": 30}
 
     def rate_for(implementation: str) -> float:
+        reps = reps_for[implementation]
         sim = build_simulation_params(
             mc_seed=7, implementation=implementation, **shape
         ).expect("sim")
@@ -758,7 +769,7 @@ def bench_qmc(*, tiny: bool) -> tuple[float, float, float]:
         kw = dict(timesteps=16, rows=64, cols=256, reps=2)
         q_reps, q_rows, q_cols, q_steps = 4, 4, 256, 8
     else:
-        kw = dict(timesteps=64, rows=8192, cols=256, reps=20)  # 2M paths/rep
+        kw = dict(timesteps=64, rows=8192, cols=256, reps=400)  # 2M paths/rep
         q_reps, q_rows, q_cols, q_steps = 16, 16, 256, 16
 
     def qmc_fn(key, contract):
@@ -782,7 +793,9 @@ def bench_qmc(*, tiny: bool) -> tuple[float, float, float]:
             sampling=SamplingKind.SOBOL_BB, mc_seed=31,
         )
 
-    qmc_pathgen_ps = bench_mc(qmc_pathgen_fn, **{**kw, "reps": max(kw["reps"] // 4, 1)})
+    # the full-walk Asian sim costs ~16 ms/rep: 1/8 of the terminal reps
+    # keeps the call ~0.8 s of device work (tunnel artifact ~3%)
+    qmc_pathgen_ps = bench_mc(qmc_pathgen_fn, **{**kw, "reps": max(kw["reps"] // 8, 1)})
 
     # RMSE reduction at equal budget: discounted mean call payoff over
     # q_reps independent scrambles/key streams, vs the closed form.
@@ -824,7 +837,7 @@ def main() -> None:
         tr = dict(timesteps=4, batches=8, network=32, batch_size=8, reps=3)
     else:
         mc = dict(timesteps=64, rows=8192, cols=256, reps=200)  # 2M paths/rep
-        tr = dict(timesteps=16, batches=512, network=128, batch_size=64, reps=300)
+        tr = dict(timesteps=16, batches=512, network=128, batch_size=64, reps=1500)
 
     def pallas_fn(key, contract):
         return simulate_terminal_rows_pallas(
@@ -846,12 +859,19 @@ def main() -> None:
         )
 
     kw = dict(timesteps=mc["timesteps"], rows=mc["rows"], cols=mc["cols"], reps=mc["reps"])
+
+    def R(n: int) -> dict:
+        # per-engine reps (see the bench_mc sizing note): tiny mode keeps
+        # the smoke-test rep count, non-tiny sizes each call to >= ~0.5 s
+        # of device work so the ~28 ms/call tunnel cost stays <= ~5%
+        return kw if tiny else {**kw, "reps": n}
+
     headline_fn = pallas_fn if on_tpu else xla_fn  # pallas needs real TPU hardware
-    path_steps_per_sec = bench_mc(headline_fn, **kw)
-    xla_ps = bench_mc(xla_fn, **kw)
+    path_steps_per_sec = bench_mc(headline_fn, **R(1200))
+    xla_ps = bench_mc(xla_fn, **R(200))
     # antithetic mode: half the RNG/Box-Muller work per path-step, plus the
     # statistical variance reduction (docs/performance.md)
-    antithetic_ps = bench_mc(pallas_antithetic_fn, **kw) if on_tpu else 0.0
+    antithetic_ps = bench_mc(pallas_antithetic_fn, **R(2000)) if on_tpu else 0.0
     steps_per_sec = bench_train_step(**tr, implementation="pallas" if on_tpu else "xla")
 
     # secondary: Heston family throughput (same engine policy)
@@ -870,7 +890,7 @@ def main() -> None:
             dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
         )
 
-    heston_ps = bench_mc(heston_fn, **kw)
+    heston_ps = bench_mc(heston_fn, **R(400))
 
     # Term-structure throughput: the gbm_term kernel (per-step SMEM
     # coefficients + phase-shifted pair-step) vs the XLA scan with the same
@@ -898,10 +918,10 @@ def main() -> None:
             dtype=jnp.float32, scheme=PathScheme.LOG_EULER, term=term,
         )
 
-    term_xla_ps = bench_mc(term_xla_fn, **kw)
+    term_xla_ps = bench_mc(term_xla_fn, **R(200))
     if on_tpu:
         try:
-            term_ps = bench_mc(term_pallas_fn, **kw)
+            term_ps = bench_mc(term_pallas_fn, **R(1200))
         except Exception as exc:  # pragma: no cover - chip-side guard
             print(f"[bench] term pallas engine failed ({exc!r}); "
                   "reporting the XLA engine", file=sys.stderr)
@@ -928,8 +948,8 @@ def main() -> None:
     def cliquet_xla_fn(key, contract):
         return _sim_rows_xla(key, contract, **cq_kw)
 
-    cliquet_xla_ps = bench_mc(cliquet_xla_fn, **kw)
-    cliquet_ps = bench_mc(cliquet_pallas_fn, **kw) if on_tpu else cliquet_xla_ps
+    cliquet_xla_ps = bench_mc(cliquet_xla_fn, **R(200))
+    cliquet_ps = bench_mc(cliquet_pallas_fn, **R(2500)) if on_tpu else cliquet_xla_ps
 
     # Merton family throughput: fused Pallas kernel (exact in-register
     # inverse-CDF Poisson, merton v1) on TPU; the wrapper falls back to the
@@ -954,8 +974,8 @@ def main() -> None:
             dtype=jnp.float32, payoff=PayoffKind.TERMINAL,
         )
 
-    merton_ps = bench_mc(merton_fn, **kw)
-    merton_xla_ps = merton_ps if not on_tpu else bench_mc(merton_xla_fn, **kw)
+    merton_ps = bench_mc(merton_fn, **R(300))
+    merton_xla_ps = merton_ps if not on_tpu else bench_mc(merton_xla_fn, **R(50))
 
     engine = "pallas" if on_tpu else "xla"
     # BASELINE configs 3-5 (SURVEY §6 / BASELINE.json):

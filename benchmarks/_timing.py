@@ -16,6 +16,14 @@ published figures share bench.py's discipline (bench.py:56-90):
 
 Labs must pass an ``fn`` that actually consumes its key; a key-ignoring fn
 is loop-invariant and will be hoisted, yielding a meaningless time.
+
+REPS SIZING (round 4, benchmarks/reps_probe.py): one timed call costs
+~28 ms of tunnel round trip ON TOP of the device work — s/rep fits
+``device + 28ms/reps`` across engines — so an under-repped lab
+UNDER-reports by an additive per-rep artifact (at reps=20 that is
++1.4 ms/rep: larger than the American kernel itself). Size ``reps`` so a
+call carries at least ~0.5 s of device work (artifact <= ~5%); sweep
+reps with reps_probe.py when the device time is unknown.
 """
 
 from __future__ import annotations

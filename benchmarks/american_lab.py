@@ -117,7 +117,7 @@ def run_shape(timesteps: int, rows: int, cols: int, reps: int, calls: int) -> No
 
 
 def main() -> None:
-    args = lab_parser(__doc__.splitlines()[0], default_reps=20).parse_args()
+    args = lab_parser(__doc__.splitlines()[0], default_reps=400).parse_args()
     print("device:", jax.devices()[0].device_kind, flush=True)
     shapes = [
         (16, 4096, 256),   # bench shape, 1M paths

@@ -43,7 +43,7 @@ import numpy as np
 def main() -> None:
     from benchmarks._timing import lab_parser
 
-    lab_parser("Basket kernel vs XLA ablation", default_reps=40).parse_args()
+    lab_parser("Basket kernel vs XLA ablation", default_reps=400).parse_args()
     from spectralmc_tpu.ops.analytic import geometric_basket_price
     from spectralmc_tpu.ops.basket import (
         BasketCombine,

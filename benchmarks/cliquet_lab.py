@@ -48,7 +48,7 @@ FLOOR, CAP = 0.0, 0.08
 
 
 def main() -> None:
-    args = lab_parser(__doc__.splitlines()[0], default_reps=3).parse_args()
+    args = lab_parser(__doc__.splitlines()[0], default_reps=300).parse_args()
     CONTRACT = jnp.array([100.0, 0.05, 1.0, 0.03, 0.01, 0.35], jnp.float32)
     rows = 2048 if args.quick else R
     cq = dict(

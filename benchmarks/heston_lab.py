@@ -199,7 +199,7 @@ def simulate(variant, key, contract, *, timesteps, rows, cols, br, bc):
 def main() -> None:
     from benchmarks._timing import lab_parser
 
-    parser = lab_parser("Heston kernel variant ablation", default_reps=100)
+    parser = lab_parser("Heston kernel variant ablation", default_reps=300)
     parser.add_argument("--block", type=str, default="256x256",
                         help="kernel block as RxC (default 256x256)")
     args = parser.parse_args()

@@ -246,7 +246,7 @@ def run(variant: str, *, rows: int = R, reps: int = 20, calls: int = 3) -> float
 
 
 def main() -> None:
-    args = lab_parser(__doc__.splitlines()[0], default_reps=20).parse_args()
+    args = lab_parser(__doc__.splitlines()[0], default_reps=200).parse_args()
     # exactness cross-checks before timing anything: the tail variant equals
     # the exact while sampler everywhere; the SHIPPED fixed-16 sampler
     # equals it wherever the cap is unreachable (lam*dt <= ~3.2)

@@ -334,7 +334,7 @@ def run_variant(key, contract, *, variant, timesteps, rows, cols, br, bc, reps):
 def main():
     from benchmarks._timing import lab_parser
 
-    parser = lab_parser("GBM terminal-kernel variant/block ablation", default_reps=200)
+    parser = lab_parser("GBM terminal-kernel variant/block ablation", default_reps=1000)
     parser.add_argument("--prod-sweep", action="store_true",
                         help="block sweep for the production variant only")
     args = parser.parse_args()

@@ -46,7 +46,7 @@ T, R, C = 64, 8192, 256
 
 
 def main() -> None:
-    args = lab_parser(__doc__.splitlines()[0], default_reps=10).parse_args()
+    args = lab_parser(__doc__.splitlines()[0], default_reps=200).parse_args()
     rows = 1024 if args.quick else R
     count = rows * C
     print(f"device: {jax.devices()[0].device_kind}; shape {T}x{rows}x{C}")

@@ -74,7 +74,7 @@ def bench(fn, key, reps: int, work: int) -> float:
 def main() -> None:
     from benchmarks._timing import lab_parser
 
-    args = lab_parser("HBM-normals reference design vs fused", default_reps=50).parse_args()
+    args = lab_parser("HBM-normals reference design vs fused", default_reps=300).parse_args()
     from spectralmc_tpu.ops.gbm import PathScheme, simulate_terminal_rows
     from spectralmc_tpu.ops.gbm_pallas import simulate_terminal_rows_pallas
 

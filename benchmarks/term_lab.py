@@ -46,7 +46,7 @@ from spectralmc_tpu.ops.gbm_pallas import (
 CONTRACT = BlackScholesContract(
     spot=100.0, strike=105.0, maturity=1.0, rate=0.05, div_yield=0.01, vol=0.25
 )
-T, ROWS, COLS, REPS = 64, 8192, 256, 100
+T, ROWS, COLS, REPS = 64, 8192, 256, 600
 TERM = TermStructure(
     vol_shape=tuple(1.5 - 1.0 * i / T for i in range(T)),
     rate_shape=tuple(0.5 + 1.0 * i / T for i in range(T)),

@@ -915,9 +915,10 @@ def lsmc_cashflows(
     beats the estimate. Cashflows are discounted to t = 0. Default basis
     degree 5: measured at 1M paths x 16 dates vs the Bermudan tree, degree 3
     prices ~1.0% low (policy bias) and degree 5 ~0.1% low (degree 7 adds
-    nothing); measured 5.7e9 path-steps/s at 1M paths x 16 dates on a v5e
-    chip with the fused-moment backward (bench.py
-    american_lsmc_path_steps_per_sec — ~2.9 ms per pricing).
+    nothing); measured 1.1e10 path-steps/s (XLA engine) / 1.8e10 (Pallas
+    monitor-row forward) at 1M paths x 16 dates on a v5e chip with the
+    fused-moment backward at reps-sized timing (bench.py
+    american_lsmc_path_steps_per_sec, BENCH_r04 — ~0.9-1.5 ms per pricing).
     """
     from spectralmc_tpu.ops.gbm import simulate_paths
 

@@ -19,15 +19,16 @@ above it):
                  qmc_path_steps_per_sec
   pseudo_xla   — the pseudo XLA scan at the same shape, for scale
 
-Round-4 v5e numbers that set the design (best-of-3, scan+float discipline):
-round 3 shipped 18.7 ms full_normals / 19.7 ms terminal sim (6.8e9
-path-steps/s). The split-table generator (11.1 -> ~3 ms), dimension-major
-layout, erf_inv inverse (2.2x over ndtri) and matmul bridge cut
-full_normals to ~8 ms; the terminal shortcut prices vanilla QMC at
-1.9-3.0 ms across runs (4.5-7.3e10) — 2.5-2.7x ABOVE the pseudo XLA scan
-in paired runs. The remaining binding ops: erf_inv for generation, the
-timestep scan for path-dependent payoffs (asian_walk ~15 ms, of which
-generation is ~8).
+Round-4 v5e numbers at reps-sized timing (best-of-3, scan+float
+discipline, reps per benchmarks/_timing.py's sizing note; the rebuild's
+first numbers carried the reps=10 tunnel artifact): round 3 shipped
+18.7 ms full_normals / 19.7 ms terminal sim (6.8e9 path-steps/s). Fresh
+run: sobol_bits 0.33 ms, +erfinv 1.76 ms (vs 6.90 with the old ndtri),
+full_normals 5.27 ms — the bridge MATMUL is now the binding generation
+op at ~3.5 ms (~2.7x its ~1.3 ms HBM bound; "near-free" was an artifact
+of the under-repped first measurement) — asian_walk 12.4 ms (1.09e10
+path-steps/s), terminal shortcut 0.38 ms (3.6e11, ~13x ABOVE the pseudo
+scan's 4.93 ms / 2.73e10).
 """
 
 from __future__ import annotations

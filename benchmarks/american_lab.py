@@ -18,12 +18,14 @@ inside one jit, float()-materialized, best-of-calls. The round-3 version of
 this lab used bare block_until_ready and over-reported 47x through the
 axon tunnel; every number below supersedes it.
 
-v5e, fused backward (r4, this lab's discipline): at 1M paths x 16 dates
-kernel_full 2.21 ms (7.6e9 path-steps/s) and xla_full 3.00 ms (5.6e9) vs
-8.9 ms before the fusion; the 4.19M-path shape reaches 1.08e10 with no
-cliff (the round-3 283x cliff was the per-date [paths,k] basis
-materialization + LU spilling at 4M paths — the moment reduction never
-materializes a basis matrix at all).
+v5e, fused backward at reps-sized timing (r4; the first r4 numbers at
+reps=20 still carried +1.4 ms/rep of tunnel round trip — see
+benchmarks/_timing.py): at 1M paths x 16 dates kernel_full 0.93 ms
+(1.80e10 path-steps/s) and xla_full 1.53 ms (1.09e10) vs 8.9 ms before
+the fusion; the 4.19M-path shape reaches 1.82e10 with no cliff (the
+round-3 283x cliff was the per-date [paths,k] basis materialization +
+LU spilling at 4M paths — the moment reduction never materializes a
+basis matrix at all).
 
 Also sanity-gates the kernel statistically on-chip: the Pallas engine's
 Bermudan price (mean of df*max(K-u, 0)) must land within z < 4 of the XLA

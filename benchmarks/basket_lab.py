@@ -7,17 +7,18 @@ fused kernel (gbm_pallas._basket_block_kernel) draws shared Box-Muller pairs
 (assets (2a, 2a+1) take r*cos / r*sin of one draw) and mixes in registers
 with the Cholesky rows baked in as immediates.
 
-Measured v5e-1 (64 steps x 2048x256 rows x 40 reps, best of 3):
+Measured v5e-1 (64 steps x 2048x256 rows, reps-sized timing — the round-2
+reps=40 figures carried ~0.7 ms/rep of tunnel artifact, BENCH_r04):
 
-  basket3 XLA scan      5.45e9  path-steps/s
+  basket3 XLA scan      6.0e9   path-steps/s
   GBM XLA scan          1.62e10 (same shape, for scale)
-  basket3 Pallas kernel 2.27e10 (4.2x the XLA scan)
+  basket3 Pallas kernel 4.08e10 (6.8x the XLA scan)
 
 Budget check: per underlier step the basket kernel draws 2 uniform pairs +
 2 sincos folds where the GBM pair-step amortizes half a pair — a ~7x
-transcendental budget, putting 2.3e10 right on the GBM kernel's 1.76e11
-per-normal efficiency curve (like Heston, the kernel is RNG-bound; the mix
-itself is noise).
+transcendental budget, putting 4.1e10 within ~1.4x of the GBM kernel's
+2.1e11 per-normal efficiency curve (like Heston, the kernel is RNG-bound;
+the residual is the unrolled mix/FMA chain over 3x state).
 
 Statistical gates run on-chip before timing: arithmetic terminal mean vs the
 analytic forward (|z| < 4) and the geometric basket put vs its closed form

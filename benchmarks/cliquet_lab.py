@@ -14,13 +14,14 @@ candidate designs price the SAME distribution:
                 kernel could AT BEST reach, since it must draw every step
                 and clipping is not free)
 
-v5e numbers that set the shipped design (512 steps x 16.7M paths, k=8):
-period 1.7–2.6e11 across runs (tunnel-dispatch timing spread; 2.56e11
-best, 1.71e11 same-session repeat), xla stable at 2.15e10 path-steps/s
-— 8–12×. The terminal kernel (1.1–1.8e11, same spread) is the per-step
-ceiling and lands BELOW the period kernel in every paired run: drawing
-k× fewer normals beats any epilogue engineering, which is why no
-per-step cliquet kernel ships.
+v5e numbers that set the shipped design: the round-3 run (512 steps x
+16.7M paths, k=8, reps=3) printed "1.7–2.6e11 across runs" — that spread
+was mostly the ~28 ms/call tunnel round trip divided by 3 reps
+(benchmarks/_timing.py's reps-sizing note). At reps-sized timing the
+period kernel measures a stable 1.03e12 path-steps/s at the bench shape
+(64 steps x 2M paths, k=8; BENCH_r04) vs the XLA scan's 2.39e10 — 43x —
+and ~5x the terminal kernel: drawing k× fewer normals beats any epilogue
+engineering, which is why no per-step cliquet kernel ships.
 
 Timing is the sanctioned scan+float() discipline (benchmarks/_timing.py);
 the round-3 version used bare block_until_ready.

@@ -86,7 +86,24 @@ def main() -> None:
     def bits_erfinv(k):
         return _inv_cdf(sobol_bits(k))  # the shipped inverse
 
+    def xla_bridge(k):
+        # the pre-round-4.2 pipeline: normals matrix materialized to HBM
+        # around the bridge matmul (kept for the ablation; the public
+        # generator below fuses all three stages into one Pallas kernel)
+        ds = jax.random.bits(jax.random.split(k)[0], (sdims,), dtype=jnp.uint32)
+        bits = sobol_uint32_t(directions, host_shift ^ ds, 0, count)
+        z = _inv_cdf(bits).reshape(T, 1, count)
+        from spectralmc_tpu.ops.qmc import brownian_bridge_matrix
+
+        bb = jnp.asarray(brownian_bridge_matrix(T), jnp.float32)
+        return jax.lax.dot_general(
+            bb, z, (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+        )
+
     def full_normals(k):
+        # the PUBLIC generator: on TPU this is the fused Pallas kernel
+        # (ops/qmc_pallas.py) — sobol bits -> erf_inv -> bridge with only
+        # the output touching HBM, bit-identical to xla_bridge
         return qmc_effective_normals(
             k, timesteps=T, rows=rows, cols=C, dtype=jnp.float32, mc_seed=31
         )
@@ -115,6 +132,7 @@ def main() -> None:
         ("sobol_bits", sobol_bits),
         ("+ndtri(old)", bits_ndtri),
         ("+erfinv", bits_erfinv),
+        ("xla_bridge", xla_bridge),
         ("full_normals", full_normals),
         ("asian_walk", asian_walk),
         ("terminal", terminal),

@@ -154,6 +154,32 @@ def qmc_effective_normals_multi(
 
     count = rows * cols
     start = jnp.asarray(row_offset, jnp.uint32) * jnp.uint32(cols)
+
+    from spectralmc_tpu.ops.qmc_pallas import (
+        _fused_effective_normals,
+        qmc_fused_supported,
+    )
+
+    if qmc_fused_supported(
+        timesteps=timesteps, factors=factors, count=count, dtype=dtype
+    ):
+        # BIT-IDENTICAL fused generation (sobol bits -> erf_inv -> bridge in
+        # one Pallas kernel, ops/qmc_pallas.py): same GF(2) split-table
+        # algebra, same float ops, same HIGHEST-precision MXU contraction —
+        # gated by tests/test_qmc_pallas.py, so the SOBOL_BB stream a
+        # checkpoint recorded is unchanged. Removes the [dims, count]
+        # normal-matrix HBM round-trip the matmul below pays.
+        bb32 = jnp.asarray(brownian_bridge_matrix(timesteps), dtype=jnp.float32)
+        out = _fused_effective_normals(
+            directions,
+            host_shift ^ draw_shift,
+            bb32,
+            start,
+            timesteps=timesteps,
+            factors=factors,
+            count=count,
+        )
+        return out.reshape(timesteps, factors, rows, cols)
     # Dimension-major generation: [sdims, count] keeps the huge point axis
     # minor, so the whole uint32 -> uniform -> ndtri elementwise pipeline
     # runs on full (8, 128) vregs — the round-3 [count, 64] orientation left
@@ -198,19 +224,32 @@ def qmc_effective_normals_multi(
 def _inv_cdf(bits: jax.Array) -> jax.Array:
     """uint32 Sobol fractions -> standard normals via the inverse CDF.
 
-    Centered uniforms in (0, 1): top 24 bits + half-ulp, exact in float32 and
-    never 0 or 1, so the inverse stays finite. The inverse itself is
+    Centered uniforms in (0, 1): top 24 bits + half-ulp. The inverse is
     ``sqrt(2)*erf_inv(2u-1)``: XLA's f32 ``erf_inv`` is a short polynomial
     that measured 2.2x faster than ``ndtri``'s double-branch rational on v5e
     (the binding op of the whole QMC sampling path, benchmarks/qmc_lab.py),
     and agrees with it to 7e-5 absolute in z — orders below f32 MC noise at
     any real path budget.
+
+    TOP-BUCKET GUARD (round-4 bug find, caught by the fused-kernel
+    bit-identity probe at the 134M-draw bench shape): for the maximal bucket
+    ``top24 = 2^24-1`` the sum ``top24 + 0.5`` needs 25 mantissa bits and
+    rounds UP to ``2^24`` in f32, making ``u`` exactly 1 and the inverse
+    ``inf`` — one poisoned draw per ~16.8M, i.e. near-certain at production
+    path counts. That bucket alone is remapped to its INTENDED argument
+    ``x = 1 - 2^-24`` (z ≈ +5.42); every other bucket's f32 value is
+    reproduced bit for bit, so recorded SOBOL_BB streams are unchanged
+    except where they held ``inf``. The symmetric bottom bucket is safe
+    (``0 + 0.5`` is exact). Gated by ``tests/test_qmc.py::test_inv_cdf_*``.
     """
-    u = (
-        (bits >> jnp.uint32(8)).astype(jnp.float32) + jnp.float32(0.5)
-    ) * jnp.float32(2.0**-24)
+    top24 = bits >> jnp.uint32(8)
+    u = (top24.astype(jnp.float32) + jnp.float32(0.5)) * jnp.float32(2.0**-24)
+    x = jnp.float32(2.0) * u - jnp.float32(1.0)
+    x = jnp.where(
+        top24 == jnp.uint32(0xFFFFFF), jnp.float32(1.0 - 2.0**-24), x
+    )
     root2 = jnp.float32(1.4142135623730951)
-    return root2 * jax.lax.erf_inv(jnp.float32(2.0) * u - jnp.float32(1.0))
+    return root2 * jax.lax.erf_inv(x)
 
 
 def qmc_terminal_normals(

@@ -9,6 +9,7 @@ matrix for combinations the estimator does not define.
 
 from __future__ import annotations
 
+import math
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -585,3 +586,47 @@ def test_terminal_shortcut_matches_full_path_scan() -> None:
         dtype=np.float64,
     )
     np.testing.assert_allclose(z.sum(axis=0), math.sqrt(T) * z0, atol=2e-5)
+
+
+def test_inv_cdf_top_bucket_is_finite() -> None:
+    """Round-4 bug regression: ``top24 + 0.5`` needs 25 mantissa bits at the
+    maximal bucket and rounded u up to exactly 1.0, so ``erf_inv`` returned
+    ``inf`` — one poisoned draw per ~16.8M, near-certain at production path
+    counts (found by the fused-kernel bit-identity probe at 64x2M). The
+    guard remaps ONLY that bucket to its intended argument 1 - 2^-24."""
+    from spectralmc_tpu.ops.qmc import _inv_cdf
+
+    # every low-byte variant of the max bucket, plus the extremes
+    bits = jnp.asarray(
+        [0xFFFFFF00, 0xFFFFFFFF, 0xFFFFFFB1, 0x00000000, 0x000000FF],
+        dtype=jnp.uint32,
+    )
+    z = np.asarray(_inv_cdf(bits), dtype=np.float64)
+    assert np.isfinite(z).all(), z
+    want_top = math.sqrt(2.0) * float(
+        jax.lax.erf_inv(jnp.float32(1.0 - 2.0**-24))
+    )
+    np.testing.assert_allclose(z[:3], want_top, rtol=1e-6)
+    # bottom bucket is symmetric-safe by construction (0 + 0.5 is exact):
+    # its value is the true erf_inv(-(1 - 2^-24)), NOT -inf
+    np.testing.assert_allclose(z[3:], -want_top, rtol=1e-6)
+
+
+def test_inv_cdf_other_buckets_unchanged_and_finite() -> None:
+    """The guard must not perturb any non-maximal bucket: spot-check the
+    neighbors of both extremes and a mid-range band against the unguarded
+    formula, and assert finiteness across the whole sweep."""
+    from spectralmc_tpu.ops.qmc import _inv_cdf
+
+    top = np.concatenate(
+        [np.arange(0, 1000), np.arange(2**24 - 1000, 2**24 - 1), [2**23]]
+    ).astype(np.uint64)
+    bits = jnp.asarray((top << 8).astype(np.uint32))
+    z = np.asarray(_inv_cdf(bits))
+    assert np.isfinite(z).all()
+    u = (top.astype(np.float32) + np.float32(0.5)) * np.float32(2.0**-24)
+    x = np.float32(2.0) * u - np.float32(1.0)
+    want = np.asarray(
+        jnp.float32(1.4142135623730951) * jax.lax.erf_inv(jnp.asarray(x))
+    )
+    np.testing.assert_array_equal(z.view(np.uint32), want.view(np.uint32))

@@ -566,15 +566,17 @@ def bench_family_quality(*, tiny: bool, family: str) -> tuple[float, float]:
 
         bounds = {**market_bounds, "vol": BoundSpec(lower=0.2, upper=0.3)}
         n_dates = 4 if tiny else 16
-        # 256 rows x 32 cols = 8192 paths per LSMC draw: the in-sample
-        # (look-ahead) regression bias of the 2048-path round-3 budget was
-        # +1.9% — the dominant term of the held-out gate
-        # (benchmarks/american_quality_lab.py; docs/performance.md round-4
-        # quality decomposition). At 8k paths the target bias is ~0.5%.
+        # 256 rows x 32 cols = 8192 paths per LSMC draw (the round-4 budget)
+        # with the round-5 BRACKET-MIDPOINT cross-fitted policy: each target
+        # cashflow averages the in-sample recursion (+0.34% look-ahead bias
+        # at this budget) and the 2-fold out-of-sample recursion (-0.65%
+        # policy-suboptimality bias), leaving ~-0.16% measured target bias
+        # (benchmarks/american_quality_lab.py, the 8192/xfit cell;
+        # ops/american.py::_lsmc_backward cross_fit notes).
         sim = build_simulation_params(
             timesteps=n_dates, network_size=32,
             batches_per_mc_run=64 if tiny else 256, mc_seed=7,
-            payoff="american_put", normalization="none",
+            payoff="american_put", normalization="none", lsmc_cross_fit=True,
         ).expect("sim")
 
         def oracle(c):

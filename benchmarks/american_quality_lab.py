@@ -87,21 +87,30 @@ def main() -> None:
         for r in grid
     ])
 
-    cells = [(3, 2048), (5, 2048), (7, 2048), (5, 16384), (5, 131072)]
+    # round-5 cells: the 8,192-path bench quality budget with the classic
+    # in-sample policy vs the CROSS-FITTED policy (lsmc_cross_fit) — the
+    # cross-fit rows measure what bias remains once look-ahead is gone
+    # (expected: ~0, i.e. below the printed SE)
+    cells = [
+        (3, 2048, False), (5, 2048, False), (7, 2048, False),
+        (5, 8192, False), (5, 8192, True),
+        (5, 16384, False), (5, 131072, False),
+    ]
     if args.quick:
-        cells = [(5, 2048)]
+        cells = [(5, 2048, False), (5, 8192, True)]
     reps = args.reps
     print(f"device: {jax.devices()[0].device_kind}; {N_HELDOUT} held-out "
           f"contracts x {reps} reps per cell; tree oracle at {N_DATES} dates")
-    print("  deg   paths   E[LSMC] rel-MAE vs tree   mean per-contract SE(rel)")
+    print("  deg   paths  xfit   E[LSMC] rel-MAE vs tree   mean per-contract SE(rel)")
 
-    for deg, paths in cells:
+    for deg, paths, xfit in cells:
         rows, cols = paths // 256, 256
 
-        def one_price(key, carr, _deg=deg, _rows=rows, _cols=cols):
+        def one_price(key, carr, _deg=deg, _rows=rows, _cols=cols, _x=xfit):
             u = simulate_american_underlier_rows(
                 key, carr, timesteps=N_DATES, rows=_rows, cols=_cols,
                 dtype=jnp.float32, option=OptionSide.PUT, basis_degree=_deg,
+                cross_fit=_x,
             )
             strike = carr[1]
             df = jnp.exp(-carr[3] * carr[2])
@@ -122,7 +131,9 @@ def main() -> None:
         se = est.std(axis=1, ddof=1) / np.sqrt(reps)
         rel_mae = float(np.mean(np.abs(mean_p - trees) / trees))
         rel_se = float(np.mean(se / trees))
-        print(f"  {deg:>3} {paths:>7}   {rel_mae:.4%}                {rel_se:.4%}",
+        bias = float(np.mean((mean_p - trees) / trees))
+        print(f"  {deg:>3} {paths:>7}  {str(xfit):>5}   {rel_mae:.4%} "
+              f"(signed {bias:+.4%})       {rel_se:.4%}",
               flush=True)
 
 

@@ -83,6 +83,7 @@ def _lsmc_backward(
     disc_to_prev: jax.Array | None = None,  # [monitor dates] per-segment df
     rows_in_log_space: bool = False,
     fit_mask: jax.Array | None = None,  # [...path dims...] 1.0 = regression half
+    cross_fit_mask: jax.Array | None = None,  # [...] 1.0 = half A (2-fold CV)
 ) -> jax.Array:
     """Longstaff–Schwartz backward induction → cashflows discounted to t=0.
 
@@ -100,6 +101,30 @@ def _lsmc_backward(
     the reference has no early-exercise support at all). β is invariant to
     the moment normalization (gram and rhs scale together and the Tikhonov
     ridge is relative), so the mask needs no 2× renormalization.
+
+    ``cross_fit_mask`` (bracket-midpoint cross-fitted estimator, round 5):
+    the date body carries TWO cashflow recursions and emits their per-path
+    midpoint. Leg 1 is the classic in-sample recursion (β fitted on all
+    paths; HIGH-biased by Longstaff–Schwartz look-ahead). Leg 2 is 2-fold
+    cross-fitted: β fitted per mask half, every path exercised against the
+    OPPOSITE half's surface, so its cashflows are fully out-of-sample
+    (LOW-biased by the policy suboptimality of a half-sample fit). The two
+    biases are the two legs of the classic LSMC bracket; their midpoint
+    cancels most of both. Measured on v5e at the 8,192-path quality budget
+    (benchmarks/american_quality_lab.py, 64 contracts × 16 reps): in-sample
+    +0.34%, pure out-of-sample −0.65%, midpoint ≈ −0.16% — pure 2-fold
+    cross-fit was tried first and REJECTED: half-sample policy
+    suboptimality is first-order in regression noise too, and at this
+    budget it exceeds the look-ahead bias it removes. Cost over the classic
+    pass: one extra rhs projection set in the same fused moment reduction
+    (gram_full = gram_A + gram_B is additive — not recomputed), two more
+    tiny k×k solves, and the second cashflow vector's traffic; the dominant
+    row reads are shared. Mutually exclusive with ``fit_mask``. Mask
+    discipline: callers split on COLUMN parity (``cross_fit_col_mask``) —
+    columns are never mesh-sharded (the paths axis shards rows) and
+    antithetic pairing mirrors whole rows, so both members of a mirrored
+    pair land in the same half and the two halves stay independent under
+    every topology.
 
     ``disc_to_prev`` (term structures): per-monitor-date discounts —
     ``disc_to_prev[i]`` is the discount over the segment ENDING at monitor
@@ -135,6 +160,8 @@ def _lsmc_backward(
     log matrix straight in, skipping a full-matrix exp round trip through
     HBM (exp is cheap VPU work recomputed per pass; the matrix is not).
     """
+    if fit_mask is not None and cross_fit_mask is not None:
+        raise ValueError("fit_mask and cross_fit_mask are mutually exclusive")
     base_k = basis_degree + 1
     has_extra = extra_rows is not None
     k = base_k + (3 if has_extra else 0)
@@ -186,19 +213,39 @@ def _lsmc_backward(
 
     cf_terminal = immediate(to_price(price_rows[n - 1]))
 
+    def date_basis(
+        row_t: jax.Array, extra: jax.Array | None
+    ) -> tuple[jax.Array, jax.Array, list[jax.Array], list[jax.Array]]:
+        s_t = to_price(row_t)
+        exercise_now = immediate(s_t)
+        x = (s_t / strike - 1.0) * 5.0
+        xp = powers(x, max_a)
+        vp = powers(extra * 20.0, max_b) if extra is not None else [jnp.ones_like(x)]
+        return s_t, exercise_now, xp, vp
+
+    def gram_from(moments: jax.Array, base: int) -> list[list[jax.Array]]:
+        return [
+            [
+                moments[
+                    base
+                    + prod_idx[
+                        (col_exp[i][0] + col_exp[j][0], col_exp[i][1] + col_exp[j][1])
+                    ]
+                ]
+                for j in range(k)
+            ]
+            for i in range(k)
+        ]
+
     def backward(
         cf_next: jax.Array,
         per_date: tuple[jax.Array, jax.Array | None, jax.Array],
     ) -> tuple[jax.Array, None]:
         row_t, extra, disc_step = per_date
-        s_t = to_price(row_t)
-        y = disc_step * cf_next  # continuation cashflow valued at THIS date
-        exercise_now = immediate(s_t)
+        _, exercise_now, xp, vp = date_basis(row_t, extra)
         itm = (exercise_now > 0.0).astype(dtype)
+        y = disc_step * cf_next  # continuation cashflow valued at THIS date
         w = itm if fit_mask is None else itm * fit_mask
-        x = (s_t / strike - 1.0) * 5.0
-        xp = powers(x, max_a)
-        vp = powers(extra * 20.0, max_b) if extra is not None else [jnp.ones_like(x)]
         wy = w * y
         # ONE fused pass over the paths: all Gram moments + rhs projections
         # as sibling reductions sharing the same elementwise inputs.
@@ -211,22 +258,79 @@ def _lsmc_backward(
         )
         if axis_name is not None:
             moments = jax.lax.psum(moments, axis_name)
-        gram = [
-            [
-                moments[
-                    prod_idx[
-                        (col_exp[i][0] + col_exp[j][0], col_exp[i][1] + col_exp[j][1])
-                    ]
-                ]
-                for j in range(k)
-            ]
-            for i in range(k)
-        ]
-        rhs = [moments[len(prod_exp) + j] for j in range(k)]
-        beta = _ridge_chol_solve(gram, rhs, dtype=dtype)
+        beta = _ridge_chol_solve(
+            gram_from(moments, 0),
+            [moments[len(prod_exp) + j] for j in range(k)],
+            dtype=dtype,
+        )
         continuation = sum(beta[j] * xp[a] * vp[b] for j, (a, b) in enumerate(col_exp))
         take = (itm > 0.0) & (exercise_now > continuation)
         return jnp.where(take, exercise_now, y), None
+
+    def backward_xfit(
+        cf_next: tuple[jax.Array, jax.Array],
+        per_date: tuple[jax.Array, jax.Array | None, jax.Array],
+    ) -> tuple[tuple[jax.Array, jax.Array], None]:
+        # The midpoint-pair recursion: carry the classic IN-SAMPLE cashflow
+        # (beta fitted on all paths — its own recursion, high-biased by
+        # look-ahead) and the 2-fold OUT-OF-SAMPLE cashflow (beta fitted per
+        # column-parity half, each path exercised against the opposite
+        # half's surface — low-biased by half-sample policy suboptimality)
+        # side by side through one date body. The Gram moments are shared
+        # (gram_full = gram_A + gram_B, additive in exact arithmetic), so
+        # the extra cost over the classic pass is one more rhs projection
+        # set, two more tiny k×k solves and the second cashflow vector's
+        # traffic — the row reads, the dominant term, are not repeated.
+        row_t, extra, disc_step = per_date
+        cf_ins_next, cf_oos_next = cf_next
+        _, exercise_now, xp, vp = date_basis(row_t, extra)
+        itm = (exercise_now > 0.0).astype(dtype)
+        y_ins = disc_step * cf_ins_next
+        y_oos = disc_step * cf_oos_next
+        w_a = itm * cross_fit_mask
+        w_b = itm - w_a  # itm * (1 - mask), same dtype arithmetic
+        wy_a = w_a * y_oos
+        wy_b = w_b * y_oos
+        wy_full = itm * y_ins
+        p_len = len(prod_exp)
+        moments = (
+            jnp.stack(
+                [jnp.sum(w_a * xp[a] * vp[b]) for a, b in prod_exp]
+                + [jnp.sum(w_b * xp[a] * vp[b]) for a, b in prod_exp]
+                + [jnp.sum(wy_a * xp[a] * vp[b]) for a, b in col_exp]
+                + [jnp.sum(wy_b * xp[a] * vp[b]) for a, b in col_exp]
+                + [jnp.sum(wy_full * xp[a] * vp[b]) for a, b in col_exp]
+            )
+            * inv_n
+        )
+        if axis_name is not None:
+            moments = jax.lax.psum(moments, axis_name)
+        gram_a = gram_from(moments, 0)
+        gram_b = gram_from(moments, p_len)
+        gram_full = [
+            [gram_a[i][j] + gram_b[i][j] for j in range(k)] for i in range(k)
+        ]
+        rhs_a = [moments[2 * p_len + j] for j in range(k)]
+        rhs_b = [moments[2 * p_len + k + j] for j in range(k)]
+        rhs_full = [moments[2 * p_len + 2 * k + j] for j in range(k)]
+        beta_a = _ridge_chol_solve(gram_a, rhs_a, dtype=dtype)
+        beta_b = _ridge_chol_solve(gram_b, rhs_b, dtype=dtype)
+        beta_full = _ridge_chol_solve(gram_full, rhs_full, dtype=dtype)
+        in_a = cross_fit_mask > 0.0
+        cont_ins = sum(
+            beta_full[j] * xp[a] * vp[b] for j, (a, b) in enumerate(col_exp)
+        )
+        cont_oos = sum(
+            jnp.where(in_a, beta_b[j], beta_a[j]) * xp[a] * vp[b]
+            for j, (a, b) in enumerate(col_exp)
+        )
+        cf_ins = jnp.where(
+            (itm > 0.0) & (exercise_now > cont_ins), exercise_now, y_ins
+        )
+        cf_oos = jnp.where(
+            (itm > 0.0) & (exercise_now > cont_oos), exercise_now, y_oos
+        )
+        return (cf_ins, cf_oos), None
 
     # walk t_{N-1} .. t_1 (rows n-2 .. 0); backward at row i consumes the
     # discount over the segment ENDING at row i+1
@@ -236,22 +340,33 @@ def _lsmc_backward(
     else:
         disc_rev = disc_to_prev[1:][::-1]
         disc_final = disc_to_prev[0]
+    body = backward if cross_fit_mask is None else backward_xfit
+    init = (
+        cf_terminal
+        if cross_fit_mask is None
+        else (cf_terminal, cf_terminal)
+    )
     if extra_rows is None:
-        def backward_no_extra(
-            cf_next: jax.Array, per_date: tuple[jax.Array, jax.Array]
-        ) -> tuple[jax.Array, None]:
+        def body_no_extra(
+            carry: jax.Array | tuple[jax.Array, jax.Array],
+            per_date: tuple[jax.Array, jax.Array],
+        ) -> tuple[jax.Array | tuple[jax.Array, jax.Array], None]:
             s_t, disc_step = per_date
-            return backward(cf_next, (s_t, None, disc_step))
+            return body(carry, (s_t, None, disc_step))
 
         cf_1, _ = jax.lax.scan(
-            backward_no_extra, cf_terminal, (price_rows[: n - 1][::-1], disc_rev)
+            body_no_extra, init, (price_rows[: n - 1][::-1], disc_rev)
         )
     else:
         cf_1, _ = jax.lax.scan(
-            backward,
-            cf_terminal,
+            body,
+            init,
             (price_rows[: n - 1][::-1], extra_rows[: n - 1][::-1], disc_rev),
         )
+    if cross_fit_mask is not None:
+        # bracket midpoint: the average of the high-biased in-sample leg and
+        # the low-biased out-of-sample leg (see the cross_fit_mask notes)
+        cf_1 = 0.5 * (cf_1[0] + cf_1[1])
     return disc_final * cf_1  # discounted to t = 0
 
 
@@ -289,6 +404,7 @@ def encode_monitor_prices(
     disc_to_prev: jax.Array | None = None,  # term curves: per-segment dfs
     df_total: jax.Array | None = None,  # term curves: curve df(0, T)
     rows_in_log_space: bool = False,
+    cross_fit: bool = False,
 ) -> jax.Array:
     """Backward induction + synthetic-underlier encode from MONITOR-date
     price rows. The Bermudan cashflow cf (discounted to t=0) is re-encoded
@@ -298,7 +414,9 @@ def encode_monitor_prices(
     ``_american_encode`` so the Pallas engine — whose fused forward kernel
     emits monitor-date prices directly — runs the IDENTICAL estimator.
     ``rows_in_log_space``: the rows are LOG prices, exponentiated per date
-    inside the induction (the XLA engines' path; see ``_lsmc_backward``)."""
+    inside the induction (the XLA engines' path; see ``_lsmc_backward``).
+    ``cross_fit``: 2-fold out-of-sample exercise policy split on column
+    parity (``_lsmc_backward``'s ``cross_fit_mask`` notes)."""
     cf = _lsmc_backward(
         price_rows,
         strike=strike,
@@ -310,6 +428,9 @@ def encode_monitor_prices(
         extra_rows=extra_rows,
         disc_to_prev=disc_to_prev,
         rows_in_log_space=rows_in_log_space,
+        cross_fit_mask=(
+            cross_fit_col_mask(price_rows.shape[-1], dtype=dtype) if cross_fit else None
+        ),
     )
     df = jnp.exp(-rate * maturity) if df_total is None else df_total
     return strike - cf / df
@@ -330,6 +451,7 @@ def _american_encode(
     axis_name: str | None,
     extra_rows: jax.Array | None = None,
     term: "object | None" = None,
+    cross_fit: bool = False,
 ) -> jax.Array:
     """Monitor-grid slice + backward induction + synthetic-underlier encode —
     the ONE Bermudan tail every dynamics shares (a divergence here would let
@@ -370,6 +492,7 @@ def _american_encode(
         disc_to_prev=disc_to_prev,
         df_total=df_total,
         rows_in_log_space=True,
+        cross_fit=cross_fit,
     )
 
 
@@ -386,6 +509,7 @@ def _american_encode(
         "antithetic_half",
         "axis_name",
         "term",
+        "cross_fit",
     ),
 )
 def simulate_american_underlier_rows(
@@ -403,6 +527,7 @@ def simulate_american_underlier_rows(
     antithetic_half: int | None = None,
     axis_name: str | None = None,
     term: "object | None" = None,
+    cross_fit: bool = False,
 ) -> jax.Array:
     """``[rows, cols]`` SYNTHETIC underliers for the AMERICAN payoff kinds.
 
@@ -471,6 +596,7 @@ def simulate_american_underlier_rows(
         basis_degree=basis_degree,
         axis_name=axis_name,
         term=term,
+        cross_fit=cross_fit,
     )
 
 
@@ -519,6 +645,7 @@ def heston_state_rows(
         "exercise_every",
         "antithetic_half",
         "axis_name",
+        "cross_fit",
     ),
 )
 def simulate_heston_american_underlier_rows(
@@ -535,6 +662,7 @@ def simulate_heston_american_underlier_rows(
     row_offset: jax.Array | int = 0,
     antithetic_half: int | None = None,
     axis_name: str | None = None,
+    cross_fit: bool = False,
 ) -> jax.Array:
     """``[rows, cols]`` synthetic American underliers under HESTON dynamics.
 
@@ -600,6 +728,7 @@ def simulate_heston_american_underlier_rows(
         basis_degree=basis_degree,
         axis_name=axis_name,
         extra_rows=jnp.maximum(v_rows, 0.0),
+        cross_fit=cross_fit,
     )
 
 
@@ -651,6 +780,7 @@ def merton_state_rows(
         "exercise_every",
         "antithetic_half",
         "axis_name",
+        "cross_fit",
     ),
 )
 def simulate_merton_american_underlier_rows(
@@ -667,6 +797,7 @@ def simulate_merton_american_underlier_rows(
     row_offset: jax.Array | int = 0,
     antithetic_half: int | None = None,
     axis_name: str | None = None,
+    cross_fit: bool = False,
 ) -> jax.Array:
     """``[rows, cols]`` synthetic American underliers under MERTON dynamics.
 
@@ -724,6 +855,7 @@ def simulate_merton_american_underlier_rows(
         put=option == OptionSide.PUT,
         basis_degree=basis_degree,
         axis_name=axis_name,
+        cross_fit=cross_fit,
     )
 
 
@@ -783,6 +915,7 @@ def basket_state_rows(
         "exercise_every",
         "antithetic_half",
         "axis_name",
+        "cross_fit",
     ),
 )
 def simulate_basket_american_underlier_rows(
@@ -800,6 +933,7 @@ def simulate_basket_american_underlier_rows(
     row_offset: jax.Array | int = 0,
     antithetic_half: int | None = None,
     axis_name: str | None = None,
+    cross_fit: bool = False,
 ) -> jax.Array:
     """``[rows, cols]`` synthetic American underliers under BASKET dynamics.
 
@@ -870,6 +1004,7 @@ def simulate_basket_american_underlier_rows(
         basis_degree=basis_degree,
         axis_name=axis_name,
         extra_rows=None if geometric else disp_rows,
+        cross_fit=cross_fit,
     )
 
 
@@ -882,6 +1017,7 @@ def simulate_basket_american_underlier_rows(
         "option",
         "basis_degree",
         "split_sample",
+        "cross_fit",
     ),
 )
 def lsmc_cashflows(
@@ -894,6 +1030,7 @@ def lsmc_cashflows(
     option: OptionSide = OptionSide.PUT,
     basis_degree: int = 5,
     split_sample: bool = False,
+    cross_fit: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """(discounted Bermudan cashflows, terminal values), both ``[paths]``.
 
@@ -908,6 +1045,13 @@ def lsmc_cashflows(
     (``_lsmc_backward``'s ``fit_mask`` notes). Interleaving keeps both halves
     statistically identical; the paths here carry no antithetic pairing, so
     the halves are independent as the estimator requires.
+
+    ``cross_fit``: the bracket-midpoint cross-fitted estimator — each path's
+    cashflow is the average of the classic in-sample recursion (high-biased)
+    and the 2-fold out-of-sample recursion (low-biased), cancelling most of
+    both biases at full path count (``_lsmc_backward``'s ``cross_fit_mask``
+    notes; the split here is path-index parity, the flat analogue of the
+    simulators' column parity). Mutually exclusive with ``split_sample``.
 
     Exercise opportunities at every grid date t_1..t_N (t_N = maturity).
     The regression estimates continuation value on in-the-money paths with a
@@ -950,6 +1094,7 @@ def lsmc_cashflows(
         put=option == OptionSide.PUT,
         basis_degree=basis_degree,
         fit_mask=split_fit_mask(paths, dtype=dtype) if split_sample else None,
+        cross_fit_mask=cross_fit_col_mask(paths, dtype=dtype) if cross_fit else None,
     )
     return cf, s[n - 1]  # cashflows discounted to t = 0
 
@@ -959,6 +1104,21 @@ def split_fit_mask(paths: int, *, dtype: jnp.dtype) -> jax.Array:
     indices, 0.0 on odd. One definition shared by the cashflow producers and
     the consumers that slice the two estimates back apart (``lsmc_price``)."""
     return (jnp.arange(paths) % 2 == 0).astype(dtype)
+
+
+def cross_fit_col_mask(cols: int, *, dtype: jnp.dtype) -> jax.Array:
+    """The cross-fitted estimator's half-A selector: 1.0 on even COLUMN
+    indices of the ``[rows, cols]`` path matrix (broadcasts over rows).
+
+    Column parity is the one split that is simultaneously (a) shard-stable —
+    the mesh ``paths`` axis shards ROWS, every shard holds all columns, so no
+    ``row_offset`` enters; (b) antithetic-safe — pairing mirrors whole rows
+    (``gbm._row_streams``; the Pallas kernels mirror row halves in-block), so
+    a mirrored pair shares its column and lands in one half; and (c)
+    independent across halves — within a row, columns are distinct draws of
+    the per-(key, timestep) normal vector. One definition shared by every
+    American simulator (XLA and Pallas encode tails)."""
+    return (jnp.arange(cols) % 2 == 0).astype(dtype)
 
 
 @dataclass(frozen=True)
@@ -993,6 +1153,7 @@ def lsmc_price(
     basis_degree: int = 5,
     dtype: jnp.dtype = jnp.float32,
     split_sample: bool = False,
+    cross_fit: bool = False,
 ) -> AmericanPrice:
     """Host-facing Bermudan price with standard error + same-path European.
 
@@ -1008,6 +1169,12 @@ def lsmc_price(
     ``std_error``/``cv_*`` are the out-of-sample half's (the standard error
     reflects the halved sample); ``in_sample_price`` keeps the fit half's
     classic high-biased estimate so the two bracket the Bermudan price.
+
+    ``cross_fit=True`` prices with the bracket-midpoint cross-fitted
+    estimator: each path's cashflow averages the in-sample and out-of-sample
+    recursions, cancelling most of the look-ahead and policy-suboptimality
+    biases over ALL paths at full standard error — the training-target
+    estimator (``SimulationParams.lsmc_cross_fit``) in host-pricing form.
     """
     arr = contract.as_array(dtype)
     cf, terminal = lsmc_cashflows(
@@ -1019,6 +1186,7 @@ def lsmc_price(
         option=option,
         basis_degree=basis_degree,
         split_sample=split_sample,
+        cross_fit=cross_fit,
     )
     in_sample = float("nan")
     if split_sample:
@@ -1185,6 +1353,7 @@ __all__ = [
     "bermudan_tree_price",
     "basket_state_rows",
     "check_monitor_grid",
+    "cross_fit_col_mask",
     "encode_monitor_prices",
     "lsmc_cashflows",
     "split_fit_mask",

@@ -152,6 +152,7 @@ def make_underlier_simulator(
                 row_offset=row_offset,
                 antithetic_half=anti_half,
                 axis_name=axis_name,
+                cross_fit=sim.lsmc_cross_fit,
                 **american_kwargs,
             )
 

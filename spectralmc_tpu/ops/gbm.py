@@ -540,6 +540,14 @@ class SimulationParams(BaseModel):
     # (t_k, t_2k, ..., t_T; must divide timesteps). 1 = every date (the
     # American-limit default). Checkpointed for the same reason.
     lsmc_exercise_every: int = 1
+    # bracket-midpoint cross-fitted LSMC: each path's cashflow averages the
+    # classic in-sample recursion (look-ahead HIGH bias) and a 2-fold
+    # out-of-sample recursion (half-sample policy LOW bias), cancelling most
+    # of both in the training targets at full path count
+    # (ops/american.py::_lsmc_backward cross_fit_mask notes). Default False
+    # keeps every existing stream bit-identical. Checkpointed: it changes
+    # the exercise policy, hence the target distribution.
+    lsmc_cross_fit: bool = False
     # strike-setting grid index for the FORWARD_START payoff (the strike
     # fixes at t_m = forward_start_step·dt; 1 ≤ m < timesteps). Required iff
     # payoff == FORWARD_START. Checkpointed: it defines the product.
@@ -795,6 +803,24 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                     reason="early exercise needs >= 2 monitor dates",
                 )
             )
+        if params.lsmc_cross_fit and params.network_size < 2:
+            return Failure(
+                InvalidSimulationParams(
+                    field="lsmc_cross_fit",
+                    value=True,
+                    reason="cross-fitting splits the path columns in half; "
+                    "network_size must be >= 2",
+                )
+            )
+    elif params.lsmc_cross_fit:
+        return Failure(
+            InvalidSimulationParams(
+                field="lsmc_cross_fit",
+                value=True,
+                reason=f"payoff={params.payoff.value!r} has no LSMC "
+                "regression to cross-fit",
+            )
+        )
     if params.term is not None:
         if params.model == ModelKind.HESTON and any(
             v != 1.0 for v in params.term.vol_shape

@@ -1576,6 +1576,7 @@ def _encode_american_rows(
     basis_degree: int,
     axis_name: str | None,
     extra_rows: jax.Array | None = None,
+    cross_fit: bool = False,
 ) -> jax.Array:
     """Backward induction + encode over kernel-emitted monitor rows.
 
@@ -1599,6 +1600,7 @@ def _encode_american_rows(
         basis_degree=basis_degree,
         axis_name=axis_name,
         extra_rows=extra_rows,
+        cross_fit=cross_fit,
     )
 
 
@@ -1675,7 +1677,7 @@ def _gbm_monitor_block_kernel(
     jax.jit,
     static_argnames=(
         "timesteps", "rows", "cols", "put", "basis_degree", "exercise_every",
-        "antithetic", "axis_name", "interpret",
+        "antithetic", "axis_name", "interpret", "cross_fit",
     ),
 )
 def _simulate_american_rows_pallas_f32(
@@ -1691,6 +1693,7 @@ def _simulate_american_rows_pallas_f32(
     antithetic: bool = False,
     row_offset: jax.Array | int = 0,
     axis_name: str | None = None,
+    cross_fit: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     from spectralmc_tpu.ops.american import check_monitor_grid
@@ -1743,6 +1746,7 @@ def _simulate_american_rows_pallas_f32(
         price_rows, contract,
         timesteps=timesteps, exercise_every=exercise_every,
         put=put, basis_degree=basis_degree, axis_name=axis_name,
+        cross_fit=cross_fit,
     )
 
 
@@ -1760,6 +1764,7 @@ def simulate_american_underlier_rows_pallas(
     row_offset: jax.Array | int = 0,
     antithetic_half: int | None = None,
     axis_name: str | None = None,
+    cross_fit: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """``[rows, cols]`` synthetic AMERICAN underliers with the fused
@@ -1796,6 +1801,7 @@ def simulate_american_underlier_rows_pallas(
             row_offset=row_offset,
             antithetic_half=antithetic_half,
             axis_name=axis_name,
+            cross_fit=cross_fit,
         )
     return _simulate_american_rows_pallas_f32(
         contract_key,
@@ -1809,6 +1815,7 @@ def simulate_american_underlier_rows_pallas(
         antithetic=antithetic_half is not None,
         row_offset=row_offset,
         axis_name=axis_name,
+        cross_fit=cross_fit,
         interpret=interpret,
     )
 
@@ -2163,7 +2170,7 @@ def _heston_monitor_block_kernel(
     jax.jit,
     static_argnames=(
         "timesteps", "rows", "cols", "put", "basis_degree", "exercise_every",
-        "antithetic", "axis_name", "interpret",
+        "antithetic", "axis_name", "interpret", "cross_fit",
     ),
 )
 def _simulate_heston_american_rows_pallas_f32(
@@ -2179,6 +2186,7 @@ def _simulate_heston_american_rows_pallas_f32(
     antithetic: bool = False,
     row_offset: jax.Array | int = 0,
     axis_name: str | None = None,
+    cross_fit: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     from spectralmc_tpu.ops.american import check_monitor_grid
@@ -2234,6 +2242,7 @@ def _simulate_heston_american_rows_pallas_f32(
         timesteps=timesteps, exercise_every=exercise_every,
         put=put, basis_degree=basis_degree, axis_name=axis_name,
         extra_rows=var_rows,
+        cross_fit=cross_fit,
     )
 
 
@@ -2251,6 +2260,7 @@ def simulate_heston_american_underlier_rows_pallas(
     row_offset: jax.Array | int = 0,
     antithetic_half: int | None = None,
     axis_name: str | None = None,
+    cross_fit: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Heston American underliers via the fused monitor-row kernel; falls
@@ -2286,6 +2296,7 @@ def simulate_heston_american_underlier_rows_pallas(
             row_offset=row_offset,
             antithetic_half=antithetic_half,
             axis_name=axis_name,
+            cross_fit=cross_fit,
         )
     return _simulate_heston_american_rows_pallas_f32(
         contract_key,
@@ -2299,6 +2310,7 @@ def simulate_heston_american_underlier_rows_pallas(
         antithetic=antithetic_half is not None,
         row_offset=row_offset,
         axis_name=axis_name,
+        cross_fit=cross_fit,
         interpret=interpret,
     )
 
@@ -2797,7 +2809,7 @@ def _basket_monitor_block_kernel(
     jax.jit,
     static_argnames=(
         "spec", "timesteps", "rows", "cols", "put", "basis_degree",
-        "exercise_every", "antithetic", "axis_name", "interpret",
+        "exercise_every", "antithetic", "axis_name", "interpret", "cross_fit",
     ),
 )
 def _simulate_basket_american_rows_pallas_f32(
@@ -2814,6 +2826,7 @@ def _simulate_basket_american_rows_pallas_f32(
     antithetic: bool = False,
     row_offset: jax.Array | int = 0,
     axis_name: str | None = None,
+    cross_fit: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     from spectralmc_tpu.ops.american import check_monitor_grid
@@ -2878,6 +2891,7 @@ def _simulate_basket_american_rows_pallas_f32(
         timesteps=timesteps, exercise_every=exercise_every,
         put=put, basis_degree=basis_degree, axis_name=axis_name,
         extra_rows=None if geometric else disp_rows,
+        cross_fit=cross_fit,
     )
 
 
@@ -2896,6 +2910,7 @@ def simulate_basket_american_underlier_rows_pallas(
     row_offset: jax.Array | int = 0,
     antithetic_half: int | None = None,
     axis_name: str | None = None,
+    cross_fit: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Basket American underliers via the fused monitor-row kernel; falls
@@ -2932,6 +2947,7 @@ def simulate_basket_american_underlier_rows_pallas(
             row_offset=row_offset,
             antithetic_half=antithetic_half,
             axis_name=axis_name,
+            cross_fit=cross_fit,
         )
     return _simulate_basket_american_rows_pallas_f32(
         contract_key,
@@ -2946,6 +2962,7 @@ def simulate_basket_american_underlier_rows_pallas(
         antithetic=antithetic_half is not None,
         row_offset=row_offset,
         axis_name=axis_name,
+        cross_fit=cross_fit,
         interpret=interpret,
     )
 
@@ -3344,7 +3361,7 @@ def _merton_monitor_block_kernel(
     jax.jit,
     static_argnames=(
         "timesteps", "rows", "cols", "put", "basis_degree", "exercise_every",
-        "antithetic", "axis_name", "interpret",
+        "antithetic", "axis_name", "interpret", "cross_fit",
     ),
 )
 def _simulate_merton_american_rows_pallas_f32(
@@ -3360,6 +3377,7 @@ def _simulate_merton_american_rows_pallas_f32(
     antithetic: bool = False,
     row_offset: jax.Array | int = 0,
     axis_name: str | None = None,
+    cross_fit: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     from spectralmc_tpu.ops.american import check_monitor_grid
@@ -3412,6 +3430,7 @@ def _simulate_merton_american_rows_pallas_f32(
         price_rows, contract,
         timesteps=timesteps, exercise_every=exercise_every,
         put=put, basis_degree=basis_degree, axis_name=axis_name,
+        cross_fit=cross_fit,
     )
 
 
@@ -3429,6 +3448,7 @@ def simulate_merton_american_underlier_rows_pallas(
     row_offset: jax.Array | int = 0,
     antithetic_half: int | None = None,
     axis_name: str | None = None,
+    cross_fit: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Merton American underliers via the fused monitor-row kernel; falls
@@ -3462,6 +3482,7 @@ def simulate_merton_american_underlier_rows_pallas(
             row_offset=row_offset,
             antithetic_half=antithetic_half,
             axis_name=axis_name,
+            cross_fit=cross_fit,
         )
     return _simulate_merton_american_rows_pallas_f32(
         contract_key,
@@ -3475,5 +3496,6 @@ def simulate_merton_american_underlier_rows_pallas(
         antithetic=antithetic_half is not None,
         row_offset=row_offset,
         axis_name=axis_name,
+        cross_fit=cross_fit,
         interpret=interpret,
     )

@@ -207,6 +207,7 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         antithetic=sim.antithetic,
         lsmc_basis_degree=sim.lsmc_basis_degree,
         lsmc_exercise_every=sim.lsmc_exercise_every,
+        lsmc_cross_fit=sim.lsmc_cross_fit,
         forward_start_step=sim.forward_start_step or 0,  # 0 encodes absent
         cliquet_reset_every=sim.cliquet_reset_every or 0,  # 0 encodes absent
         sampling=sim.sampling.value,
@@ -256,6 +257,8 @@ def sim_params_from_proto(
                 # 0 = absent (pre-round-3 checkpoint) -> the default degree
                 lsmc_basis_degree=proto.lsmc_basis_degree or 5,
                 lsmc_exercise_every=proto.lsmc_exercise_every or 1,
+                # false = absent (pre-round-5 checkpoint): in-sample policy
+                lsmc_cross_fit=proto.lsmc_cross_fit,
                 # 0 = absent (non-forward-start checkpoint)
                 forward_start_step=proto.forward_start_step or None,
                 # 0 = absent (non-cliquet checkpoint); floor/cap carry

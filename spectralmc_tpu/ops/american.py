@@ -47,7 +47,34 @@ def _ridge_chol_solve(
     per-column by the Gram diagonal (see ``_lsmc_backward``'s conditioning
     notes). The inner pivot is clamped at 1e-30 so an empty ITM set (all-zero
     Gram) yields β = 0 instead of NaN — matching the degenerate behaviour of
-    the previous LU path."""
+    the previous LU path.
+
+    RANK-REVEALING COLUMN DROP (round-5 robustness find, surfaced by
+    tests/test_lsmc_pallas.py's declining-path oracle and reproduced on the
+    shared XLA backward — both backends failed identically). On an EXACTLY
+    singular Gram — all ITM paths identical, the zero-variance collapse —
+    the Schur-complement pivots beyond the first column are pure ridge:
+    eliminating the rank-1 part leaves ``d_j ≈ 2·eps·a_jj`` exactly, and
+    the f32 moment-summation noise (~eps relative after the cancelling
+    subtraction) is the SAME size, so the computed pivot is an O(1) coin
+    flip around the ridge scale. Forward/back substitution then divides
+    rhs residuals that are pure noise by ``sqrt(eps)``-scale pivots twice,
+    exploding β to ~1e8 — a nonsense continuation surface whose sign
+    decides exercise (measured: the put collapse exercised at the FIRST
+    ITM date, pricing 0.56 instead of 11.0). The Loewner bound
+    ``Schur(G + eps·D) ⪰ Schur(eps·D) = eps·D₂₂`` (G ⪰ 0) says any
+    honestly-computed pivot is ≥ ``eps·G_jj``; a pivot within a small
+    multiple of that floor therefore carries NO data signal — the column
+    is numerically dependent on its predecessors and the statistically
+    correct estimator drops it (β_j = 0), exactly what a rank-revealing
+    factorization does. ``drop_j = d < 8·eps·a_jj`` gates the column: its
+    sub-diagonal couplings, z, and β are zeroed, so it also vanishes from
+    every later Schur complement. For every non-degenerate solve
+    (unexplained column variance ≫ 8e-6 of the diagonal) the gate is 1.0
+    and ``1.0·x`` is bit-exact in IEEE, so production policies are
+    unchanged. The 1e-30 clamp still guards the all-zero empty-ITM Gram
+    (β = 0, as before), and the ``eps·a_jj`` floor keeps the kept-pivot
+    sqrt well-scaled."""
     k = len(rhs)
     eps = jnp.asarray(1e-6, dtype)
     tiny = jnp.asarray(1e-30, dtype)
@@ -55,18 +82,22 @@ def _ridge_chol_solve(
     for i in range(k):
         a[i][i] = a[i][i] + eps * jnp.maximum(a[i][i], tiny)
     low: list[list[jax.Array]] = [[a[0][0]] * k for _ in range(k)]  # overwritten
+    keep: list[jax.Array] = [jnp.asarray(1.0, dtype)] * k
     for j in range(k):
         d = a[j][j] - sum(low[j][m] * low[j][m] for m in range(j))
-        low[j][j] = jnp.sqrt(jnp.maximum(d, tiny))
+        keep[j] = (d >= 8.0 * eps * a[j][j]).astype(dtype)
+        low[j][j] = jnp.sqrt(jnp.maximum(jnp.maximum(d, eps * a[j][j]), tiny))
         for i in range(j + 1, k):
             s = a[i][j] - sum(low[i][m] * low[j][m] for m in range(j))
-            low[i][j] = s / low[j][j]
+            low[i][j] = keep[j] * (s / low[j][j])
     z: list[jax.Array] = list(rhs)
     for i in range(k):
-        z[i] = (rhs[i] - sum(low[i][m] * z[m] for m in range(i))) / low[i][i]
+        z[i] = keep[i] * ((rhs[i] - sum(low[i][m] * z[m] for m in range(i))) / low[i][i])
     beta: list[jax.Array] = list(z)
     for i in reversed(range(k)):
-        beta[i] = (z[i] - sum(low[m][i] * beta[m] for m in range(i + 1, k))) / low[i][i]
+        beta[i] = keep[i] * (
+            (z[i] - sum(low[m][i] * beta[m] for m in range(i + 1, k))) / low[i][i]
+        )
     return beta
 
 

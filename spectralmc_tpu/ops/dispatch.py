@@ -122,6 +122,13 @@ def make_underlier_simulator(
             from spectralmc_tpu.ops.gbm_pallas import (
                 simulate_american_underlier_rows_pallas as _sim_american,
             )
+
+            if sim.lsmc_fused_backward:
+                # the GBM Pallas wrapper re-resolves support internally and
+                # falls back to the shared XLA backward when the shape/mesh
+                # rejects; the trainer records the EFFECTIVE backward via
+                # gbm_pallas.resolve_lsmc_backward (the same predicate)
+                american_kwargs["fused_backward"] = True
         else:
             from spectralmc_tpu.ops.american import (
                 simulate_american_underlier_rows as _sim_american,

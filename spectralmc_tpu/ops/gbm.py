@@ -548,6 +548,16 @@ class SimulationParams(BaseModel):
     # keeps every existing stream bit-identical. Checkpointed: it changes
     # the exercise policy, hence the target distribution.
     lsmc_cross_fit: bool = False
+    # fused Pallas LSMC backward (ops/lsmc_pallas.py): the same estimator
+    # definition at a different float reduction order — the VMEM-resident
+    # cashflow carrier cuts the backward's HBM traffic ~3x. GBM + PALLAS +
+    # classic single-recursion estimator only (the module docstring's scope);
+    # unsupported shapes/backends fall back to the shared XLA backward and
+    # the trainer records the EFFECTIVE backward version
+    # (GbmCVNNPricerConfig.lsmc_backward_version). Default False keeps every
+    # existing policy bit-identical. Checkpointed: which backward ran decides
+    # near-boundary exercise bits, hence the target distribution's stream.
+    lsmc_fused_backward: bool = False
     # strike-setting grid index for the FORWARD_START payoff (the strike
     # fixes at t_m = forward_start_step·dt; 1 ≤ m < timesteps). Required iff
     # payoff == FORWARD_START. Checkpointed: it defines the product.
@@ -812,6 +822,39 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                     "network_size must be >= 2",
                 )
             )
+        if params.lsmc_fused_backward:
+            if params.lsmc_cross_fit:
+                return Failure(
+                    InvalidSimulationParams(
+                        field="lsmc_fused_backward",
+                        value=True,
+                        reason="the fused backward implements the classic "
+                        "single-recursion estimator; the cross-fitted pair "
+                        "carries two cashflow vectors past its VMEM budget "
+                        "(ops/lsmc_pallas.py scope) — choose one",
+                    )
+                )
+            if params.model != ModelKind.GBM:
+                return Failure(
+                    InvalidSimulationParams(
+                        field="lsmc_fused_backward",
+                        value=params.model.value,
+                        reason="the fused backward is single-state "
+                        "moneyness-basis LSMC — GBM dynamics only "
+                        "(Heston/basket augment the basis; Merton is "
+                        "future scope)",
+                    )
+                )
+            if params.term is not None and not params.term.is_flat():
+                return Failure(
+                    InvalidSimulationParams(
+                        field="lsmc_fused_backward",
+                        value=True,
+                        reason="curved term structures need per-segment "
+                        "discounts; the fused backward is flat-discount "
+                        "only (ops/lsmc_pallas.py scope)",
+                    )
+                )
     elif params.lsmc_cross_fit:
         return Failure(
             InvalidSimulationParams(
@@ -819,6 +862,15 @@ def build_simulation_params(**kwargs: Any) -> Result[SimulationParams, GBMError]
                 value=True,
                 reason=f"payoff={params.payoff.value!r} has no LSMC "
                 "regression to cross-fit",
+            )
+        )
+    elif params.lsmc_fused_backward:
+        return Failure(
+            InvalidSimulationParams(
+                field="lsmc_fused_backward",
+                value=True,
+                reason=f"payoff={params.payoff.value!r} has no LSMC "
+                "backward induction",
             )
         )
     if params.term is not None:

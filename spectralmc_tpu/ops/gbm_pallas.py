@@ -138,6 +138,46 @@ def pallas_stream_version(
     return PALLAS_STREAM_VERSIONS[family]
 
 
+def resolve_lsmc_backward(sim: "object", *, rows: int, sharded: bool = False) -> int:
+    """The LSMC backward version that will ACTUALLY run for this sim shape —
+    0 = the shared XLA backward, else ``LSMC_BACKWARD_VERSIONS["fused"]``.
+
+    The backward analogue of ``gbm.resolve_implementation``: the trainer
+    records this in ``GbmCVNNPricerConfig.lsmc_backward_version`` so a
+    checkpoint can never claim a backward that did not run (the fused
+    backward's reduction order decides near-boundary exercise bits —
+    ops/lsmc_pallas.py's stream-version story). Must mirror
+    ``simulate_american_underlier_rows_pallas``'s own routing exactly:
+    * the sim requests it (``lsmc_fused_backward``; build_simulation_params
+      already restricts the knob to GBM American, flat term, no cross-fit);
+    * the PALLAS engine actually runs (same ``resolve_implementation`` gate
+      as the forward kernel — the fused backward consumes the Pallas
+      forward's monitor rows);
+    * the kernel accepts the shape (``lsmc_fused_backward_supported``); a
+      mesh ``paths`` axis rejects — the per-date moment psum is a cross-chip
+      collective no single-core kernel can own (``sharded=True``).
+    """
+    if not getattr(sim, "lsmc_fused_backward", False):
+        return 0
+    from spectralmc_tpu.ops.gbm import SimImplementation, resolve_implementation
+    from spectralmc_tpu.ops.lsmc_pallas import (
+        LSMC_BACKWARD_VERSIONS,
+        lsmc_fused_backward_supported,
+    )
+
+    if resolve_implementation(sim, rows=rows) != SimImplementation.PALLAS:
+        return 0
+    supported = lsmc_fused_backward_supported(
+        dtype=sim.precision.to_jnp(),
+        rows=rows,
+        cols=sim.network_size,
+        n_monitor=max(sim.timesteps // sim.lsmc_exercise_every, 1),
+        cross_fit=sim.lsmc_cross_fit,
+        axis_name="paths" if sharded else None,
+    )
+    return LSMC_BACKWARD_VERSIONS["fused"] if supported else 0
+
+
 def pallas_supported(*, dtype: jnp.dtype, rows: int, cols: int) -> bool:
     """Whether the fused hardware kernel can honor this request.
 
@@ -1677,7 +1717,7 @@ def _gbm_monitor_block_kernel(
     jax.jit,
     static_argnames=(
         "timesteps", "rows", "cols", "put", "basis_degree", "exercise_every",
-        "antithetic", "axis_name", "interpret", "cross_fit",
+        "antithetic", "axis_name", "interpret", "cross_fit", "fused_backward",
     ),
 )
 def _simulate_american_rows_pallas_f32(
@@ -1694,6 +1734,7 @@ def _simulate_american_rows_pallas_f32(
     row_offset: jax.Array | int = 0,
     axis_name: str | None = None,
     cross_fit: bool = False,
+    fused_backward: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     from spectralmc_tpu.ops.american import check_monitor_grid
@@ -1742,6 +1783,24 @@ def _simulate_american_rows_pallas_f32(
         interpret=interpret,
     )(params, seeds)
 
+    if fused_backward:
+        # the fused Pallas backward (ops/lsmc_pallas.py): cashflow carrier
+        # resident in VMEM, one HBM pass over the rows. Callers route
+        # through lsmc_fused_backward_supported — reaching here unsupported
+        # is a contract violation, so the kernel's own errors may surface.
+        from spectralmc_tpu.ops.lsmc_pallas import lsmc_fused_backward
+
+        strike, maturity, rate = (contract[i].astype(jnp.float32) for i in (1, 2, 3))
+        dt = maturity / jnp.asarray(timesteps, jnp.float32)
+        return lsmc_fused_backward(
+            price_rows,
+            strike=strike,
+            disc_monitor=jnp.exp(-rate * dt * jnp.float32(exercise_every)),
+            df_total=jnp.exp(-rate * maturity),
+            put=put,
+            basis_degree=basis_degree,
+            interpret=interpret,
+        )
     return _encode_american_rows(
         price_rows, contract,
         timesteps=timesteps, exercise_every=exercise_every,
@@ -1765,17 +1824,48 @@ def simulate_american_underlier_rows_pallas(
     antithetic_half: int | None = None,
     axis_name: str | None = None,
     cross_fit: bool = False,
+    fused_backward: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """``[rows, cols]`` synthetic AMERICAN underliers with the fused
     monitor-row kernel as the forward pass (ops/american.py docstring for
-    the encoding contract). The backward induction — ``encode_monitor_prices``
-    — is byte-for-byte the XLA engine's estimator, so the two engines differ
-    ONLY in the forward bit stream (hardware PRNG vs threefry), exactly the
-    terminal kernels' contract. Falls back to the XLA path when unsupported.
+    the encoding contract). By default the backward induction —
+    ``encode_monitor_prices`` — is byte-for-byte the XLA engine's estimator,
+    so the two engines differ ONLY in the forward bit stream (hardware PRNG
+    vs threefry), exactly the terminal kernels' contract.
+
+    ``fused_backward=True`` (checkpointed via
+    ``SimulationParams.lsmc_fused_backward``) runs the fused Pallas backward
+    instead (ops/lsmc_pallas.py): the same estimator definition at a
+    different float reduction order, versioned under
+    ``LSMC_BACKWARD_VERSIONS`` — see that module's stream-version story.
+    When the fused backward cannot honor the request (cross-fit pair, mesh
+    axis, unsupported shape) it falls back to the shared XLA backward; the
+    trainer records the EFFECTIVE backward through
+    ``lsmc_fused_backward_supported`` so checkpoints never claim a backward
+    that did not run. Falls back to the XLA path entirely when the forward
+    kernel is unsupported.
     """
     from spectralmc_tpu.ops.greeks import OptionSide
 
+    if fused_backward:
+        from spectralmc_tpu.ops.lsmc_pallas import lsmc_fused_backward_supported
+
+        fused_backward = lsmc_fused_backward_supported(
+            dtype=dtype,
+            rows=rows,
+            cols=cols,
+            n_monitor=max(timesteps // exercise_every, 1),
+            cross_fit=cross_fit,
+            axis_name=axis_name,
+        ) or (
+            interpret
+            and _fused_backward_ok_interpret(
+                dtype=dtype, rows=rows, cols=cols,
+                n_monitor=max(timesteps // exercise_every, 1),
+                cross_fit=cross_fit, axis_name=axis_name,
+            )
+        )
     if not (
         _american_monitor_interpretable(
             interpret=interpret, dtype=dtype, rows=rows, cols=cols,
@@ -1816,7 +1906,29 @@ def simulate_american_underlier_rows_pallas(
         row_offset=row_offset,
         axis_name=axis_name,
         cross_fit=cross_fit,
+        fused_backward=fused_backward,
         interpret=interpret,
+    )
+
+
+def _fused_backward_ok_interpret(
+    *,
+    dtype: jnp.dtype,
+    rows: int,
+    cols: int,
+    n_monitor: int,
+    cross_fit: bool,
+    axis_name: str | None,
+) -> bool:
+    """Interpreter-mode fused-backward acceptance (hermetic test path)."""
+    from spectralmc_tpu.ops.lsmc_pallas import _fused_backward_interpretable
+
+    return (
+        not cross_fit
+        and axis_name is None
+        and _fused_backward_interpretable(
+            interpret=True, dtype=dtype, rows=rows, cols=cols, n_monitor=n_monitor
+        )
     )
 
 

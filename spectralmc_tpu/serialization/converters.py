@@ -208,6 +208,7 @@ def sim_params_to_proto(sim: SimulationParams) -> simulation_pb2.SimulationParam
         lsmc_basis_degree=sim.lsmc_basis_degree,
         lsmc_exercise_every=sim.lsmc_exercise_every,
         lsmc_cross_fit=sim.lsmc_cross_fit,
+        lsmc_fused_backward=sim.lsmc_fused_backward,
         forward_start_step=sim.forward_start_step or 0,  # 0 encodes absent
         cliquet_reset_every=sim.cliquet_reset_every or 0,  # 0 encodes absent
         sampling=sim.sampling.value,
@@ -259,6 +260,8 @@ def sim_params_from_proto(
                 lsmc_exercise_every=proto.lsmc_exercise_every or 1,
                 # false = absent (pre-round-5 checkpoint): in-sample policy
                 lsmc_cross_fit=proto.lsmc_cross_fit,
+                # false = absent: the shared XLA backward
+                lsmc_fused_backward=proto.lsmc_fused_backward,
                 # 0 = absent (non-forward-start checkpoint)
                 forward_start_step=proto.forward_start_step or None,
                 # 0 = absent (non-cliquet checkpoint); floor/cap carry
@@ -504,6 +507,7 @@ def checkpoint_to_proto(config: "GbmCVNNPricerConfig") -> tensors_pb2.ModelCheck
         sobol_skip=config.sobol_skip,
         normalize_inputs=config.normalize_inputs,
         pallas_stream_version=config.pallas_stream_version,
+        lsmc_backward_version=config.lsmc_backward_version,
         env=jax_env_snapshot(),
     )
     for name in sorted(config.bounds):
@@ -569,6 +573,7 @@ def checkpoint_from_proto(
             sobol_skip=proto.sobol_skip,
             normalize_inputs=proto.normalize_inputs,
             pallas_stream_version=proto.pallas_stream_version,
+            lsmc_backward_version=proto.lsmc_backward_version,
             model_state=model_state,
             optimizer_state=optimizer_state,
         )

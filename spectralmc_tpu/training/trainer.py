@@ -245,6 +245,15 @@ class GbmCVNNPricerConfig:
     # the normals mid-stream. 0 = not trained on Pallas / round-1 checkpoint
     # (interpreted as stream v1 when mid-stream on Pallas).
     pallas_stream_version: int = 0
+    # Which LSMC backward produced the American training targets: 0 = the
+    # shared XLA backward (every pre-round-5 checkpoint), else
+    # ops/lsmc_pallas.py LSMC_BACKWARD_VERSIONS["fused"]. Orthogonal to
+    # pallas_stream_version (the FORWARD bits): the two backwards are the
+    # same estimator at different float reduction orders, so near-boundary
+    # exercise bits differ — which one ran is stream state. Recorded from
+    # gbm_pallas.resolve_lsmc_backward (the effective backward, never the
+    # requested one).
+    lsmc_backward_version: int = 0
     model_state: Mapping[str, np.ndarray] | None = None
     # Typed named-moment Adam state (training/adam_state.py). Legacy round-1
     # flat maps ("opt/0/.mu/...") are accepted and migrated on create().
@@ -422,6 +431,7 @@ class GbmCVNNPricer:
         self._sobol_skip = config.sobol_skip
         self._normalize_inputs = config.normalize_inputs
         self._pallas_stream_version = config.pallas_stream_version
+        self._lsmc_backward_version = config.lsmc_backward_version
         self._mesh_spec = mesh_spec
         self._segment_cache: dict[tuple[float, int, int], Callable[..., Any]] = {}
         self._step_callback: Callable[[StepMetrics], None] | None = None
@@ -477,6 +487,7 @@ class GbmCVNNPricer:
                 global_step=config.global_step,
                 sobol_skip=config.sobol_skip,
                 normalize_inputs=config.normalize_inputs,
+                lsmc_backward_version=config.lsmc_backward_version,
                 model_state=config.model_state,
                 optimizer_state=config.optimizer_state,
             )
@@ -505,7 +516,40 @@ class GbmCVNNPricer:
                         "allow_engine_fallback=True to accept the stream break",
                     )
                 )
-        if config.pallas_stream_version != stream_version:
+        # The LSMC backward is stream state too (ops/lsmc_pallas.py): record
+        # the backward that will ACTUALLY run here — the fused kernel when
+        # the sim requests it AND the engine/shape/mesh accept it, else the
+        # shared XLA backward (version 0). A mid-stream checkpoint whose
+        # recorded backward differs fails loudly, exactly like a forward
+        # stream change.
+        backward_version = 0
+        if config.sim.lsmc_fused_backward:
+            from spectralmc_tpu.ops.gbm_pallas import resolve_lsmc_backward
+
+            backward_version = resolve_lsmc_backward(
+                config.sim,
+                rows=shard_rows or config.sim.batches_per_mc_run,
+                sharded=mesh_spec is not None,
+            )
+            if (
+                mid_stream
+                and config.lsmc_backward_version != backward_version
+                and not allow_engine_fallback
+            ):
+                return Failure(
+                    EngineMismatch(
+                        requested=f"lsmc backward v{config.lsmc_backward_version}",
+                        effective=f"lsmc backward v{backward_version}",
+                        reason="the LSMC backward this checkpoint was trained "
+                        "on cannot continue on this backend/shape/mesh — its "
+                        "exercise-policy bit stream would change; pass "
+                        "allow_engine_fallback=True to accept the stream break",
+                    )
+                )
+        if (
+            config.pallas_stream_version != stream_version
+            or config.lsmc_backward_version != backward_version
+        ):
             config = GbmCVNNPricerConfig(
                 sim=config.sim,
                 bounds=config.bounds,
@@ -514,6 +558,7 @@ class GbmCVNNPricer:
                 sobol_skip=config.sobol_skip,
                 normalize_inputs=config.normalize_inputs,
                 pallas_stream_version=stream_version,
+                lsmc_backward_version=backward_version,
                 model_state=config.model_state,
                 optimizer_state=config.optimizer_state,
             )
@@ -637,6 +682,7 @@ class GbmCVNNPricer:
             sobol_skip=self._sobol_skip,
             normalize_inputs=self._normalize_inputs,
             pallas_stream_version=self._pallas_stream_version,
+            lsmc_backward_version=self._lsmc_backward_version,
             model_state=model_flat,
             optimizer_state=self._opt_snapshot,
         )

@@ -1503,6 +1503,42 @@ def simulate_underlier_rows(
         dt=dt,
         sqrt_dt=sqrt_dt,
     )
+    if (
+        payoff == PayoffKind.ASIAN_GEOMETRIC
+        and sampling == SamplingKind.SOBOL_BB
+        and scheme == PathScheme.LOG_EULER
+        and term is None
+    ):
+        # Fused QMC-fed walk (ops/qmc_pallas.py): generation + log-Euler
+        # walk in one kernel, never materializing the [T, rows, cols]
+        # effective-normal tensor. BIT-IDENTICAL to the scan below over
+        # qmc_effective_normals (same tables/shift stream, same bridged
+        # normals, same walk expression trees; gated on-chip by
+        # tests/test_qmc_pallas.py) — an internal routing detail of the
+        # SOBOL_BB generator, not an engine, exactly like the generation
+        # fusion. Unsupported shapes/backends take the scan path below.
+        from spectralmc_tpu.ops.qmc_pallas import (
+            qmc_asian_geo_underliers,
+            qmc_walk_supported,
+        )
+
+        if qmc_walk_supported(
+            timesteps=timesteps, count=rows * cols, dtype=dtype
+        ):
+            assert antithetic_half is None  # enforced by build_simulation_params
+            return qmc_asian_geo_underliers(
+                contract_key,
+                timesteps=timesteps,
+                rows=rows,
+                cols=cols,
+                dtype=dtype,
+                mc_seed=mc_seed,
+                row_offset=row_offset,
+                log_spot=jnp.log(spot),
+                drift=log_drift(0),
+                vol_sdt=vol_step(0),
+            )
+
     normals = _normals_source(
         contract_key,
         timesteps=timesteps,

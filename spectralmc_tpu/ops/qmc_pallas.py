@@ -254,4 +254,234 @@ def _fused_effective_normals(
     )(off.reshape(1, 1), bb, y_lo_rot, c_a, c_b)
 
 
-__all__ = ["qmc_fused_supported", "_fused_effective_normals"]
+# --------------------------------------------------------------------------
+# Fused QMC-fed walk (round 5): generation + log-Euler path walk, one kernel
+# --------------------------------------------------------------------------
+
+
+def qmc_walk_supported(
+    *, timesteps: int, count: int, dtype: jnp.dtype
+) -> bool:
+    """Whether the fused QMC WALK kernel can honor this request.
+
+    Same acceptance as the generation kernel (single factor) — the walk is
+    the generation kernel plus an in-VMEM scan, so anything the generator
+    rejects (padded dims, non-f32, partial blocks, no TPU) the walk rejects
+    too. Like the generation fusion this is an internal routing detail, not
+    an engine: the emitted payoff underliers are BIT-IDENTICAL to the XLA
+    scan over the fused generator's tensor (gated on-chip by
+    tests/test_qmc_pallas.py), so no checkpoint field hangs off it.
+    """
+    return qmc_fused_supported(
+        timesteps=timesteps, factors=1, count=count, dtype=dtype
+    )
+
+
+def _walk_block_kernel(
+    off_ref,  # SMEM (1, 1) int32: start & (_LENGTH-1), the low-table rotation
+    wp_ref,  # SMEM (1, 3) f32: log_spot, per-step log drift, vol·√dt
+    bb_ref,  # VMEM (T, T) f32: Brownian-bridge increment map
+    ylo_ref,  # VMEM (d, _LENGTH) u32: low split table, PRE-ROTATED by off
+    ca_ref,  # VMEM (1, d, S) u32: c_hi row for each sub-block's FIRST points
+    cb_ref,  # VMEM (1, d, S) u32: c_hi row after the seam (c_hi[j+1])
+    out_ref,  # VMEM (1, S*_LENGTH) f32: the walk accumulator (Σ_t log S_t)
+    *,
+    timesteps: int,
+    sub_blocks: int,
+) -> None:
+    """One grid step: S sub-blocks of 1024 paths, generated, bridged, WALKED.
+
+    The generation half is ``_bridge_block_kernel`` verbatim (same bits);
+    the bridged effective normals then feed the flat log-Euler recursion
+    ``logx ← (logx + drift) + vol√dt · eff[t]`` with the Asian-geometric
+    accumulator ``acc ← acc + logx`` — the same expression trees as the XLA
+    scan body (ops/gbm.py), whose f32 adds/muls are IEEE-exact on both
+    backends, so the emitted accumulator is bit-identical to scanning the
+    generator's tensor. Nothing [T, ·]-sized ever reaches HBM: traffic is
+    the split tables in and ONE f32 per path out.
+    """
+    d = timesteps
+    off = off_ref[0, 0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, sub_blocks, _LENGTH), 2)
+    pick_a = lane < (jnp.int32(_LENGTH) - off)
+    ylo = ylo_ref[...]
+    sel = jnp.where(pick_a, ca_ref[0][:, :, None], cb_ref[0][:, :, None])
+    bits = (sel ^ ylo[:, None, :]).reshape(d, sub_blocks * _LENGTH)
+    z = _inv_cdf_kernel(bits)  # [T, S*1024] f32
+    eff = jax.lax.dot_general(
+        bb_ref[...],
+        z,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [T, S*1024] bridged per-step normals
+    log_spot = wp_ref[0, 0]
+    drift = wp_ref[0, 1]
+    vol_sdt = wp_ref[0, 2]
+    n = sub_blocks * _LENGTH
+    logx = jnp.full((1, n), 0.0, jnp.float32) + log_spot
+    acc = jnp.zeros((1, n), jnp.float32)
+    for t in range(timesteps):
+        logx = (logx + drift) + vol_sdt * eff[t : t + 1, :]
+        acc = acc + logx
+    out_ref[...] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("timesteps", "count", "interpret")
+)
+def _fused_qmc_walk_acc(
+    directions: jax.Array,  # [T, BITS] u32
+    shift: jax.Array,  # [T] u32: host LMS shift ^ per-draw digital shift
+    bb: jax.Array,  # [T, T] f32 bridge matrix
+    start: jax.Array | int,
+    log_spot: jax.Array,
+    drift: jax.Array,  # per-step log drift (flat)
+    vol_sdt: jax.Array,  # vol·√dt (flat)
+    *,
+    timesteps: int,
+    count: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """``[count]`` Asian-geometric log accumulators Σ_t log S_t, fused.
+
+    XLA-side prep is identical to ``_fused_effective_normals`` (same tables,
+    same point-index algebra — that docstring derives it); the kernel walks
+    the bridged normals in VMEM instead of writing them, so the honest
+    path-dependent QMC sim stops paying the [T, rows, cols] tensor's HBM
+    round trip (docs/performance.md's round-5 target: generation+walk at
+    the pseudo scan's rate or better).
+    """
+    d = timesteps
+    if directions.shape[0] != d:
+        raise ValueError(
+            f"fused QMC walk needs unpadded dimensions: table "
+            f"{directions.shape[0]} != timesteps {d}"
+        )
+    if count % _LENGTH:
+        raise ValueError(f"count {count} must be a multiple of {_LENGTH}")
+    m = count // _LENGTH
+    sub_blocks = math.gcd(m, _MAX_SUB)
+    grid = m // sub_blocks
+
+    start_u = jnp.asarray(start, jnp.uint32)
+    blk0 = start_u >> jnp.uint32(_SPLIT_LOG2)
+    off = (start_u & jnp.uint32(_LENGTH - 1)).astype(jnp.int32)
+
+    j = jnp.arange(_LENGTH, dtype=jnp.uint32)
+    y_lo = _gray_select(directions, j ^ (j >> 1), _SPLIT_LOG2, 0)  # [1024, d]
+    y_lo_rot = jnp.roll(y_lo, -off, axis=0).T  # [d, 1024]
+
+    blk = blk0 + jnp.arange(m + 1, dtype=jnp.uint32)
+    gray_blk = blk ^ (blk >> 1)
+    c_hi = _gray_select(directions, gray_blk, BITS - _SPLIT_LOG2, _SPLIT_LOG2)
+    seam = (jnp.uint32(0) - (blk & jnp.uint32(1)))[:, None] & directions[
+        None, :, _SPLIT_LOG2 - 1
+    ].reshape(1, d)
+    c_hi = c_hi ^ seam ^ shift[None, :]  # [m + 1, d]
+    c_a = c_hi[:-1].reshape(grid, sub_blocks, d).transpose(0, 2, 1)  # [g, d, S]
+    c_b = c_hi[1:].reshape(grid, sub_blocks, d).transpose(0, 2, 1)  # [g, d, S]
+
+    wparams = jnp.stack(
+        [
+            jnp.asarray(log_spot, jnp.float32),
+            jnp.asarray(drift, jnp.float32),
+            jnp.asarray(vol_sdt, jnp.float32),
+        ]
+    ).reshape(1, 3)
+    kernel = functools.partial(
+        _walk_block_kernel, timesteps=timesteps, sub_blocks=sub_blocks
+    )
+    points_per_step = sub_blocks * _LENGTH
+    acc = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, count), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda g: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (timesteps, timesteps), lambda g: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((d, _LENGTH), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, d, sub_blocks), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, d, sub_blocks), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, points_per_step), lambda g: (0, g), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * timesteps + 4) * timesteps * count,
+            bytes_accessed=count * 4,
+            transcendentals=6 * timesteps * count,
+        ),
+        interpret=interpret,
+    )(off.reshape(1, 1), wparams, bb, y_lo_rot, c_a, c_b)
+    return acc.reshape(count)
+
+
+def qmc_asian_geo_underliers(
+    contract_key: jax.Array,
+    *,
+    timesteps: int,
+    rows: int,
+    cols: int,
+    dtype: jnp.dtype,
+    mc_seed: int,
+    row_offset: jax.Array | int,
+    log_spot: jax.Array,
+    drift: jax.Array,
+    vol_sdt: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """``[rows, cols]`` ASIAN_GEOMETRIC underliers, SOBOL_BB, fully fused.
+
+    Bit-identical drop-in for the XLA scan over
+    ``qmc_effective_normals`` (ops/gbm.py's Asian branch): same scramble and
+    shift stream (``_qmc_tables`` + the same key split), same bridged
+    normals (the generation algebra is shared with
+    ``_fused_effective_normals``), same walk expression trees, and the final
+    ``exp(acc/T)`` applied HERE in XLA so every transcendental comes from
+    the same lowering as the scan path. Caller must have checked
+    ``qmc_walk_supported``.
+    """
+    from spectralmc_tpu.ops.qmc import _qmc_tables, brownian_bridge_matrix, qmc_sobol_dims
+
+    sdims = qmc_sobol_dims(timesteps, 1)
+    directions_np, host_shift_np = _qmc_tables(sdims, mc_seed)
+    directions = jnp.asarray(directions_np)
+    host_shift = jnp.asarray(host_shift_np)
+    shift_key, _pad_key = jax.random.split(contract_key)
+    draw_shift = jax.random.bits(shift_key, (sdims,), dtype=jnp.uint32)
+    count = rows * cols
+    start = jnp.asarray(row_offset, jnp.uint32) * jnp.uint32(cols)
+    bb32 = jnp.asarray(brownian_bridge_matrix(timesteps), dtype=jnp.float32)
+    acc = _fused_qmc_walk_acc(
+        directions,
+        host_shift ^ draw_shift,
+        bb32,
+        start,
+        log_spot,
+        drift,
+        vol_sdt,
+        timesteps=timesteps,
+        count=count,
+        interpret=interpret,
+    )
+    mean = acc.reshape(rows, cols) / jnp.asarray(timesteps, dtype)
+    return jnp.exp(mean)
+
+
+__all__ = [
+    "qmc_fused_supported",
+    "qmc_walk_supported",
+    "qmc_asian_geo_underliers",
+    "_fused_effective_normals",
+    "_fused_qmc_walk_acc",
+]

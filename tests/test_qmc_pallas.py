@@ -171,3 +171,175 @@ def test_supported_predicate_edges() -> None:
         qmc_fused_supported(timesteps=16, factors=1, count=8192, dtype=jnp.float32)
         == on_tpu
     )
+
+
+# --------------------------------------------------------------------------
+# Round 5: fused QMC-fed walk (generation + log-Euler walk, one kernel)
+# --------------------------------------------------------------------------
+
+WALK_SHAPES = [
+    # (timesteps, rows, cols, row_offset)
+    (16, 64, 128, 0),
+    (64, 16, 256, 0),
+    (16, 64, 128, 192),  # aligned shard offset
+    (16, 32, 128, 1001),  # misaligned shard offset (off = 128)
+]
+
+_WALK = dict(log_spot=np.log(100.0), drift=-2.6e-4, vol_sdt=0.025)
+
+
+def _walk_fused(T: int, rows: int, cols: int, off: int, bb: jax.Array) -> np.ndarray:
+    from spectralmc_tpu.ops.qmc_pallas import _fused_qmc_walk_acc
+
+    key = jax.random.PRNGKey(7)
+    dnp, snp = _qmc_tables(T, 31)
+    shift_key, _ = jax.random.split(key)
+    draw_shift = jax.random.bits(shift_key, (T,), dtype=jnp.uint32)
+    start = jnp.uint32(off) * jnp.uint32(cols)
+    return np.asarray(
+        _fused_qmc_walk_acc(
+            jnp.asarray(dnp),
+            jnp.asarray(snp) ^ draw_shift,
+            bb,
+            start,
+            jnp.float32(_WALK["log_spot"]),
+            jnp.float32(_WALK["drift"]),
+            jnp.float32(_WALK["vol_sdt"]),
+            timesteps=T,
+            count=rows * cols,
+            interpret=jax.default_backend() != "tpu",
+        )
+    )
+
+
+def _walk_reference(z: jax.Array, T: int) -> np.ndarray:
+    """The XLA scan's accumulator over given effective normals [T, count]."""
+
+    @jax.jit
+    def run(zz: jax.Array) -> jax.Array:
+        log_spot = jnp.float32(_WALK["log_spot"])
+        drift = jnp.float32(_WALK["drift"])
+        vol_sdt = jnp.float32(_WALK["vol_sdt"])
+
+        def body(carry, t):
+            logx, acc = carry
+            logx = (logx + drift) + vol_sdt * zz[t]
+            acc = acc + logx
+            return (logx, acc), None
+
+        n = zz.shape[1]
+        log0 = jnp.full((1, n), 0.0, jnp.float32) + log_spot
+        (_, acc), _ = jax.lax.scan(
+            body, (log0, jnp.zeros((1, n), jnp.float32)), jnp.arange(T)
+        )
+        return acc[0]
+
+    return np.asarray(run(z))
+
+
+@pytest.mark.parametrize("shape", WALK_SHAPES)
+def test_walk_identity_bridge_exact(shape: tuple[int, int, int, int]) -> None:
+    """Identity bridge ⇒ the walk consumes the raw normal matrix, and every
+    in-kernel op is an IEEE-exact f32 add/mul with the scan's expression
+    trees — bit-identical on every backend."""
+    T, rows, cols, off = shape
+    eye = jnp.eye(T, dtype=jnp.float32)
+    acc = _walk_fused(T, rows, cols, off, eye)
+    z = _xla_normals(T, 1, rows, cols, off)  # [T, count]
+    want = _walk_reference(z, T)
+    np.testing.assert_array_equal(acc.view(np.uint32), want.view(np.uint32))
+
+
+@pytest.mark.parametrize("shape", WALK_SHAPES)
+def test_walk_real_bridge_close(shape: tuple[int, int, int, int]) -> None:
+    """Real bridge: f32-close everywhere (the hermetic backend's matmul
+    accumulation order differs; bit-identity is the TPU gate below)."""
+    T, rows, cols, off = shape
+    bb = jnp.asarray(brownian_bridge_matrix(T), jnp.float32)
+    acc = _walk_fused(T, rows, cols, off, bb)
+    z = _xla_normals(T, 1, rows, cols, off)
+    eff = jnp.einsum("tl,lc->tc", bb, z)
+    want = _walk_reference(eff, T)
+    np.testing.assert_allclose(acc, want, rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="walk bit-identity with the public scan path is a TPU contract",
+)
+@pytest.mark.parametrize("shape", WALK_SHAPES)
+def test_walk_bit_identical_to_public_scan_on_tpu(
+    shape: tuple[int, int, int, int]
+) -> None:
+    """On the production backend the PUBLIC Asian-geometric SOBOL_BB sim
+    (which routes to the fused walk when supported) is bit-identical to the
+    explicit scan over the public effective-normals generator — the stream a
+    checkpoint recorded is unchanged by the fusion."""
+    from spectralmc_tpu.ops.gbm import (
+        PathScheme,
+        PayoffKind,
+        SamplingKind,
+        simulate_underlier_rows,
+    )
+    from spectralmc_tpu.ops.qmc import qmc_effective_normals
+
+    T, rows, cols, off = shape
+    contract = jnp.asarray([100.0, 100.0, 1.0, 0.03, 0.01, 0.2], jnp.float32)
+    key = jax.random.PRNGKey(11)
+    got = np.asarray(
+        simulate_underlier_rows(
+            key, contract, timesteps=T, rows=rows, cols=cols,
+            dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+            payoff=PayoffKind.ASIAN_GEOMETRIC,
+            sampling=SamplingKind.SOBOL_BB, mc_seed=31, row_offset=off,
+        )
+    )
+
+    @jax.jit
+    def scan_path(k: jax.Array) -> jax.Array:
+        spot, _, maturity, rate, div_yield, vol = (contract[i] for i in range(6))
+        dt = maturity / T
+        ld = (rate - div_yield - 0.5 * vol * vol) * dt
+        vstep = vol * jnp.sqrt(dt)
+        zq = qmc_effective_normals(
+            k, timesteps=T, rows=rows, cols=cols, dtype=jnp.float32,
+            mc_seed=31, row_offset=off,
+        )
+
+        def body(carry, t):
+            logx, acc = carry
+            logx = logx + ld + vstep * zq[t]
+            acc = acc + logx
+            return (logx, acc), None
+
+        log0 = jnp.full((rows, cols), 0.0, jnp.float32) + jnp.log(spot)
+        (_, acc), _ = jax.lax.scan(
+            body, (log0, jnp.zeros((rows, cols), jnp.float32)), jnp.arange(T)
+        )
+        return jnp.exp(acc / jnp.float32(T))
+
+    want = np.asarray(scan_path(key))
+    np.testing.assert_array_equal(got.view(np.uint32), want.view(np.uint32))
+
+
+def test_walk_public_path_unchanged_off_tpu() -> None:
+    """Off-TPU the public sim must not take the walk kernel (hermetic golden
+    streams stay stable) and still prices the Asian-geometric QMC sim."""
+    from spectralmc_tpu.ops.gbm import (
+        PathScheme,
+        PayoffKind,
+        SamplingKind,
+        simulate_underlier_rows,
+    )
+    from spectralmc_tpu.ops.qmc_pallas import qmc_walk_supported
+
+    on_tpu = jax.default_backend() == "tpu"
+    assert qmc_walk_supported(timesteps=16, count=8192, dtype=jnp.float32) == on_tpu
+    contract = jnp.asarray([100.0, 100.0, 1.0, 0.03, 0.01, 0.2], jnp.float32)
+    out = simulate_underlier_rows(
+        jax.random.PRNGKey(3), contract, timesteps=16, rows=8, cols=128,
+        dtype=jnp.float32, scheme=PathScheme.LOG_EULER,
+        payoff=PayoffKind.ASIAN_GEOMETRIC, sampling=SamplingKind.SOBOL_BB,
+        mc_seed=5,
+    )
+    assert out.shape == (8, 128) and bool(jnp.isfinite(out).all())

@@ -678,7 +678,13 @@ def bench_american_throughput(*, tiny: bool) -> tuple[float, float]:
         return simulate_american_underlier_rows(key, contract, **common)
 
     def pallas_fn(key, contract):
-        return simulate_american_underlier_rows_pallas(key, contract, **common)
+        # fused_backward: the round-5 VMEM-resident backward
+        # (ops/lsmc_pallas.py) — the kernel engine's production
+        # configuration (SimulationParams.lsmc_fused_backward); it
+        # self-falls-back to the shared XLA backward where unsupported.
+        return simulate_american_underlier_rows_pallas(
+            key, contract, fused_backward=True, **common
+        )
 
     xla_rate = bench_mc(xla_fn, **(kw if tiny else {**kw, "reps": 500}))
     on_tpu = jax.devices()[0].platform == "tpu"

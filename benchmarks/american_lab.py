@@ -79,6 +79,15 @@ def run_shape(timesteps: int, rows: int, cols: int, reps: int, calls: int) -> No
             k, arr, dtype=jnp.float32, option=OptionSide.PUT, **common
         )
 
+    def kernel_fused(k):
+        # round 5: Pallas forward + the VMEM-resident fused backward
+        # (ops/lsmc_pallas.py) — the whole pricing never writes a
+        # [T, rows, cols]-sized tensor to HBM more than once
+        return simulate_american_underlier_rows_pallas(
+            k, arr, dtype=jnp.float32, option=OptionSide.PUT,
+            fused_backward=True, **common
+        )
+
     def kernel_deg1(k):
         return simulate_american_underlier_rows_pallas(
             k, arr, dtype=jnp.float32, option=OptionSide.PUT,
@@ -95,17 +104,24 @@ def run_shape(timesteps: int, rows: int, cols: int, reps: int, calls: int) -> No
     for name, fn in (
         ("xla_full", xla_full),
         ("kernel_full", kernel_full),
+        ("kernel_fused", kernel_fused),
         ("kernel_deg1", kernel_deg1),
         ("terminal", terminal),
     ):
         rate_line(name, fn, key, work=steps, reps=reps, calls=calls)
 
-    # statistical gate at this shape: engines agree and match the tree
+    # statistical gate at this shape: engines agree and match the tree;
+    # the fused backward consumes the SAME forward rows as kernel_full, so
+    # its price must agree to the estimator's reduction-order jitter
+    # (ops/lsmc_pallas.py stream-version story), far inside MC noise, and
+    # only a vanishing fraction of paths may flip their exercise date.
     df = float(np.exp(-CONTRACT.rate * CONTRACT.maturity))
     u_x = np.asarray(jax.jit(xla_full)(key))
     u_p = np.asarray(jax.jit(kernel_full)(key))
+    u_f = np.asarray(jax.jit(kernel_fused)(key))
     px = df * np.maximum(CONTRACT.strike - u_x, 0.0)
     pp = df * np.maximum(CONTRACT.strike - u_p, 0.0)
+    pf = df * np.maximum(CONTRACT.strike - u_f, 0.0)
     se = np.sqrt(px.var() / px.size + pp.var() / pp.size)
     z = abs(px.mean() - pp.mean()) / se
     tree = bermudan_tree_price(
@@ -113,9 +129,13 @@ def run_shape(timesteps: int, rows: int, cols: int, reps: int, calls: int) -> No
         rate=CONTRACT.rate, div_yield=CONTRACT.div_yield, vol=CONTRACT.vol,
         exercise_dates=timesteps, option="put",
     )
+    flipped = float(np.mean(u_f != u_p))
     print(f"price xla={px.mean():.4f} pallas={pp.mean():.4f} z={z:.2f} "
           f"tree={tree:.4f} rel_err_pallas={abs(pp.mean()-tree)/tree:.3%}",
           flush=True)
+    print(f"fused backward: price={pf.mean():.4f} "
+          f"rel_vs_shared={abs(pf.mean()-pp.mean())/pp.mean():.2e} "
+          f"flipped={flipped:.2e}", flush=True)
 
 
 def main() -> None:

@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import asyncio
 import logging
-from typing import Any, NoReturn
+from typing import NoReturn
+
+from spectralmc_tpu.core.aliases import EffectResult
 
 import jax
 import jax.numpy as jnp
@@ -72,7 +74,7 @@ class DeviceInterpreter:
     def __init__(self, registry: SharedRegistry) -> None:
         self._registry = registry
 
-    async def interpret(self, effect: Any) -> Result[Any, EffectError]:
+    async def interpret(self, effect: Effect) -> Result[EffectResult, EffectError]:
         if isinstance(effect, HostDeviceTransfer):
             got = self._registry.get_array(effect.tensor_id)
             if isinstance(got, Failure):
@@ -115,7 +117,7 @@ class MonteCarloInterpreter:
     def __init__(self, registry: SharedRegistry) -> None:
         self._registry = registry
 
-    async def interpret(self, effect: Any) -> Result[Any, EffectError]:
+    async def interpret(self, effect: Effect) -> Result[EffectResult, EffectError]:
         if isinstance(effect, GenerateNormals):
             from spectralmc_tpu.ops.rng import base_key, normal_matrix
 
@@ -432,7 +434,7 @@ class TrainingInterpreter:
     def __init__(self, registry: SharedRegistry) -> None:
         self._registry = registry
 
-    async def interpret(self, effect: Any) -> Result[Any, EffectError]:
+    async def interpret(self, effect: Effect) -> Result[EffectResult, EffectError]:
         if isinstance(effect, ForwardPass):
             model = self._registry.get_model(effect.model_id)
             inputs = self._registry.get_array(effect.in_id)
@@ -490,11 +492,11 @@ class TrainingInterpreter:
 
 
 class StorageInterpreter:
-    def __init__(self, registry: SharedRegistry, store: Any | None) -> None:
+    def __init__(self, registry: SharedRegistry, store: "object | None") -> None:
         self._registry = registry
         self._store = store  # AsyncBlockchainModelStore
 
-    async def interpret(self, effect: Any) -> Result[Any, EffectError]:
+    async def interpret(self, effect: Effect) -> Result[EffectResult, EffectError]:
         if self._store is None:
             return Failure(
                 StorageEffectError(effect_kind=effect.kind, reason="no store configured")
@@ -532,7 +534,7 @@ class RNGInterpreter:
     def __init__(self, registry: SharedRegistry) -> None:
         self._registry = registry
 
-    async def interpret(self, effect: Any) -> Result[Any, EffectError]:
+    async def interpret(self, effect: Effect) -> Result[EffectResult, EffectError]:
         if isinstance(effect, CaptureCounters):
             sobol = self._registry.get_metadata("sobol_skip")
             mc = self._registry.get_metadata("mc_skip")
@@ -558,7 +560,7 @@ class MetadataInterpreter:
     def __init__(self, registry: SharedRegistry) -> None:
         self._registry = registry
 
-    async def interpret(self, effect: Any) -> Result[Any, EffectError]:
+    async def interpret(self, effect: Effect) -> Result[EffectResult, EffectError]:
         if isinstance(effect, ReadMetadata):
             got = self._registry.get_metadata(effect.key)
             if isinstance(got, Failure):
@@ -573,7 +575,7 @@ class MetadataInterpreter:
 
 
 class LoggingInterpreter:
-    async def interpret(self, effect: Any) -> Result[Any, EffectError]:
+    async def interpret(self, effect: Effect) -> Result[EffectResult, EffectError]:
         if isinstance(effect, LogMessage):
             logger = logging.getLogger(effect.logger)
             level = getattr(logging, effect.level.upper(), None)
@@ -589,7 +591,7 @@ class LoggingInterpreter:
 class SpectralMCInterpreter:
     """Routes the master union; runs sequences (fail-fast) and parallels."""
 
-    def __init__(self, registry: SharedRegistry | None = None, store: Any | None = None) -> None:
+    def __init__(self, registry: SharedRegistry | None = None, store: "object | None" = None) -> None:
         self.registry = registry if registry is not None else SharedRegistry()
         self._device = DeviceInterpreter(self.registry)
         self._montecarlo = MonteCarloInterpreter(self.registry)
@@ -600,10 +602,10 @@ class SpectralMCInterpreter:
         self._logging = LoggingInterpreter()
 
     @classmethod
-    def create(cls, *, store: Any | None = None) -> "SpectralMCInterpreter":
+    def create(cls, *, store: "object | None" = None) -> "SpectralMCInterpreter":
         return cls(SharedRegistry(), store)
 
-    async def interpret(self, effect: Effect | MappedEffect) -> Result[Any, EffectError]:
+    async def interpret(self, effect: Effect | MappedEffect) -> Result[EffectResult, EffectError]:
         if isinstance(effect, MappedEffect):
             inner = await self.interpret(effect.effect)
             if isinstance(inner, Failure):
@@ -634,8 +636,8 @@ class SpectralMCInterpreter:
 
     async def interpret_sequence(
         self, sequence: EffectSequence
-    ) -> Result[Any, EffectError]:
-        results: list[Any] = []
+    ) -> Result[EffectResult, EffectError]:
+        results: list[EffectResult] = []
         for effect in sequence.effects:
             result = await self.interpret(effect)
             if isinstance(result, Failure):
@@ -645,7 +647,7 @@ class SpectralMCInterpreter:
             return Success(sequence.continuation(tuple(results)))
         return Success(tuple(results))
 
-    async def interpret_parallel(self, parallel: EffectParallel) -> Result[Any, EffectError]:
+    async def interpret_parallel(self, parallel: EffectParallel) -> Result[EffectResult, EffectError]:
         results = await asyncio.gather(*(self.interpret(e) for e in parallel.effects))
         for result in results:
             if isinstance(result, Failure):

@@ -10,7 +10,9 @@ network.
 
 from __future__ import annotations
 
-from typing import Any, Type
+from typing import Type
+
+from spectralmc_tpu.core.aliases import EffectResult
 
 from spectralmc_tpu.core.result import Result, Success
 from spectralmc_tpu.effects.composition import EffectParallel, EffectSequence, MappedEffect
@@ -19,11 +21,11 @@ from spectralmc_tpu.effects.types import Effect
 
 
 class MockInterpreter:
-    def __init__(self, mock_results: dict[Type[Any], Any] | None = None) -> None:
+    def __init__(self, mock_results: dict[Type[object], EffectResult] | None = None) -> None:
         self.recorded: list[Effect] = []
-        self.mock_results: dict[Type[Any], Any] = dict(mock_results or {})
+        self.mock_results: dict[Type[object], EffectResult] = dict(mock_results or {})
 
-    async def interpret(self, effect: Effect | MappedEffect) -> Result[Any, EffectError]:
+    async def interpret(self, effect: Effect | MappedEffect) -> Result[EffectResult, EffectError]:
         if isinstance(effect, MappedEffect):
             inner = await self.interpret(effect.effect)
             assert isinstance(inner, Success)
@@ -36,8 +38,8 @@ class MockInterpreter:
             return result  # pre-wrapped Result
         return Success(result)
 
-    async def interpret_sequence(self, sequence: EffectSequence) -> Result[Any, EffectError]:
-        results: list[Any] = []
+    async def interpret_sequence(self, sequence: EffectSequence) -> Result[EffectResult, EffectError]:
+        results: list[EffectResult] = []
         for effect in sequence.effects:
             result = await self.interpret(effect)
             if not isinstance(result, Success):
@@ -47,8 +49,8 @@ class MockInterpreter:
             return Success(sequence.continuation(tuple(results)))
         return Success(tuple(results))
 
-    async def interpret_parallel(self, parallel: EffectParallel) -> Result[Any, EffectError]:
-        results: list[Any] = []
+    async def interpret_parallel(self, parallel: EffectParallel) -> Result[EffectResult, EffectError]:
+        results: list[EffectResult] = []
         for effect in parallel.effects:
             result = await self.interpret(effect)
             if not isinstance(result, Success):
@@ -61,11 +63,11 @@ class MockInterpreter:
 
     # -- assertion helpers -------------------------------------------------------
 
-    def assert_effect_sequence(self, expected_types: list[Type[Any]]) -> None:
+    def assert_effect_sequence(self, expected_types: list[Type[object]]) -> None:
         actual = [type(e) for e in self.recorded]
         assert actual == expected_types, f"effect sequence {actual} != {expected_types}"
 
-    def assert_effect_count(self, effect_type: Type[Any], count: int) -> None:
+    def assert_effect_count(self, effect_type: Type[object], count: int) -> None:
         actual = sum(isinstance(e, effect_type) for e in self.recorded)
         assert actual == count, f"{effect_type.__name__} count {actual} != {count}"
 

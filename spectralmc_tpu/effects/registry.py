@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from types import MappingProxyType
-from typing import Any, Callable, Mapping
+from typing import Callable, Mapping
 
 import jax
 
@@ -26,9 +26,9 @@ class FrozenRegistrySnapshot:
     arrays: Mapping[str, jax.Array]
     blobs: Mapping[str, bytes]
     metadata: Mapping[str, MetadataValue]
-    models: Mapping[str, Any]
-    optimizers: Mapping[str, Any]
-    functions: Mapping[str, Callable[..., Any]]
+    models: Mapping[str, object]
+    optimizers: Mapping[str, object]
+    functions: Mapping[str, Callable[..., object]]
 
 
 class SharedRegistry:
@@ -36,19 +36,19 @@ class SharedRegistry:
         self._arrays: dict[str, jax.Array] = {}
         self._blobs: dict[str, bytes] = {}
         self._metadata: dict[str, MetadataValue] = {}
-        self._models: dict[str, Any] = {}
-        self._optimizers: dict[str, Any] = {}
-        self._functions: dict[str, Callable[..., Any]] = {}
+        self._models: dict[str, object] = {}
+        self._optimizers: dict[str, object] = {}
+        self._functions: dict[str, Callable[..., object]] = {}
 
     # -- generic helpers -----------------------------------------------------
 
-    def _put(self, store: dict[str, Any], key: str, value: Any, what: str) -> Result[None, RegistryError]:
+    def _put(self, store: dict[str, object], key: str, value: object, what: str) -> Result[None, RegistryError]:
         if key in store:
             return Failure(RegistryError(key=key, reason=f"duplicate {what} key"))
         store[key] = value
         return Success(None)
 
-    def _get(self, store: dict[str, Any], key: str, what: str) -> Result[Any, RegistryError]:
+    def _get(self, store: dict[str, object], key: str, what: str) -> Result[object, RegistryError]:
         if key not in store:
             return Failure(RegistryError(key=key, reason=f"unknown {what} key"))
         return Success(store[key])
@@ -98,22 +98,22 @@ class SharedRegistry:
 
     # -- models / optimizers / functions ----------------------------------------
 
-    def put_model(self, key: str, value: Any) -> Result[None, RegistryError]:
+    def put_model(self, key: str, value: object) -> Result[None, RegistryError]:
         return self._put(self._models, key, value, "model")
 
-    def get_model(self, key: str) -> Result[Any, RegistryError]:
+    def get_model(self, key: str) -> Result[object, RegistryError]:
         return self._get(self._models, key, "model")
 
-    def put_optimizer(self, key: str, value: Any) -> Result[None, RegistryError]:
+    def put_optimizer(self, key: str, value: object) -> Result[None, RegistryError]:
         return self._put(self._optimizers, key, value, "optimizer")
 
-    def get_optimizer(self, key: str) -> Result[Any, RegistryError]:
+    def get_optimizer(self, key: str) -> Result[object, RegistryError]:
         return self._get(self._optimizers, key, "optimizer")
 
-    def put_function(self, key: str, value: Callable[..., Any]) -> Result[None, RegistryError]:
+    def put_function(self, key: str, value: Callable[..., object]) -> Result[None, RegistryError]:
         return self._put(self._functions, key, value, "function")
 
-    def get_function(self, key: str) -> Result[Callable[..., Any], RegistryError]:
+    def get_function(self, key: str) -> Result[Callable[..., object], RegistryError]:
         return self._get(self._functions, key, "function")
 
     # -- snapshot / clear --------------------------------------------------------

@@ -31,6 +31,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Protocol, Sequence
 
+from jax.typing import DTypeLike
+
 import jax
 import jax.numpy as jnp
 
@@ -60,7 +62,7 @@ class ComplexLinear:
     in_dim: int
     out_dim: int
     bias: bool = True
-    dtype: Any = jnp.float32
+    dtype: DTypeLike = jnp.float32
 
     def init(self, key: jax.Array, in_dim: int) -> tuple[Params, State, int]:
         assert in_dim == self.in_dim
@@ -119,7 +121,7 @@ class ModReLU:
     """Magnitude gate with learned per-feature bias, phase-preserving (Arjovsky 2016)."""
 
     features: int
-    dtype: Any = jnp.float32
+    dtype: DTypeLike = jnp.float32
 
     def init(self, key: jax.Array, in_dim: int) -> tuple[Params, State, int]:
         assert in_dim == self.features
@@ -143,7 +145,7 @@ class NaiveComplexBatchNorm:
     """Independent batch norm on Re and Im (reference cvnn.py:213-273)."""
 
     features: int
-    dtype: Any = jnp.float32
+    dtype: DTypeLike = jnp.float32
     momentum: float = BN_MOMENTUM
     eps: float = BN_EPS
 
@@ -228,7 +230,7 @@ class CovarianceComplexBatchNorm:
     """
 
     features: int
-    dtype: Any = jnp.float32
+    dtype: DTypeLike = jnp.float32
     momentum: float = BN_MOMENTUM
     eps: float = BN_EPS
 

@@ -16,7 +16,11 @@ reference needed CPU-init-under-forked-RNG to get this, cvnn_factory.py:343-367)
 from __future__ import annotations
 
 import enum
-from typing import Annotated, Any, Literal, Mapping, Union
+from typing import Annotated, Literal, Mapping, Union
+
+from jax.typing import DTypeLike
+
+from spectralmc_tpu.core.aliases import PyTree
 
 import jax
 import jax.numpy as jnp
@@ -138,7 +142,7 @@ def build_cvnn_config(
 # --------------------------------------------------------------------------
 
 
-def _activation_layer(act: Activation, width: int, dtype: Any) -> ComplexLayer | None:
+def _activation_layer(act: Activation, width: int, dtype: DTypeLike) -> ComplexLayer | None:
     if act == Activation.NONE:
         return None
     if act == Activation.ZRELU:
@@ -147,7 +151,7 @@ def _activation_layer(act: Activation, width: int, dtype: Any) -> ComplexLayer |
 
 
 def _compile_layer(
-    cfg: LayerCfg, in_dim: int, dtype: Any, index: int
+    cfg: LayerCfg, in_dim: int, dtype: DTypeLike, index: int
 ) -> Result[tuple[ComplexLayer, int], CVNNError]:
     """Compile one config node; returns (layer, out_dim)."""
     if isinstance(cfg, LinearCfg):
@@ -300,7 +304,7 @@ def load_state_dict(
                 )
             )
 
-    def rebuild(prefix: str, tree: Any) -> Any:
+    def rebuild(prefix: str, tree: PyTree) -> PyTree:
         leaves_with_path = jax.tree_util.tree_flatten_with_path(tree)
         paths = [
             prefix + "".join(f"/{p.key}" if hasattr(p, "key") else f"/{p.idx}" for p in path)

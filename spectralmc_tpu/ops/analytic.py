@@ -10,9 +10,10 @@ inference. Works on numpy or jnp arrays (pure, broadcastable, jit-safe).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
 
+import jax
 import jax.numpy as jnp
+from jax.typing import ArrayLike
 from jax.scipy.special import erf
 
 
@@ -20,20 +21,20 @@ from jax.scipy.special import erf
 class AnalyticPrices:
     """Discounted put/call prices with intrinsics and convexities (time value)."""
 
-    put: Any
-    call: Any
-    put_intrinsic: Any
-    call_intrinsic: Any
-    put_convexity: Any
-    call_convexity: Any
+    put: jax.Array
+    call: jax.Array
+    put_intrinsic: jax.Array
+    call_intrinsic: jax.Array
+    put_convexity: jax.Array
+    call_convexity: jax.Array
 
 
-def _norm_cdf(x: Any) -> Any:
+def _norm_cdf(x: ArrayLike) -> jax.Array:
     return 0.5 * (1.0 + erf(x / jnp.sqrt(2.0).astype(getattr(x, "dtype", jnp.float64))))
 
 
 def black_scholes_price(
-    spot: Any, strike: Any, maturity: Any, rate: Any, div_yield: Any, vol: Any
+    spot: ArrayLike, strike: ArrayLike, maturity: ArrayLike, rate: ArrayLike, div_yield: ArrayLike, vol: ArrayLike
 ) -> AnalyticPrices:
     """European put/call under GBM: Black formula on the forward.
 
@@ -62,7 +63,7 @@ def black_scholes_price(
 
 
 def lognormal_black_price(
-    mu: Any, s2: Any, strike: Any, rate: Any, maturity: Any
+    mu: ArrayLike, s2: ArrayLike, strike: ArrayLike, rate: ArrayLike, maturity: ArrayLike
 ) -> AnalyticPrices:
     """Black-type put/call on a lognormal underlier ln U ~ N(mu, s2).
 
@@ -89,12 +90,12 @@ def lognormal_black_price(
 
 
 def term_effective_black(
-    spot: Any,
-    strike: Any,
-    maturity: Any,
-    rate: Any,
-    div_yield: Any,
-    vol: Any,
+    spot: ArrayLike,
+    strike: ArrayLike,
+    maturity: ArrayLike,
+    rate: ArrayLike,
+    div_yield: ArrayLike,
+    vol: ArrayLike,
     *,
     vol_shape: tuple[float, ...],
     rate_shape: tuple[float, ...],
@@ -125,17 +126,17 @@ def term_effective_black(
 
 
 def digital_price(
-    spot: Any,
-    strike: Any,
-    maturity: Any,
-    rate: Any,
-    div_yield: Any,
-    vol: Any,
+    spot: ArrayLike,
+    strike: ArrayLike,
+    maturity: ArrayLike,
+    rate: ArrayLike,
+    div_yield: ArrayLike,
+    vol: ArrayLike,
     *,
     vol_shape: tuple[float, ...] = (),
     rate_shape: tuple[float, ...] = (),
     div_shape: tuple[float, ...] = (),
-) -> tuple[Any, Any]:
+) -> tuple[jax.Array, jax.Array]:
     """(put, call) cash-or-nothing digital prices, one unit of cash.
 
     put = df·P(S_T < K) = df·N(−d2), call = df·P(S_T > K) = df·N(d2). Exact
@@ -167,12 +168,12 @@ def digital_price(
 
 
 def term_geometric_asian_price(
-    spot: Any,
-    strike: Any,
-    maturity: Any,
-    rate: Any,
-    div_yield: Any,
-    vol: Any,
+    spot: ArrayLike,
+    strike: ArrayLike,
+    maturity: ArrayLike,
+    rate: ArrayLike,
+    div_yield: ArrayLike,
+    vol: ArrayLike,
     *,
     timesteps: int,
     vol_shape: tuple[float, ...] = (),
@@ -205,14 +206,14 @@ def term_geometric_asian_price(
 
 
 def geometric_basket_price(
-    spot: Any,
-    strike: Any,
-    maturity: Any,
-    rate: Any,
-    div_yield: Any,
-    vol: Any,
+    spot: ArrayLike,
+    strike: ArrayLike,
+    maturity: ArrayLike,
+    rate: ArrayLike,
+    div_yield: ArrayLike,
+    vol: ArrayLike,
     *,
-    spec: Any,
+    spec: object,
 ) -> AnalyticPrices:
     """European put/call on the geometric basket Π Sᵢ^wᵢ, closed form.
 
@@ -478,12 +479,12 @@ def lookback_price(
 
 
 def geometric_asian_price(
-    spot: Any,
-    strike: Any,
-    maturity: Any,
-    rate: Any,
-    div_yield: Any,
-    vol: Any,
+    spot: ArrayLike,
+    strike: ArrayLike,
+    maturity: ArrayLike,
+    rate: ArrayLike,
+    div_yield: ArrayLike,
+    vol: ArrayLike,
     *,
     timesteps: int,
 ) -> AnalyticPrices:
@@ -736,18 +737,18 @@ def variance_fair_strike(
 
 
 def implied_vol(
-    price: Any,
-    spot: Any,
-    strike: Any,
-    maturity: Any,
-    rate: Any,
-    div_yield: Any,
+    price: ArrayLike,
+    spot: ArrayLike,
+    strike: ArrayLike,
+    maturity: ArrayLike,
+    rate: ArrayLike,
+    div_yield: ArrayLike,
     *,
     option: str = "call",
     iterations: int = 64,
     lo: float = 1e-4,
     hi: float = 5.0,
-) -> Any:
+) -> jax.Array:
     """Black implied volatility by bisection (jit/vmap-safe, NaN outside
     no-arbitrage bounds).
 
@@ -776,11 +777,13 @@ def implied_vol(
     )
     upper = df * forward if is_call else df * strike
 
-    def value(vol: Any) -> Any:
+    def value(vol: ArrayLike) -> jax.Array:
         prices = black_scholes_price(spot, strike, maturity, rate, div_yield, vol)
         return prices.call if is_call else prices.put
 
-    def body(bounds: Any, _: Any) -> Any:
+    def body(
+        bounds: tuple[jax.Array, jax.Array], _: None
+    ) -> tuple[tuple[jax.Array, jax.Array], None]:
         lo_v, hi_v = bounds
         mid = 0.5 * (lo_v + hi_v)
         too_low = value(mid) < price

@@ -1191,7 +1191,7 @@ def _step_coeffs(
     vol: jax.Array,
     dt: jax.Array,
     sqrt_dt: jax.Array,
-) -> tuple[Any, Any, Any]:
+) -> tuple[Callable[[jax.Array], jax.Array], Callable[[jax.Array], jax.Array], Callable[[jax.Array], jax.Array]]:
     """t-indexed ``(log_drift, lin_drift, vol_step)`` accessors.
 
     ``log_drift(t) = (r_t − q_t − v_t²/2)·dt`` (log-Euler increment mean),
@@ -2087,7 +2087,7 @@ class BlackScholes:
 
     def simulate_terminal(self, contract: jax.Array, draw_index: int | jax.Array) -> jax.Array:
         p = self._params
-        kwargs: dict[str, Any] = {}
+        kwargs: dict[str, object] = {}
         # resolve_implementation routes AMERICAN to XLA (no Pallas LSMC)
         if resolve_implementation(p) == SimImplementation.PALLAS:
             from spectralmc_tpu.ops.gbm_pallas import simulate_underlier_rows_pallas

@@ -28,7 +28,9 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, Callable
+from typing import Callable
+
+from spectralmc_tpu.core.aliases import PyTree
 
 import jax
 import jax.numpy as jnp
@@ -293,8 +295,8 @@ def _radius_from_sq(x: jax.Array) -> jax.Array:
 
 
 def _fori_unrolled(
-    n: int, body: "Callable[[Any], Any]", init: Any, unroll: int = 4
-) -> Any:
+    n: int, body: "Callable[[PyTree], PyTree]", init: PyTree, unroll: int = 4
+) -> PyTree:
     """fori_loop over ``body(carry)`` in groups of ``unroll`` + remainder.
 
     Mosaic's fori_loop supports only unroll=1 or full unroll; grouping by 4
@@ -303,7 +305,7 @@ def _fori_unrolled(
     stream — is exactly the sequential loop's.
     """
 
-    def grouped(_t: jax.Array, carry: Any) -> Any:
+    def grouped(_t: jax.Array, carry: PyTree) -> PyTree:
         for _ in range(unroll):
             carry = body(carry)
         return carry
@@ -317,8 +319,8 @@ def _fori_unrolled(
 
 
 def _fori_unrolled_idx(
-    n: int, body: "Callable[[Any, Any], Any]", init: Any, unroll: int = 4
-) -> Any:
+    n: int, body: "Callable[[PyTree, jax.Array], PyTree]", init: PyTree, unroll: int = 4
+) -> PyTree:
     """``_fori_unrolled`` whose body receives the step index: ``body(t, c)``.
 
     Needed by the term-structure kernel, whose per-step coefficients live in
@@ -327,7 +329,7 @@ def _fori_unrolled_idx(
     the stateful PRNG's bit stream — is exactly the sequential loop's.
     """
 
-    def grouped(g: jax.Array, carry: Any) -> Any:
+    def grouped(g: jax.Array, carry: PyTree) -> PyTree:
         for k in range(unroll):
             carry = body(g * unroll + k, carry)
         return carry
@@ -2588,7 +2590,7 @@ def _basket_block_kernel(
         out_ref[:, :] = acc_v / maturity  # annualized (ops/gbm.py::PayoffKind)
         return
 
-    def step(carry: tuple[Any, jax.Array]) -> tuple[Any, jax.Array]:
+    def step(carry: tuple[PyTree, jax.Array]) -> tuple[PyTree, jax.Array]:
         logx, acc = carry
         new_logx = advance(logx)
         if track_extreme:
@@ -3188,7 +3190,7 @@ def _merton_block_kernel(
     extreme_fn = jnp.maximum if up else jnp.minimum
     inv_n = jnp.float32(1.0 / timesteps)
 
-    def step(carry: tuple[Any, jax.Array]) -> tuple[Any, jax.Array]:
+    def step(carry: tuple[PyTree, jax.Array]) -> tuple[PyTree, jax.Array]:
         logx, acc = carry
         u1 = _uniform_24bit(gen_shape) + jnp.float32(_HALF_ULP)
         u2 = _uniform_24bit(gen_shape)

@@ -41,7 +41,9 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass
-from typing import Any, Callable, Mapping
+from typing import Callable, Mapping, Protocol
+
+from jax.typing import DTypeLike
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +56,13 @@ from spectralmc_tpu.ops.gbm import (
     SimulationParams,
     terminal_to_prices,
 )
+
+
+class SupportsAsArray(Protocol):
+    """Any contract model (BlackScholes/Heston/Merton...): a frozen pydantic
+    record exposing ``as_array(dtype) -> jax.Array`` in its field order."""
+
+    def as_array(self, dtype: DTypeLike = ...) -> jax.Array: ...
 
 
 class OptionSide(enum.Enum):
@@ -257,7 +266,9 @@ def make_mc_greeks_fn(
     delta_fn = jax.grad(price_fn, argnums=1)
 
     @jax.jit
-    def run(draw_index: jax.Array, contract: jax.Array) -> Any:
+    def run(
+        draw_index: jax.Array, contract: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
         price, grad = value_and_grad(draw_index, contract)
         h = gamma_rel_bump * contract[0]
         bump = jnp.zeros_like(contract).at[0].set(h)
@@ -271,7 +282,7 @@ def make_mc_greeks_fn(
 
 def mc_greeks(
     sim: SimulationParams,
-    contract: Any,
+    contract: SupportsAsArray,
     *,
     option: OptionSide = OptionSide.CALL,
     draw_index: int | None = None,
@@ -336,7 +347,7 @@ class TermBucketGreeks:
 
 def term_bucket_greeks(
     sim: SimulationParams,
-    contract: Any,
+    contract: SupportsAsArray,
     *,
     option: OptionSide = OptionSide.CALL,
     draw_index: int | None = None,
@@ -426,7 +437,7 @@ def term_bucket_greeks(
     @jax.jit
     def price_and_ladders(
         shapes: tuple[jax.Array, jax.Array, jax.Array],
-    ) -> Any:
+    ) -> tuple[jax.Array, tuple[jax.Array, jax.Array, jax.Array]]:
         def price(sh: tuple[jax.Array, jax.Array, jax.Array]) -> jax.Array:
             vsa, rsa, qsa = sh
             vol_t = vol * vsa
@@ -590,7 +601,9 @@ def make_bump_greeks_fn(
     floor = 1e-3
 
     @jax.jit
-    def run(draw_index: jax.Array, contract: jax.Array) -> Any:
+    def run(
+        draw_index: jax.Array, contract: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
         d = contract.shape[0]
         h = rel_bump * jnp.maximum(jnp.abs(contract), floor)  # [D]
         bumps = jnp.eye(d, dtype=contract.dtype) * h[:, None]  # [D, D]
@@ -610,7 +623,7 @@ def make_bump_greeks_fn(
 
 def bump_greeks(
     sim: SimulationParams,
-    contract: Any,
+    contract: SupportsAsArray,
     *,
     option: OptionSide = OptionSide.CALL,
     draw_index: int | None = None,
@@ -639,7 +652,7 @@ def bump_greeks(
 
 def knock_in_price(
     sim: SimulationParams,
-    contract: Any,
+    contract: SupportsAsArray,
     *,
     option: OptionSide = OptionSide.CALL,
     draw_index: int | None = None,
@@ -709,12 +722,12 @@ def make_analytic_price_fn(
 
 
 def analytic_greeks(
-    contract: Any,
+    contract: SupportsAsArray,
     *,
     option: OptionSide = OptionSide.CALL,
     payoff: PayoffKind = PayoffKind.TERMINAL,
     timesteps: int = 1,
-    dtype: Any = None,
+    dtype: DTypeLike | None = None,
 ) -> MCGreeks:
     """Exact Greeks of the closed-form price by autodiff (+ gamma = ∂²/∂S₀²).
 

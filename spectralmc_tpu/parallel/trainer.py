@@ -24,7 +24,9 @@ one ``psum`` (spectra) and one ``pmean`` (grads/loss) — both riding ICI.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
+
+from spectralmc_tpu.core.aliases import PyTree
 
 import jax
 import jax.numpy as jnp
@@ -142,7 +144,7 @@ def make_sharded_batch(
             ).reshape(local_b, sim.network_size)
         inputs = normalize_fn(contracts)  # MC keeps raw market units
 
-        def loss_fn(p: Any, s: Any) -> tuple[jax.Array, Any]:
+        def loss_fn(p: PyTree, s: PyTree) -> tuple[jax.Array, PyTree]:
             out_re, out_im, new_s = model.apply(
                 p, s, inputs, jnp.zeros_like(inputs), train=True
             )

@@ -91,7 +91,7 @@ def enable_compilation_cache(
 
 
 @contextlib.contextmanager
-def device_scope(device: Any) -> Iterator[None]:
+def device_scope(device: jax.Device) -> Iterator[None]:
     """Scoped default device (reference ``default_device`` context manager,
     models/torch.py:181-212). The reference needs a main-thread assertion
     because torch's default-device is process-global mutable state; jax's

@@ -60,12 +60,12 @@ class RejectTransfer:
 TransferDecision = Union[StayOnPlacement, DirectTransfer, RejectTransfer]
 
 
-def _leaf_bytes(leaf: Any) -> int:
+def _leaf_bytes(leaf: DeviceTree) -> int:
     arr = np.asarray(leaf) if not isinstance(leaf, jax.Array) else leaf
     return int(np.prod(arr.shape)) * arr.dtype.itemsize if arr.ndim else arr.dtype.itemsize
 
 
-def _leaf_placement(leaf: Any) -> Placement:
+def _leaf_placement(leaf: DeviceTree) -> Placement:
     if isinstance(leaf, jax.Array):
         try:
             device = next(iter(leaf.devices()))

@@ -20,7 +20,9 @@ across versions. This module restores the reference's discipline, TPU-style:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Mapping
+from typing import Mapping
+
+from spectralmc_tpu.core.aliases import PyTree
 
 import jax
 import numpy as np
@@ -33,7 +35,7 @@ _LEGACY_MU_PREFIX = "opt/0/.mu/"
 _LEGACY_NU_PREFIX = "opt/0/.nu/"
 
 
-def param_path_keys(params: Any) -> list[str]:
+def param_path_keys(params: PyTree) -> list[str]:
     """Flatten param-tree paths with the scheme ``model_state`` uses (no prefix)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     return [
@@ -44,7 +46,7 @@ def param_path_keys(params: Any) -> list[str]:
     ]
 
 
-def _flatten_by_param_path(tree: Any) -> dict[str, np.ndarray]:
+def _flatten_by_param_path(tree: PyTree) -> dict[str, np.ndarray]:
     # leaves stay as-is (device arrays included): forcing np.asarray here
     # would host-transfer the whole Adam state on every training segment;
     # serialization converts lazily at checkpoint time.
@@ -53,7 +55,7 @@ def _flatten_by_param_path(tree: Any) -> dict[str, np.ndarray]:
     return dict(zip(keys, leaves))
 
 
-def _unflatten_like_params(template: Any, named: Mapping[str, np.ndarray]) -> Any:
+def _unflatten_like_params(template: PyTree, named: Mapping[str, np.ndarray]) -> PyTree:
     keys = param_path_keys(template)
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
@@ -87,7 +89,7 @@ class AdamStateSnapshot:
             )
 
 
-def _find_adam_cell(opt_state: Any) -> tuple[int, optax.ScaleByAdamState]:
+def _find_adam_cell(opt_state: PyTree) -> tuple[int, optax.ScaleByAdamState]:
     """Locate the ScaleByAdamState in an optax chain state BY TYPE."""
     cells = [
         (i, el) for i, el in enumerate(opt_state) if isinstance(el, optax.ScaleByAdamState)
@@ -100,7 +102,7 @@ def _find_adam_cell(opt_state: Any) -> tuple[int, optax.ScaleByAdamState]:
     return cells[0]
 
 
-def snapshot_from_optax(opt_state: Any) -> AdamStateSnapshot:
+def snapshot_from_optax(opt_state: PyTree) -> AdamStateSnapshot:
     """Extract the named-moment snapshot from a live optax adam state."""
     _, cell = _find_adam_cell(opt_state)
     return AdamStateSnapshot(
@@ -110,7 +112,7 @@ def snapshot_from_optax(opt_state: Any) -> AdamStateSnapshot:
     )
 
 
-def restore_into_optax(fresh_opt_state: Any, snapshot: AdamStateSnapshot) -> Any:
+def restore_into_optax(fresh_opt_state: PyTree, snapshot: AdamStateSnapshot) -> PyTree:
     """Reattach checkpointed moments onto a freshly-initialized adam state.
 
     The fresh state supplies dtypes/shapes (it was initialized from the live
@@ -126,7 +128,7 @@ def restore_into_optax(fresh_opt_state: Any, snapshot: AdamStateSnapshot) -> Any
         nu=_unflatten_like_params(cell.nu, snapshot.nu),
     )
 
-    def _rebuild(i: int, el: Any) -> Any:
+    def _rebuild(i: int, el: PyTree) -> PyTree:
         if i == index:
             return restored
         # lr schedules (optax.ScaleByScheduleState) track their position with

@@ -16,6 +16,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Callable
 
+from jax.typing import DTypeLike
+
+from spectralmc_tpu.core.aliases import PyTree
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -66,7 +70,7 @@ class LRScheduleConfig(BaseModel):
 
 def schedule_rates(
     lr_schedule: LRScheduleConfig, start_count: int, length: int
-) -> "Any":
+) -> "optax.GradientTransformation":
     """The ACTUAL per-step learning rates for metrics/TensorBoard.
 
     Evaluates the same optax schedule the optimizer applies at counts
@@ -92,7 +96,7 @@ def make_optimizer(
     """The reference's Adam settings (gbm_trainer.py:1513-1528), with an
     optional warmup-cosine schedule replacing the constant rate."""
     if lr_schedule is not None:
-        rate: Any = optax.warmup_cosine_decay_schedule(
+        rate: optax.Schedule = optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=lr_schedule.peak,
             warmup_steps=lr_schedule.warmup_steps,
@@ -144,7 +148,7 @@ def make_mc_spectrum(
     return mc_spectrum
 
 
-def grad_inf_norm(grads: Any) -> jax.Array:
+def grad_inf_norm(grads: PyTree) -> jax.Array:
     """Max-abs over all leaves — the reference's ``clip_grad_norm_(inf)`` metric."""
     leaves = jax.tree_util.tree_leaves(grads)
     return jax.tree_util.tree_reduce(
@@ -153,7 +157,7 @@ def grad_inf_norm(grads: Any) -> jax.Array:
 
 
 def make_input_normalizer(
-    table: SobolTable, *, enabled: bool, dtype: Any
+    table: SobolTable, *, enabled: bool, dtype: DTypeLike
 ) -> Callable[[jax.Array], jax.Array]:
     """Affine map of contract features onto [0, 1] from the Sobol bounds.
 
@@ -234,7 +238,7 @@ def make_fused_batch(
         specs = spectrum_targets(draws, contracts)  # [B, network] complex
         inputs = normalize_fn(contracts)  # MC keeps raw market units
 
-        def loss_fn(p: Any, s: Any) -> tuple[jax.Array, Any]:
+        def loss_fn(p: PyTree, s: PyTree) -> tuple[jax.Array, PyTree]:
             out_re, out_im, new_s = model.apply(
                 p, s, inputs, jnp.zeros_like(inputs), train=True
             )

@@ -27,7 +27,11 @@ TPU-first redesign — the whole per-batch pipeline is ONE jitted function:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Callable, Mapping, Sequence, Union
+from typing import Callable, Mapping, Sequence, Union
+
+from jax.typing import DTypeLike
+
+from spectralmc_tpu.core.aliases import PyTree
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +67,7 @@ from spectralmc_tpu.training.adam_state import (
     snapshot_from_optax,
 )
 from spectralmc_tpu.training.step import (
+    Carry,
     LRScheduleConfig,
     SobolTable,
     contract_class,
@@ -333,7 +338,7 @@ class GreeksPrediction:
 
 
 def _contracts_to_device(
-    contracts: Sequence[Any], contract_cls: type, dtype: Any
+    contracts: Sequence[object], contract_cls: type, dtype: DTypeLike
 ) -> jax.Array:
     """[N, D] contract matrix in ONE host->device transfer.
 
@@ -371,7 +376,7 @@ def _pad_to_bucket(arr: "jax.Array") -> tuple["jax.Array", int]:
     return arr, n
 
 
-def flatten_pytree(prefix: str, tree: Any) -> dict[str, np.ndarray]:
+def flatten_pytree(prefix: str, tree: PyTree) -> dict[str, np.ndarray]:
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out: dict[str, np.ndarray] = {}
     for path, leaf in flat:
@@ -382,7 +387,7 @@ def flatten_pytree(prefix: str, tree: Any) -> dict[str, np.ndarray]:
     return out
 
 
-def unflatten_like(template: Any, prefix: str, flat: Mapping[str, np.ndarray]) -> Any:
+def unflatten_like(template: PyTree, prefix: str, flat: Mapping[str, np.ndarray]) -> PyTree:
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for path, leaf in leaves_with_path:
@@ -413,11 +418,11 @@ class GbmCVNNPricer:
         self,
         config: GbmCVNNPricerConfig,
         model: CVNN,
-        params: Any,
-        bn_state: Any,
+        params: PyTree,
+        bn_state: PyTree,
         opt_snapshot: AdamStateSnapshot | Mapping[str, np.ndarray] | None,
-        sampler: SobolSampler[Any],
-        mesh_spec: Any | None = None,
+        sampler: SobolSampler[object],
+        mesh_spec: "object | None" = None,
     ) -> None:
         self._sim = config.sim
         self._bounds = dict(config.bounds)
@@ -433,7 +438,7 @@ class GbmCVNNPricer:
         self._pallas_stream_version = config.pallas_stream_version
         self._lsmc_backward_version = config.lsmc_backward_version
         self._mesh_spec = mesh_spec
-        self._segment_cache: dict[tuple[float, int, int], Callable[..., Any]] = {}
+        self._segment_cache: dict[tuple[float, int, int], Callable[..., object]] = {}
         self._step_callback: Callable[[StepMetrics], None] | None = None
         self._segment_callback: Callable[[SegmentMetrics], None] | None = None
 
@@ -444,7 +449,7 @@ class GbmCVNNPricer:
         cls,
         config: GbmCVNNPricerConfig,
         *,
-        mesh_spec: Any | None = None,
+        mesh_spec: "object | None" = None,
         allow_engine_fallback: bool = False,
     ) -> Result["GbmCVNNPricer", TrainerError]:
         # Resolve the MC engine that will ACTUALLY run here, so snapshots
@@ -705,7 +710,7 @@ class GbmCVNNPricer:
         length: int,
         contract_chunk: int | None = None,
         lr_schedule: LRScheduleConfig | None = None,
-    ) -> Callable[..., Any]:
+    ) -> Callable[..., object]:
         """Build (and cache) a jitted ``lax.scan`` over ``length`` fused batches.
 
         ``contract_chunk`` is bit-transparent scheduling (see
@@ -745,7 +750,7 @@ class GbmCVNNPricer:
             )
 
             @jax.jit
-            def run_segment(carry: dict[str, Any]) -> tuple[dict[str, Any], Any]:
+            def run_segment(carry: Carry) -> tuple[Carry, PyTree]:
                 return jax.lax.scan(one_batch, carry, None, length=length)
 
         self._segment_cache[cache_key] = run_segment
@@ -767,7 +772,7 @@ class GbmCVNNPricer:
 
     def _init_opt_state(
         self, lr: float, lr_schedule: LRScheduleConfig | None = None
-    ) -> Any:
+    ) -> PyTree:
         opt_state = make_optimizer(lr, lr_schedule).init(self._params)
         if self._opt_snapshot is not None:
             # Reattach checkpointed Adam moments (reference gbm_trainer.py:1513-1528)
@@ -945,7 +950,7 @@ class GbmCVNNPricer:
             "sobol_skip": jnp.uint32(self._sobol_skip),
             "mc_skip": jnp.uint32(self._sim.skip),
         }
-        progress: dict[str, Any] = {
+        progress: dict[str, object] = {
             "carry": carry,
             "losses": [],
             "gnorms": [],
@@ -990,7 +995,7 @@ class GbmCVNNPricer:
         class _CommitFnInterpreter(SpectralMCInterpreter):
             """CommitVersion → the commit hook; everything else → stock routing."""
 
-            async def interpret(self, effect: Any) -> Result[Any, Any]:
+            async def interpret(self, effect: object) -> Result[object, object]:
                 if isinstance(effect, CommitVersion):
                     last = progress["losses"][-1][-1] if progress["losses"] else float("nan")
                     pricer._commit(plan, commit_fn, float(last), progress["batches_done"])
@@ -1033,7 +1038,7 @@ class GbmCVNNPricer:
             )
         )
 
-    def _absorb(self, carry: Mapping[str, Any], global_step: int) -> None:
+    def _absorb(self, carry: Mapping[str, PyTree], global_step: int) -> None:
         """Pull the scan carry back into pricer state (device arrays stay on device)."""
         self._params = carry["params"]
         self._bn_state = carry["bn_state"]
@@ -1060,7 +1065,7 @@ class GbmCVNNPricer:
 
     # -- inference (reference gbm_trainer.py:1709-1767) -------------------------
 
-    def _predict_program(self) -> Callable[..., Any]:
+    def _predict_program(self) -> Callable[..., object]:
         """The jitted inference program (cached).
 
         One compiled program per contract-count shape: CVNN forward → complex
@@ -1087,7 +1092,7 @@ class GbmCVNNPricer:
         )
 
         @jax.jit
-        def run(params: Any, bn_state: Any, arr: jax.Array) -> Any:
+        def run(params: PyTree, bn_state: PyTree, arr: jax.Array) -> PyTree:
             inputs = normalize_fn(arr)
             out_re, out_im, _ = model.apply(
                 params, bn_state, inputs, jnp.zeros_like(inputs), train=False
@@ -1107,7 +1112,7 @@ class GbmCVNNPricer:
 
     def predict_price(
         self,
-        contracts: Sequence["BlackScholesContract | Any"],
+        contracts: Sequence[object],
         *,
         pad_to_bucket: bool = False,
     ) -> PricePrediction:
@@ -1181,7 +1186,7 @@ class GbmCVNNPricer:
             call_np = put_np + df * (np.asarray(expected) - strike)
         return PricePrediction(put=put_np, call=call_np, imag_residue=residue)
 
-    def _greeks_program(self) -> Callable[..., Any]:
+    def _greeks_program(self) -> Callable[..., object]:
         """Jitted Greeks-of-the-surrogate program (cached).
 
         The put price is the same IFFT∘CVNN map ``_predict_program`` uses,
@@ -1208,7 +1213,7 @@ class GbmCVNNPricer:
             dtype=self._sim.precision.to_jnp(),
         )
 
-        def put_price(params: Any, bn_state: Any, row: jax.Array) -> jax.Array:
+        def put_price(params: PyTree, bn_state: PyTree, row: jax.Array) -> jax.Array:
             inputs = normalize_fn(row[None, :])
             out_re, out_im, _ = model.apply(
                 params, bn_state, inputs, jnp.zeros_like(inputs), train=False
@@ -1222,13 +1227,13 @@ class GbmCVNNPricer:
             else 1.0
         )
 
-        def call_price(params: Any, bn_state: Any, row: jax.Array) -> jax.Array:
+        def call_price(params: PyTree, bn_state: PyTree, row: jax.Array) -> jax.Array:
             put = put_price(params, bn_state, row)
             df = jnp.exp(-row[3] * rate_factor * row[2])  # rate, maturity
             return put + df * (mean_target(row) - row[1])
 
         @jax.jit
-        def run(params: Any, bn_state: Any, arr: jax.Array) -> Any:
+        def run(params: PyTree, bn_state: PyTree, arr: jax.Array) -> PyTree:
             def price_jac_gamma(
                 fn: Callable[..., jax.Array],
             ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -1256,7 +1261,7 @@ class GbmCVNNPricer:
 
     def predict_greeks(
         self,
-        contracts: Sequence["BlackScholesContract | Any"],
+        contracts: Sequence[object],
         *,
         pad_to_bucket: bool = False,
     ) -> GreeksPrediction:

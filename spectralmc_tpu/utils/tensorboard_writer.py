@@ -11,7 +11,7 @@ The SummaryWriter import is gated so the library works without tensorboard.
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING, Any
+from typing import TYPE_CHECKING
 
 import numpy as np
 
@@ -23,7 +23,7 @@ if TYPE_CHECKING:  # pragma: no cover
     from spectralmc_tpu.training.trainer import SegmentMetrics, StepMetrics
 
 
-def _make_writer(logdir: str) -> Any:
+def _make_writer(logdir: str) -> "object":
     try:
         # host-side logging adapter only — never touches the compute path
         from torch.utils.tensorboard import SummaryWriter  # check: ignore[L002]
@@ -41,7 +41,7 @@ class TensorBoardLogger:
         *,
         hist_every: int = 50,
         flush_every: int = 100,
-        param_source: Any | None = None,
+        param_source: "object | None" = None,
     ) -> None:
         self._writer = _make_writer(logdir)
         self._hist_every = hist_every

@@ -339,19 +339,24 @@ class GreeksPrediction:
 
 def _contracts_to_device(
     contracts: Sequence[object], contract_cls: type, dtype: DTypeLike
-) -> jax.Array:
+) -> tuple[jax.Array, np.ndarray]:
     """[N, D] contract matrix in ONE host->device transfer.
 
     Serving-path hot spot: per-contract ``as_array`` creates one device
     array (= one transfer) per contract — measured 7 s for a 4096-contract
     predict through the dev tunnel. Marshalling the batch in numpy first
     collapses that to a single put.
+
+    Returns ``(device, host)``: callers that need contract columns on the
+    host afterwards (the parity arithmetic) must use the HOST copy — round 4
+    re-fetched the device array it had just uploaded, which is a whole extra
+    device->host round trip on the serving path.
     """
     fields = tuple(contract_cls.model_fields.keys())
     host = np.asarray(
         [[getattr(c, f) for f in fields] for c in contracts], dtype=dtype
     )
-    return jnp.asarray(host)
+    return jnp.asarray(host), host
 
 
 # --------------------------------------------------------------------------
@@ -1072,6 +1077,14 @@ class GbmCVNNPricer:
         spectrum → IFFT → price + parity expectation. Must be jitted — eager
         complex arithmetic is unimplemented on some TPU runtimes, and jit is
         how inference should dispatch anyway.
+
+        Returns ONE packed f32 vector ``[put(m) | expected(m) | residue]``
+        instead of three buffers: every output buffer is a separate
+        device->host fetch (one transport round trip each — the serving
+        client's poll budget, reference storage/inference.py:326-388, pays
+        per fetch), so the program concatenates on device and the caller
+        slices on host. Bit-identical values; only the transfer layout
+        changes.
         """
         cached = self._segment_cache.get(("predict",))
         if cached is not None:
@@ -1105,7 +1118,7 @@ class GbmCVNNPricer:
                 expected = jnp.full_like(put, jnp.nan)
             else:
                 expected = jax.vmap(mean_target)(arr)
-            return put, residue, expected
+            return jnp.concatenate([put, expected, residue.reshape(1)])
 
         self._segment_cache[("predict",)] = run
         return run
@@ -1124,19 +1137,27 @@ class GbmCVNNPricer:
         (repeating the last row) and sliced back, so at most log2(max_N)
         programs ever compile. Bit-identical results: the CVNN forward is
         row-independent and BN uses running stats at inference.
+
+        Serving-latency contract (round 5): the whole call costs exactly ONE
+        host->device transfer (the contract matrix) and ONE device->host
+        transfer (the packed program output) — round 4 paid four fetches
+        (residue, put, the just-uploaded inputs back, expected), i.e. four
+        transport round trips per call; the measured per-RTT cost dominates
+        small-batch latency (bench.py's ``inference_rtt_ms``). Parity
+        arithmetic runs on the retained HOST copy of the inputs.
         """
         dtype = self._sim.precision.to_jnp()
-        arr = _contracts_to_device(contracts, contract_class(self._sim), dtype)
-        n = arr.shape[0]
+        arr, host = _contracts_to_device(contracts, contract_class(self._sim), dtype)
+        n = int(host.shape[0])
         if pad_to_bucket:
             arr, n = _pad_to_bucket(arr)
-        put, residue_dev, expected = self._predict_program()(
-            self._params, self._bn_state, arr
-        )
-        if pad_to_bucket and arr.shape[0] > n:
-            put, expected = put[:n], expected[:n]
-            arr = arr[:n]
-        residue = float(residue_dev)
+        m = int(arr.shape[0])
+        packed = np.asarray(
+            self._predict_program()(self._params, self._bn_state, arr)
+        )  # the one device->host transfer
+        put = packed[:m][:n]
+        expected = packed[m : 2 * m][:n]
+        residue = float(packed[2 * m])
         if residue > IFFT_RESIDUE_WARN:
             import logging
 
@@ -1154,7 +1175,7 @@ class GbmCVNNPricer:
         # price; the other side reports NaN (early exercise breaks parity).
         from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, PayoffKind
 
-        put_np = np.asarray(put)
+        put_np = put
         if self._sim.payoff == PayoffKind.AMERICAN_CALL:
             return PricePrediction(
                 put=np.full_like(put_np, np.nan), call=put_np, imag_residue=residue
@@ -1174,8 +1195,9 @@ class GbmCVNNPricer:
                 )
             call_np = np.full_like(put_np, np.nan)
         else:
-            arr_np = np.asarray(arr)
-            strike, maturity, rate = arr_np[:, 1], arr_np[:, 2], arr_np[:, 3]
+            # host copy of the inputs — NOT a device fetch (transfer contract
+            # in the method docstring)
+            strike, maturity, rate = host[:, 1], host[:, 2], host[:, 3]
             # term structures discount at the curve-effective rate r*mean(rs)
             mr = (
                 self._sim.term.effective_factors(self._sim.timesteps)[1]
@@ -1183,7 +1205,7 @@ class GbmCVNNPricer:
                 else 1.0
             )
             df = np.exp(-rate * mr * maturity)
-            call_np = put_np + df * (np.asarray(expected) - strike)
+            call_np = put_np + df * (expected - strike)
         return PricePrediction(put=put_np, call=call_np, imag_residue=residue)
 
     def _greeks_program(self) -> Callable[..., object]:
@@ -1254,7 +1276,12 @@ class GbmCVNNPricer:
                 call, call_jac, call_gamma = nan_vec, jnp.full_like(put_jac, jnp.nan), nan_vec
             else:
                 call, call_jac, call_gamma = price_jac_gamma(call_price)
-            return put, call, put_jac, call_jac, put_gamma, call_gamma
+            # ONE packed output buffer = one device->host fetch (same
+            # serving-latency contract as _predict_program)
+            return jnp.concatenate(
+                [put, call, put_gamma, call_gamma,
+                 put_jac.reshape(-1), call_jac.reshape(-1)]
+            )
 
         self._segment_cache[("greeks",)] = run
         return run
@@ -1271,13 +1298,14 @@ class GbmCVNNPricer:
         (and the same opt-in ``pad_to_bucket`` power-of-two padding for
         variable-size serving). Where no closed-form E[underlier] exists the
         call outputs are NaN (same parity rule as ``predict_price``), with
-        the same warning.
+        the same warning. Same serving-latency contract as ``predict_price``:
+        one host->device put, one packed device->host fetch.
         """
         from spectralmc_tpu.ops.gbm import AMERICAN_PAYOFFS, PayoffKind
 
         dtype = self._sim.precision.to_jnp()
-        arr = _contracts_to_device(contracts, contract_class(self._sim), dtype)
-        n = arr.shape[0]
+        arr, host = _contracts_to_device(contracts, contract_class(self._sim), dtype)
+        n = int(host.shape[0])
         if pad_to_bucket:
             arr, n = _pad_to_bucket(arr)
         if not has_closed_form_mean(
@@ -1292,13 +1320,15 @@ class GbmCVNNPricer:
                 self._sim.model.value,
                 self._sim.payoff.value,
             )
-        put, call, put_jac, call_jac, put_gamma, call_gamma = self._greeks_program()(
-            self._params, self._bn_state, arr
-        )
-        if pad_to_bucket and arr.shape[0] > n:
-            put, call = put[:n], call[:n]
-            put_jac, call_jac = put_jac[:n], call_jac[:n]
-            put_gamma, call_gamma = put_gamma[:n], call_gamma[:n]
+        m, d = int(arr.shape[0]), int(arr.shape[1])
+        packed = np.asarray(
+            self._greeks_program()(self._params, self._bn_state, arr)
+        )  # the one device->host transfer: [put|call|put_g|call_g|put_jac|call_jac]
+        put, call = packed[:m][:n], packed[m : 2 * m][:n]
+        put_gamma, call_gamma = packed[2 * m : 3 * m][:n], packed[3 * m : 4 * m][:n]
+        jac = packed[4 * m :]
+        put_jac = jac[: m * d].reshape(m, d)[:n]
+        call_jac = jac[m * d :].reshape(m, d)[:n]
         fields = tuple(contract_class(self._sim).model_fields.keys())
         if self._sim.payoff == PayoffKind.AMERICAN_CALL:
             # the learned channel carries the CALL side (PayoffKind docstring)
@@ -1306,11 +1336,11 @@ class GbmCVNNPricer:
             put_jac, call_jac = call_jac, put_jac
             put_gamma, call_gamma = call_gamma, put_gamma
         return GreeksPrediction(
-            put=np.asarray(put),
-            call=np.asarray(call),
-            put_jacobian=np.asarray(put_jac),
-            call_jacobian=np.asarray(call_jac),
-            put_gamma=np.asarray(put_gamma),
-            call_gamma=np.asarray(call_gamma),
+            put=put,
+            call=call,
+            put_jacobian=put_jac,
+            call_jacobian=call_jac,
+            put_gamma=put_gamma,
+            call_gamma=call_gamma,
             fields=fields,
         )

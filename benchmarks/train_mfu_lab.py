@@ -102,8 +102,13 @@ def run_shape(
         make_optimizer,
     )
 
+    # the production engine policy (bench.py main): Pallas sim kernels on
+    # TPU, the XLA scan elsewhere — the decomposition must measure the same
+    # program the published steps/s figures run
+    engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     model, sim, table, carry = ge._build(
-        dict(timesteps=timesteps, network_size=network, batches_per_mc_run=batches),
+        dict(timesteps=timesteps, network_size=network, batches_per_mc_run=batches,
+             implementation=engine),
         wide=wide,
     )
     dtype = sim.precision.to_jnp()

@@ -446,3 +446,39 @@ def test_tracking_client_hot_swap_under_concurrent_prediction_load(tmp_path) -> 
             assert not np.array_equal(seen[0], seen[1])  # the swap changed the surface
 
     asyncio.run(serve())
+
+
+def test_predict_accepts_columnar_contract_array() -> None:
+    """Serving fast path: an [N, D] numpy array in model_fields order must be
+    bit-equal to the pydantic-instance path (trainer._contracts_to_device),
+    and a wrong-width array must fail loudly."""
+    import pytest
+
+    from spectralmc_tpu.ops.gbm import BlackScholesContract
+
+    pricer = expect_success(GbmCVNNPricer.create(_fresh_config(seed=3)))
+    contracts = [
+        make_contract(spot=95.0 + i, strike=100.0, vol=0.2 + 0.01 * i)
+        for i in range(5)
+    ]
+    fields = tuple(BlackScholesContract.model_fields.keys())
+    arr = np.asarray(
+        [[getattr(c, f) for f in fields] for c in contracts], dtype=np.float32
+    )
+
+    a = pricer.predict_price(contracts)
+    b = pricer.predict_price(arr)
+    assert np.array_equal(a.put, b.put)
+    assert np.array_equal(a.call, b.call)
+    assert a.imag_residue == b.imag_residue
+
+    ga = pricer.predict_greeks(contracts)
+    gb = pricer.predict_greeks(arr)
+    assert np.array_equal(ga.put, gb.put)
+    assert np.array_equal(ga.put_jacobian, gb.put_jacobian)
+    assert np.array_equal(ga.call_gamma, gb.call_gamma)
+
+    with pytest.raises(ValueError, match="field order"):
+        pricer.predict_price(arr[:, :4])
+    with pytest.raises(ValueError, match="field order"):
+        pricer.predict_price(arr.reshape(-1))

@@ -849,9 +849,10 @@ def bench_qmc(*, tiny: bool) -> tuple[float, float, float]:
             sampling=SamplingKind.SOBOL_BB, mc_seed=31,
         )
 
-    # the full-walk Asian sim costs ~16 ms/rep: 1/8 of the terminal reps
-    # keeps the call ~0.8 s of device work (tunnel artifact ~3%)
-    qmc_pathgen_ps = bench_mc(qmc_pathgen_fn, **{**kw, "reps": max(kw["reps"] // 8, 1)})
+    # the round-5 fused QMC-fed walk costs ~3.7 ms/rep (was ~16 ms before
+    # generation fused into the walk): half the terminal reps keeps the
+    # call ~0.75 s of device work (tunnel artifact <= ~4%)
+    qmc_pathgen_ps = bench_mc(qmc_pathgen_fn, **{**kw, "reps": max(kw["reps"] // 2, 1)})
 
     # RMSE reduction at equal budget: discounted mean call payoff over
     # q_reps independent scrambles/key streams, vs the closed form.

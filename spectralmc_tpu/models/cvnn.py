@@ -28,8 +28,8 @@ Every layer implements the protocol::
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Protocol, Sequence
+from dataclasses import dataclass
+from typing import Any, Protocol
 
 from jax.typing import DTypeLike
 

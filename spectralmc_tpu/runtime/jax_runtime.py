@@ -18,7 +18,7 @@ import threading
 from dataclasses import dataclass
 
 import contextlib
-from typing import Any, Iterator
+from typing import Iterator
 
 import jax
 

@@ -14,7 +14,7 @@ streams don't exist (single async domain).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Mapping, Union
+from typing import Any, Union
 
 import jax
 import numpy as np

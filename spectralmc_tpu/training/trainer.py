@@ -50,7 +50,6 @@ from spectralmc_tpu.core.errors.trainer import (
 from spectralmc_tpu.core.result import Failure, Result, Success
 from spectralmc_tpu.models.factory import CVNN, CVNNConfig, build_model
 from spectralmc_tpu.ops.gbm import (
-    BlackScholesContract,
     SimulationParams,
     has_closed_form_mean,
     resolve_implementation,

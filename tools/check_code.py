@@ -71,6 +71,18 @@ def main(argv: list[str] | None = None) -> int:
         print("FAILED at type-coverage", file=sys.stderr)
         return proc.returncode
 
+    # native basic lint (tools/lint_basic.py): the mechanical pyflakes/ruff
+    # tier (unused imports, F811/F541/F632, mutable defaults, bare except)
+    # implemented stdlib-only because neither tool installs in this image —
+    # found and removed 6 real unused imports on its first run.
+    print("==> lint")
+    proc = subprocess.run(
+        [sys.executable, str(Path(__file__).parent / "lint_basic.py")]
+    )
+    if proc.returncode != 0:
+        print("FAILED at lint", file=sys.stderr)
+        return proc.returncode
+
     if not args.no_external:
         for name, cmd in EXTERNAL:
             if shutil.which(cmd[0]) is None:

@@ -94,5 +94,16 @@ async def main() -> None:
         )
         print(f"served put price: {float(pred.put[0]):.4f}")
 
+        # hot path for a fleet that already holds contracts columnar: a
+        # [N, 6] numpy array (model_fields order) skips Python marshalling
+        # and is bit-identical to the instance path (round 5; each call is
+        # one host->device put + one packed fetch)
+        import numpy as np
+
+        arr = np.array([[100.0, 100.0, 1.0, 0.03, 0.01, 0.25]], np.float32)
+        fast = serving.predict_price(arr)
+        assert float(fast.put[0]) == float(pred.put[0])
+        print(f"columnar fast path: {float(fast.put[0]):.4f} (bit-equal)")
+
 
 asyncio.run(main())

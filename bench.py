@@ -1115,9 +1115,10 @@ def main() -> None:
                     "basket3_xla_path_steps_per_sec": basket_xla_ps,
                     # LSMC American family: forward paths + backward
                     # induction (per-date regressions) at 1M paths x 16
-                    # dates. The headline number is the Pallas engine
-                    # (fused monitor-row forward kernel + the identical XLA
-                    # backward); the xla figure is the scan-based engine.
+                    # dates. The headline number is the Pallas engine in its
+                    # round-5 production config (fused monitor-row forward +
+                    # the VMEM-resident fused backward, ops/lsmc_pallas.py);
+                    # the xla figure is the scan-based engine.
                     "american_lsmc_path_steps_per_sec": american_ps,
                     "american_lsmc_xla_path_steps_per_sec": american_xla_ps,
                     "train_steps_per_sec": steps_per_sec,

@@ -708,14 +708,16 @@ def bench_basket_throughput(*, tiny: bool) -> tuple[float, float]:
     return pallas_rate, xla_rate
 
 
-def bench_american_throughput(*, tiny: bool) -> tuple[float, float]:
+def bench_american_throughput(*, tiny: bool) -> tuple[float, float, float]:
     """LSMC early-exercise pricing throughput: path-steps/s through the
     family simulator (forward paths + backward induction with per-date
     regressions) at the production American shape — the measured version of
     the '1M paths x 16 dates in ~120 ms' figure. Returns
-    (pallas_rate, xla_rate): the Pallas engine fuses the monitor-row
-    forward (gbm_pallas._gbm_monitor_block_kernel) and reuses the identical
-    XLA backward induction; off-TPU both run the XLA path."""
+    (pallas_rate, xla_rate, pallas_4m_rate): the Pallas engine fuses the
+    monitor-row forward (gbm_pallas._gbm_monitor_block_kernel) with the
+    round-5 fused backward (VMEM-resident at the 1M bench shape; the
+    STREAMED variant at the 4.19M extras shape, where the carrier exceeds
+    VMEM — ops/lsmc_pallas.py); off-TPU all three run the XLA path."""
     from spectralmc_tpu.ops.american import simulate_american_underlier_rows
     from spectralmc_tpu.ops.gbm_pallas import simulate_american_underlier_rows_pallas
     from spectralmc_tpu.ops.greeks import OptionSide
@@ -741,19 +743,32 @@ def bench_american_throughput(*, tiny: bool) -> tuple[float, float]:
             key, contract, fused_backward=True, **common
         )
 
+    def pallas_4m_fn(key, contract):
+        # 4.19M paths: past the VMEM kernel's carrier cap, so the wrapper
+        # routes to the round-5 STREAMED backward (ops/lsmc_pallas.py —
+        # HBM carrier, one lagged policy+moment sweep per date); this
+        # extras row is the measured proof the large-shape fallback is gone.
+        return simulate_american_underlier_rows_pallas(
+            key, contract, fused_backward=True,
+            **{**common, "rows": 16384},
+        )
+
     xla_rate = bench_mc(xla_fn, **(kw if tiny else {**kw, "reps": 500}))
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu:
-        return xla_rate, xla_rate
+        return xla_rate, xla_rate, xla_rate
     try:
         pallas_rate = bench_mc(pallas_fn, **kw)  # reps=800: ~0.9 ms device/rep
+        kw_4m = dict(kw, rows=16384 if not tiny else kw["rows"],
+                     reps=2 if tiny else 300)  # ~2.4 ms device/rep
+        pallas_4m_rate = bench_mc(pallas_4m_fn if not tiny else pallas_fn, **kw_4m)
     except Exception as exc:  # pragma: no cover - chip-side guard
         # The monitor-row kernel is the newest Mosaic surface; a lowering
         # regression must cost ONE extra, not the whole bench run.
         print(f"[bench] american pallas engine failed ({exc!r}); "
               "reporting the XLA engine", file=sys.stderr)
-        return xla_rate, xla_rate
-    return pallas_rate, xla_rate
+        return xla_rate, xla_rate, xla_rate
+    return pallas_rate, xla_rate, pallas_4m_rate
 
 
 def bench_greeks_throughput(*, tiny: bool) -> tuple[float, float]:
@@ -1051,7 +1066,9 @@ def main() -> None:
     wide_steps, wide_mxu_flops = bench_wide_spectrum(tiny=tiny, implementation=engine)
     basket_pallas_ps, basket_xla_ps = bench_basket_throughput(tiny=tiny)
     basket_ps = basket_pallas_ps if on_tpu else basket_xla_ps
-    american_pallas_ps, american_xla_ps = bench_american_throughput(tiny=tiny)
+    american_pallas_ps, american_xla_ps, american_4m_ps = bench_american_throughput(
+        tiny=tiny
+    )
     american_ps = american_pallas_ps if on_tpu else american_xla_ps
     greeks_pallas, greeks_xla = bench_greeks_throughput(tiny=tiny)
     charfn_mae, charfn_rel_mae = bench_charfn_quality(tiny=tiny)
@@ -1121,6 +1138,7 @@ def main() -> None:
                     # the xla figure is the scan-based engine.
                     "american_lsmc_path_steps_per_sec": american_ps,
                     "american_lsmc_xla_path_steps_per_sec": american_xla_ps,
+                    "american_lsmc_4m_path_steps_per_sec": american_4m_ps,
                     "train_steps_per_sec": steps_per_sec,
                     # BASELINE config 3: 8192 contracts x 1.05M paths, 512-pt
                     # FFT, deep CVNN — chunk-streamed (contract_chunk=256).

@@ -80,9 +80,11 @@ def run_shape(timesteps: int, rows: int, cols: int, reps: int, calls: int) -> No
         )
 
     def kernel_fused(k):
-        # round 5: Pallas forward + the VMEM-resident fused backward
-        # (ops/lsmc_pallas.py) — the whole pricing never writes a
-        # [T, rows, cols]-sized tensor to HBM more than once
+        # round 5: Pallas forward + the fused backward (ops/lsmc_pallas.py)
+        # — VMEM-resident where the carrier fits (1M shapes), the STREAMED
+        # variant past the cap (the 4.2M shape: HBM carrier, one lagged
+        # policy+moment sweep per date; measured 2.363 ms / 2.84e10 there,
+        # 1.58x the shared backward that used to be the fallback)
         return simulate_american_underlier_rows_pallas(
             k, arr, dtype=jnp.float32, option=OptionSide.PUT,
             fused_backward=True, **common

@@ -142,7 +142,9 @@ def pallas_stream_version(
 
 def resolve_lsmc_backward(sim: "object", *, rows: int, sharded: bool = False) -> int:
     """The LSMC backward version that will ACTUALLY run for this sim shape —
-    0 = the shared XLA backward, else ``LSMC_BACKWARD_VERSIONS["fused"]``.
+    0 = the shared XLA backward, 1 = the VMEM-resident fused kernel, 2 = the
+    streamed fused kernel for carriers past the VMEM budget
+    (``LSMC_BACKWARD_VERSIONS``; the wrapper prefers VMEM where it fits).
 
     The backward analogue of ``gbm.resolve_implementation``: the trainer
     records this in ``GbmCVNNPricerConfig.lsmc_backward_version`` so a
@@ -165,11 +167,12 @@ def resolve_lsmc_backward(sim: "object", *, rows: int, sharded: bool = False) ->
     from spectralmc_tpu.ops.lsmc_pallas import (
         LSMC_BACKWARD_VERSIONS,
         lsmc_fused_backward_supported,
+        lsmc_streamed_backward_supported,
     )
 
     if resolve_implementation(sim, rows=rows) != SimImplementation.PALLAS:
         return 0
-    supported = lsmc_fused_backward_supported(
+    shape = dict(
         dtype=sim.precision.to_jnp(),
         rows=rows,
         cols=sim.network_size,
@@ -177,7 +180,11 @@ def resolve_lsmc_backward(sim: "object", *, rows: int, sharded: bool = False) ->
         cross_fit=sim.lsmc_cross_fit,
         axis_name="paths" if sharded else None,
     )
-    return LSMC_BACKWARD_VERSIONS["fused"] if supported else 0
+    if lsmc_fused_backward_supported(**shape):
+        return LSMC_BACKWARD_VERSIONS["fused"]
+    if lsmc_streamed_backward_supported(**shape):
+        return LSMC_BACKWARD_VERSIONS["fused_streamed"]
+    return 0
 
 
 def pallas_supported(*, dtype: jnp.dtype, rows: int, cols: int) -> bool:
@@ -1736,7 +1743,7 @@ def _simulate_american_rows_pallas_f32(
     row_offset: jax.Array | int = 0,
     axis_name: str | None = None,
     cross_fit: bool = False,
-    fused_backward: bool = False,
+    fused_backward: int = 0,  # 0 = shared XLA, 1 = VMEM fused, 2 = streamed
     interpret: bool = False,
 ) -> jax.Array:
     from spectralmc_tpu.ops.american import check_monitor_grid
@@ -1786,15 +1793,21 @@ def _simulate_american_rows_pallas_f32(
     )(params, seeds)
 
     if fused_backward:
-        # the fused Pallas backward (ops/lsmc_pallas.py): cashflow carrier
-        # resident in VMEM, one HBM pass over the rows. Callers route
-        # through lsmc_fused_backward_supported — reaching here unsupported
-        # is a contract violation, so the kernel's own errors may surface.
-        from spectralmc_tpu.ops.lsmc_pallas import lsmc_fused_backward
+        # the fused Pallas backwards (ops/lsmc_pallas.py): 1 = the cashflow
+        # carrier resident in VMEM, one HBM pass over the rows; 2 = the
+        # streamed variant for carriers past the VMEM budget (HBM carrier,
+        # one lagged policy+moment sweep per date). Callers route through
+        # the support predicates — reaching here unsupported is a contract
+        # violation, so the kernels' own errors may surface.
+        from spectralmc_tpu.ops.lsmc_pallas import (
+            lsmc_fused_backward,
+            lsmc_streamed_backward,
+        )
 
         strike, maturity, rate = (contract[i].astype(jnp.float32) for i in (1, 2, 3))
         dt = maturity / jnp.asarray(timesteps, jnp.float32)
-        return lsmc_fused_backward(
+        backward = lsmc_fused_backward if fused_backward == 1 else lsmc_streamed_backward
+        return backward(
             price_rows,
             strike=strike,
             disc_monitor=jnp.exp(-rate * dt * jnp.float32(exercise_every)),
@@ -1850,24 +1863,36 @@ def simulate_american_underlier_rows_pallas(
     """
     from spectralmc_tpu.ops.greeks import OptionSide
 
+    backward_kind = 0
     if fused_backward:
-        from spectralmc_tpu.ops.lsmc_pallas import lsmc_fused_backward_supported
+        from spectralmc_tpu.ops.lsmc_pallas import (
+            lsmc_fused_backward_supported,
+            lsmc_streamed_backward_supported,
+        )
 
-        fused_backward = lsmc_fused_backward_supported(
-            dtype=dtype,
-            rows=rows,
-            cols=cols,
-            n_monitor=max(timesteps // exercise_every, 1),
-            cross_fit=cross_fit,
-            axis_name=axis_name,
+        n_monitor = max(timesteps // exercise_every, 1)
+        if lsmc_fused_backward_supported(
+            dtype=dtype, rows=rows, cols=cols, n_monitor=n_monitor,
+            cross_fit=cross_fit, axis_name=axis_name,
         ) or (
             interpret
             and _fused_backward_ok_interpret(
-                dtype=dtype, rows=rows, cols=cols,
-                n_monitor=max(timesteps // exercise_every, 1),
+                dtype=dtype, rows=rows, cols=cols, n_monitor=n_monitor,
                 cross_fit=cross_fit, axis_name=axis_name,
             )
-        )
+        ):
+            backward_kind = 1
+        elif lsmc_streamed_backward_supported(
+            dtype=dtype, rows=rows, cols=cols, n_monitor=n_monitor,
+            cross_fit=cross_fit, axis_name=axis_name,
+        ) or (
+            interpret
+            and _streamed_backward_ok_interpret(
+                dtype=dtype, rows=rows, cols=cols, n_monitor=n_monitor,
+                cross_fit=cross_fit, axis_name=axis_name,
+            )
+        ):
+            backward_kind = 2
     if not (
         _american_monitor_interpretable(
             interpret=interpret, dtype=dtype, rows=rows, cols=cols,
@@ -1908,7 +1933,7 @@ def simulate_american_underlier_rows_pallas(
         row_offset=row_offset,
         axis_name=axis_name,
         cross_fit=cross_fit,
-        fused_backward=fused_backward,
+        fused_backward=backward_kind,
         interpret=interpret,
     )
 
@@ -1929,6 +1954,27 @@ def _fused_backward_ok_interpret(
         not cross_fit
         and axis_name is None
         and _fused_backward_interpretable(
+            interpret=True, dtype=dtype, rows=rows, cols=cols, n_monitor=n_monitor
+        )
+    )
+
+
+def _streamed_backward_ok_interpret(
+    *,
+    dtype: jnp.dtype,
+    rows: int,
+    cols: int,
+    n_monitor: int,
+    cross_fit: bool,
+    axis_name: str | None,
+) -> bool:
+    """Interpreter-mode streamed-backward acceptance (hermetic test path)."""
+    from spectralmc_tpu.ops.lsmc_pallas import _streamed_backward_interpretable
+
+    return (
+        not cross_fit
+        and axis_name is None
+        and _streamed_backward_interpretable(
             interpret=True, dtype=dtype, rows=rows, cols=cols, n_monitor=n_monitor
         )
     )

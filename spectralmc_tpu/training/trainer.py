@@ -251,13 +251,14 @@ class GbmCVNNPricerConfig:
     # (interpreted as stream v1 when mid-stream on Pallas).
     pallas_stream_version: int = 0
     # Which LSMC backward produced the American training targets: 0 = the
-    # shared XLA backward (every pre-round-5 checkpoint), else
-    # ops/lsmc_pallas.py LSMC_BACKWARD_VERSIONS["fused"]. Orthogonal to
-    # pallas_stream_version (the FORWARD bits): the two backwards are the
-    # same estimator at different float reduction orders, so near-boundary
-    # exercise bits differ — which one ran is stream state. Recorded from
-    # gbm_pallas.resolve_lsmc_backward (the effective backward, never the
-    # requested one).
+    # shared XLA backward (every pre-round-5 checkpoint), else a key from
+    # ops/lsmc_pallas.py LSMC_BACKWARD_VERSIONS ("fused" = VMEM-resident,
+    # "fused_streamed" = the HBM-carrier kernel past the VMEM cap).
+    # Orthogonal to pallas_stream_version (the FORWARD bits): the backwards
+    # are the same estimator at different float reduction orders, so
+    # near-boundary exercise bits differ — which one ran is stream state.
+    # Recorded from gbm_pallas.resolve_lsmc_backward (the effective
+    # backward, never the requested one).
     lsmc_backward_version: int = 0
     model_state: Mapping[str, np.ndarray] | None = None
     # Typed named-moment Adam state (training/adam_state.py). Legacy round-1

@@ -182,13 +182,19 @@ def test_fused_backward_supported_edges() -> None:
 
 
 def test_backward_version_key_is_orthogonal_to_forward_streams() -> None:
-    """The fused backward versions its own arithmetic, not the forward
-    stream: the key exists, is >= 1, and is distinct from the forward
-    PALLAS_STREAM_VERSIONS namespace (a forward kernel rebuild must never
-    invalidate a backward and vice versa)."""
+    """The fused backwards version their own arithmetic, not the forward
+    stream: the keys exist, are >= 1, are DISTINCT from each other (the two
+    kernels' reduction orders differ, so a checkpoint must record which one
+    ran), and are disjoint from the forward PALLAS_STREAM_VERSIONS namespace
+    (a forward kernel rebuild must never invalidate a backward and vice
+    versa)."""
     from spectralmc_tpu.ops.gbm_pallas import PALLAS_STREAM_VERSIONS
 
     assert LSMC_BACKWARD_VERSIONS["fused"] >= 1
+    assert LSMC_BACKWARD_VERSIONS["fused_streamed"] >= 1
+    assert (
+        LSMC_BACKWARD_VERSIONS["fused"] != LSMC_BACKWARD_VERSIONS["fused_streamed"]
+    )
     assert set(LSMC_BACKWARD_VERSIONS) & set(PALLAS_STREAM_VERSIONS) == set()
 
 
@@ -228,6 +234,160 @@ def test_wrapper_fused_backward_interpret_zero_bits() -> None:
         v = ex if (ex > 0.0 and ex > disc * v) else disc * v
     expected = strike - (disc * v) / np.exp(-rate * maturity)
     assert u[0, 0] == pytest.approx(expected, rel=1e-4)
+
+
+# --------------------------------------------------------------------------
+# streamed backward (ops/lsmc_pallas.py round-5 tail: carriers past VMEM)
+# --------------------------------------------------------------------------
+#
+# NOTE on interpret harnessing: the streamed kernel's manual DMA/semaphore
+# schedule runs fine under plain ``interpret=True`` but is pathologically
+# slow under ``force_tpu_interpret_mode`` (measured: 5 s vs >300 s at tiny
+# shapes — the force context's threaded DMA emulation serializes against the
+# per-block semaphore waits). The direct-kernel gates below therefore use
+# plain interpret; wrapper-level ROUTING is gated separately with a
+# monkeypatched delegate because the forward kernel's ``prng_seed`` needs
+# the force context hermetically.
+
+
+def _streamed(price_rows, strike, disc, df, *, put=True, degree=5):
+    from spectralmc_tpu.ops.lsmc_pallas import lsmc_streamed_backward
+
+    return lsmc_streamed_backward(
+        price_rows,
+        strike=strike,
+        disc_monitor=disc,
+        df_total=df,
+        put=put,
+        basis_degree=degree,
+        interpret=INTERPRET,
+    )
+
+
+@pytest.mark.parametrize("put", [True, False])
+def test_streamed_backward_matches_xla_estimator_statistically(put: bool) -> None:
+    """Random rows: the streamed and shared backwards are the same estimator
+    at different reduction orders — mean cashflows agree to far below MC
+    noise and only a vanishing set of near-boundary paths may flip."""
+    n_monitor, rows, cols = 8, 128, 256
+    price_rows, strike, disc, df = _synthetic_rows(n_monitor, rows, cols)
+    maturity, rate = jnp.float32(1.0), jnp.float32(0.03)
+    u_s = np.asarray(_streamed(price_rows, strike, disc, df, put=put))
+    u_xla = np.asarray(
+        encode_monitor_prices(
+            price_rows,
+            strike=strike,
+            maturity=maturity,
+            rate=rate,
+            disc_monitor=disc,
+            dtype=jnp.float32,
+            put=put,
+            basis_degree=5,
+        )
+    )
+    cf_s = (float(strike) - u_s) * float(df)
+    cf_xla = (float(strike) - u_xla) * float(df)
+    assert abs(cf_s.mean() - cf_xla.mean()) <= max(2e-3 * abs(cf_xla.mean()), 2e-3)
+    flipped = np.mean(u_s != u_xla)
+    assert flipped <= 0.02, f"{flipped:.4f} of paths flipped exercise dates"
+
+
+@pytest.mark.parametrize("side", ["put", "call"])
+def test_streamed_backward_zero_variance_matches_bellman_dp(side: str) -> None:
+    """Identical paths collapse the regression to the deterministic Bellman
+    DP — the same sharp oracle as the VMEM kernel's gate, at a shape with
+    ≥ 2 row blocks so the lagged cross-block schedule is exercised."""
+    n_monitor, rows, cols = 8, 16, 128
+    rate, maturity, strike = 0.03, 1.0, 100.0
+    dt = maturity / n_monitor
+    disc = float(np.exp(-rate * dt))
+    s_path = np.float32(100.0 * np.exp(np.linspace(0.08, -0.12, n_monitor)))
+    price_rows = jnp.broadcast_to(
+        jnp.asarray(s_path)[:, None, None], (n_monitor, rows, cols)
+    ).astype(jnp.float32)
+    u = np.asarray(
+        _streamed(
+            price_rows,
+            jnp.float32(strike),
+            jnp.float32(disc),
+            jnp.exp(jnp.float32(-rate * maturity)),
+            put=side == "put",
+        )
+    )
+    assert np.allclose(u, u[0, 0], rtol=1e-5)
+
+    def payoff(x: float) -> float:
+        return max(strike - x, 0.0) if side == "put" else max(x - strike, 0.0)
+
+    v = payoff(float(s_path[-1]))
+    for d in range(n_monitor - 2, -1, -1):
+        ex = payoff(float(s_path[d]))
+        v = ex if (ex > 0.0 and ex > disc * v) else disc * v
+    expected = strike - (disc * v) / np.exp(-rate * maturity)
+    assert u[0, 0] == pytest.approx(expected, rel=1e-4)
+
+
+def test_streamed_backward_supported_edges() -> None:
+    """The streamed predicate: accepts past the VMEM cap (its reason to
+    exist), rejects everything structural the VMEM kernel also rejects,
+    and demands >= 2 row blocks (one block belongs to the VMEM kernel)."""
+    from spectralmc_tpu.ops.lsmc_pallas import (
+        _streamed_block_rows,
+        lsmc_streamed_backward_supported,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    big = dict(dtype=jnp.float32, rows=32768, cols=128, n_monitor=16)
+    assert lsmc_streamed_backward_supported(**big) == on_tpu
+    # the shape the VMEM kernel rejects (4.19M paths) is the point
+    assert not lsmc_fused_backward_supported(**big)
+    # structural rejections, one at a time
+    assert not lsmc_streamed_backward_supported(**{**big, "dtype": jnp.float64})
+    assert not lsmc_streamed_backward_supported(**big, cross_fit=True)
+    assert not lsmc_streamed_backward_supported(**big, has_extra=True)
+    assert not lsmc_streamed_backward_supported(**big, term=True)
+    assert not lsmc_streamed_backward_supported(**big, axis_name="paths")
+    assert not lsmc_streamed_backward_supported(**{**big, "n_monitor": 1})
+    assert not lsmc_streamed_backward_supported(**{**big, "cols": 192})
+    # block decomposition: >= 2 sublane-aligned blocks must divide rows
+    assert not lsmc_streamed_backward_supported(**{**big, "rows": 8})
+    assert not lsmc_streamed_backward_supported(**{**big, "rows": 12})
+    assert _streamed_block_rows(32768, 128) == 1024  # ~512 KiB slabs
+    assert _streamed_block_rows(16, 128) == 8  # 2 blocks — smallest accepted
+    assert _streamed_block_rows(8, 128) is None
+
+
+def test_wrapper_routes_streamed_past_vmem_cap(
+    monkeypatch: pytest.MonkeyPatch,
+) -> None:
+    """The public wrapper resolves backward kind 2 when the VMEM kernel's
+    cap rejects and the streamed predicate accepts — gated with a recording
+    delegate (the force-interpret context the forward kernel needs is
+    pathologically slow on the manual-DMA kernel, module note above)."""
+    import spectralmc_tpu.ops.lsmc_pallas as lp
+    from spectralmc_tpu.ops.gbm_pallas import (
+        simulate_american_underlier_rows_pallas,
+    )
+    from spectralmc_tpu.ops.greeks import OptionSide
+
+    monkeypatch.setattr(lp, "_FUSED_BACKWARD_MAX_ELEMS", 0)
+    calls: list[str] = []
+    real_fused = lp.lsmc_fused_backward
+
+    def recording_streamed(price_rows, **kw):
+        calls.append("streamed")
+        return real_fused(price_rows, **kw)  # VMEM kernel handles the shape
+
+    monkeypatch.setattr(lp, "lsmc_streamed_backward", recording_streamed)
+    arr = jnp.asarray([100.0, 100.0, 1.0, 0.03, 0.01, 0.2], jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        u = simulate_american_underlier_rows_pallas(
+            jax.random.PRNGKey(1), arr, timesteps=8, rows=16, cols=128,
+            dtype=jnp.float32, option=OptionSide.PUT,
+            fused_backward=True, interpret=True,
+        )
+    assert calls == ["streamed"]
+    assert np.all(np.isfinite(np.asarray(u)))
 
 
 def test_wrapper_fused_backward_falls_back_when_unsupported() -> None:
@@ -343,6 +503,16 @@ def test_resolve_lsmc_backward_mirrors_support(
     )
     monkeypatch.setattr(lp, "lsmc_fused_backward_supported", lambda **kw: True)
     assert resolve_lsmc_backward(sim, rows=8) == LSMC_BACKWARD_VERSIONS["fused"]
+    # past the VMEM cap the resolver records the STREAMED version — the
+    # checkpointed int must name the kernel that actually runs there
+    monkeypatch.setattr(lp, "lsmc_fused_backward_supported", lambda **kw: False)
+    monkeypatch.setattr(lp, "lsmc_streamed_backward_supported", lambda **kw: True)
+    assert (
+        resolve_lsmc_backward(sim, rows=8)
+        == LSMC_BACKWARD_VERSIONS["fused_streamed"]
+    )
+    monkeypatch.setattr(lp, "lsmc_streamed_backward_supported", lambda **kw: False)
+    assert resolve_lsmc_backward(sim, rows=8) == 0
 
 
 def test_checkpoint_roundtrips_backward_version() -> None:

@@ -124,10 +124,12 @@ def make_underlier_simulator(
             )
 
             if sim.lsmc_fused_backward:
-                # the GBM Pallas wrapper re-resolves support internally and
-                # falls back to the shared XLA backward when the shape/mesh
-                # rejects; the trainer records the EFFECTIVE backward via
-                # gbm_pallas.resolve_lsmc_backward (the same predicate)
+                # the GBM Pallas wrapper re-resolves support internally
+                # (VMEM kernel where the carrier fits, streamed past the
+                # cap) and falls back to the shared XLA backward when the
+                # shape/mesh rejects both; the trainer records the
+                # EFFECTIVE backward via gbm_pallas.resolve_lsmc_backward
+                # (the same predicates)
                 american_kwargs["fused_backward"] = True
         else:
             from spectralmc_tpu.ops.american import (

@@ -1850,16 +1850,17 @@ def simulate_american_underlier_rows_pallas(
     vs threefry), exactly the terminal kernels' contract.
 
     ``fused_backward=True`` (checkpointed via
-    ``SimulationParams.lsmc_fused_backward``) runs the fused Pallas backward
-    instead (ops/lsmc_pallas.py): the same estimator definition at a
-    different float reduction order, versioned under
-    ``LSMC_BACKWARD_VERSIONS`` — see that module's stream-version story.
-    When the fused backward cannot honor the request (cross-fit pair, mesh
-    axis, unsupported shape) it falls back to the shared XLA backward; the
+    ``SimulationParams.lsmc_fused_backward``) runs a fused Pallas backward
+    instead (ops/lsmc_pallas.py): the VMEM-resident kernel where the
+    carrier fits, the STREAMED variant past the VMEM cap — the same
+    estimator definition at different float reduction orders, versioned
+    under ``LSMC_BACKWARD_VERSIONS`` — see that module's stream-version
+    story. When neither can honor the request (cross-fit pair, mesh axis,
+    unsupported shape) it falls back to the shared XLA backward; the
     trainer records the EFFECTIVE backward through
-    ``lsmc_fused_backward_supported`` so checkpoints never claim a backward
-    that did not run. Falls back to the XLA path entirely when the forward
-    kernel is unsupported.
+    ``resolve_lsmc_backward``'s predicates so checkpoints never claim a
+    backward that did not run. Falls back to the XLA path entirely when the
+    forward kernel is unsupported.
     """
     from spectralmc_tpu.ops.greeks import OptionSide
 

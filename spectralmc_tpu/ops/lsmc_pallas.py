@@ -340,15 +340,26 @@ def lsmc_fused_backward(
 # measured: 1 MiB slabs demanded 23.6 MiB scoped VMEM) inside the 16 MiB
 # core.
 _STREAMED_SLAB_ELEMS = 1 << 17
+# The per-sweep block loop is Python-unrolled (the DMA double-buffer's
+# descriptor rotation needs unrolled slots), so Mosaic compile time scales
+# with the block count: 32 blocks (the 4.19M lab shape) compiles in ~30 s,
+# 128 blocks measured 51 s trace + 160 s compile. Shapes past this cap
+# (≈ 8.4M paths at the slab target) fall back to the shared XLA backward —
+# an honest envelope beats a predicate hiding a minutes-long compile cliff.
+_STREAMED_MAX_BLOCKS = 64
 
 
 def _streamed_block_rows(rows: int, cols: int) -> int | None:
-    """Largest row-block that divides ``rows`` on (8, ·) tiles with ≥ 2
-    blocks and a ~1 MiB slab; None = no streamed decomposition exists."""
+    """Largest row-block that divides ``rows`` on (8, ·) tiles with 2..64
+    blocks and a ~512 KiB slab; None = no streamed decomposition exists
+    (too small for 2 blocks, no aligned divisor, or past the compile-time
+    block cap — ``_STREAMED_MAX_BLOCKS``)."""
     top = min(rows // 2, max(_STREAMED_SLAB_ELEMS // cols, 8))
     top = (top // 8) * 8
     for bk in range(top, 7, -8):
         if rows % bk == 0:
+            if rows // bk > _STREAMED_MAX_BLOCKS:
+                return None
             return bk
     return None
 

@@ -355,6 +355,14 @@ def test_streamed_backward_supported_edges() -> None:
     assert _streamed_block_rows(32768, 128) == 1024  # ~512 KiB slabs
     assert _streamed_block_rows(16, 128) == 8  # 2 blocks — smallest accepted
     assert _streamed_block_rows(8, 128) is None
+    # compile-time envelope: past _STREAMED_MAX_BLOCKS (64 blocks — the
+    # per-sweep loop is Python-unrolled) the shape routes to the shared
+    # backward instead of hiding a minutes-long Mosaic compile
+    assert _streamed_block_rows(32768, 256) == 512  # 64 blocks — the cap
+    assert _streamed_block_rows(65536, 256) is None  # 16.7M paths: 128 blocks
+    assert not lsmc_streamed_backward_supported(
+        **{**big, "rows": 65536, "cols": 256}
+    )
 
 
 def test_wrapper_routes_streamed_past_vmem_cap(
